@@ -1,0 +1,228 @@
+"""CDC replay pipeline: change-batch discovery → schema evolution → LWW
+MERGE → exactly-once commit → checkpoint/resume.
+
+This is the engine the north rule describes (BASELINE.json): it tails a
+directory of CSV/JSON-encoded change batches (op ∈ {I,U,D} keyed by url),
+applies each batch to a LakeTable via the keyed merge in lake/merge.py, and
+records a checkpoint manifest after every committed batch with lineage and
+per-partition metrics (FIXTURES.md §A4 shape). Re-running a committed batch
+is a no-op at BOTH layers: the checkpoint skips it, and even without the
+checkpoint the table's lineage fence rejects the duplicate commit.
+
+Replay order = deterministic filename sort — the reference's input-sort
+discipline (util/FilesUtils.kt:70-84) is the replay-order contract here.
+Schema epochs: a batch whose header differs from the table schema triggers
+additive evolution (new columns appended) and/or renames declared in the
+batch's sidecar ``<batch>.meta.json`` (FIXTURES.md §A3), applied to table
+metadata in lockstep BEFORE the batch data is merged — the reference's
+epoch-split behavior (util/FilesUtils.kt:288-327) generalized from
+"separate tables per epoch" to "one evolving table".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..lake.merge import apply_batch
+from ..lake.table import LakeTable, _atomic_write_json
+from ..sources.discovery import filter_paths
+
+PAGES_FIELDS: list[tuple[str, str]] = [
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+
+def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
+    """Read one change-batch file into the canonical event frame:
+    op, url, warc_ts(timestamp), html(binary), lang/…extras, row_idx.
+
+    CSV batches carry html as base64 (FIXTURES.md §A2); JSON batches carry
+    it as a base64 string field too. ``row_idx`` is the in-file order —
+    the LWW tiebreak — derived from a single-file ordered scan: we zip the
+    natural file order via a monotonic id over a NON-reshuffled single-file
+    read (valid because one file = one ordered split sequence)."""
+    if path.endswith(".json"):
+        raw = spark.read.json(path)
+    else:
+        raw = spark.read.option("header", True).option("mode", "FAILFAST").csv(path)
+    cols = raw.columns
+    df = raw.withColumn("row_idx", F.monotonically_increasing_id())
+    df = df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    df = df.withColumn("html", F.unbase64(F.col("html")))
+    for c in cols:
+        if c in ("op", "url", "warc_ts", "html"):
+            continue
+        if c in ("fetch_status",):
+            df = df.withColumn(c, F.col(c).cast("int"))
+    return df
+
+
+def batch_meta(path: str) -> dict:
+    meta_path = path + ".meta.json"
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    return {}
+
+
+_EVENT_META_COLS = {"op", "row_idx"}
+
+
+class CdcPipeline:
+    """Replay a change log into a LakeTable with exactly-once commits."""
+
+    def __init__(
+        self,
+        table_path: str,
+        checkpoint_path: str | None = None,
+        n_buckets: int = 16,
+    ):
+        self.table_path = table_path
+        self.checkpoint_path = checkpoint_path or os.path.join(table_path, "checkpoint.json")
+        self.n_buckets = n_buckets
+        # test hooks (SURVEY.md §7.5 trap 1)
+        self.fail_after_data_write_on: set[str] = set()
+        self.fail_before_checkpoint_on: set[str] = set()
+
+    # ---------- checkpoint ----------
+
+    def load_checkpoint(self) -> dict:
+        if os.path.exists(self.checkpoint_path):
+            with open(self.checkpoint_path) as f:
+                return json.load(f)
+        return {
+            "epoch_id": -1,
+            "batches_applied": [],
+            "per_partition": {},
+            "lineage": [],
+            "schema_version": 1,
+        }
+
+    def _write_checkpoint(self, ckpt: dict) -> None:
+        _atomic_write_json(self.checkpoint_path, ckpt)
+
+    # ---------- table ----------
+
+    def ensure_table(self) -> LakeTable:
+        if os.path.exists(os.path.join(self.table_path, "manifest.json")):
+            return LakeTable.load(self.table_path)
+        return LakeTable.create(
+            self.table_path, PAGES_FIELDS, key_col="url", n_buckets=self.n_buckets
+        )
+
+    # ---------- replay ----------
+
+    def discover(self, batch_dir: str, include: str | None = None, exclude: str | None = None) -> list[str]:
+        files = [
+            os.path.join(batch_dir, f)
+            for f in os.listdir(batch_dir)
+            if f.endswith((".csv", ".json")) and not f.endswith(".meta.json")
+        ]
+        return sorted(filter_paths(files, include, exclude))
+
+    def run(
+        self,
+        spark: SparkSession,
+        batch_dir: str,
+        include: str | None = None,
+        exclude: str | None = None,
+        max_batches: int | None = None,
+    ) -> dict:
+        """Apply all un-applied batches in replay order; resumable at any
+        point. Returns the final checkpoint dict."""
+        table = self.ensure_table()
+        ckpt = self.load_checkpoint()
+        applied = set(ckpt["batches_applied"])
+        batches = self.discover(batch_dir, include, exclude)
+        done = 0
+        for path in batches:
+            batch_id = os.path.basename(path)
+            if batch_id in applied:
+                continue
+            if max_batches is not None and done >= max_batches:
+                break
+            self._apply_one(spark, table, path, batch_id, ckpt)
+            applied.add(batch_id)
+            done += 1
+        return ckpt
+
+    def _apply_one(
+        self, spark: SparkSession, table: LakeTable, path: str, batch_id: str, ckpt: dict
+    ) -> None:
+        df = read_change_batch(spark, path)
+        meta = batch_meta(path)
+
+        # --- schema evolution in lockstep with the stream ---
+        snap = table.snapshot()
+        renames = meta.get("renames") or {}
+        cur_names = {f["name"] for f in table.current_fields(snap)}
+        batch_extra = [
+            c for c in df.columns if c not in cur_names and c not in _EVENT_META_COLS
+        ]
+        # a renamed column arrives under its new name; don't treat it as additive
+        rename_targets = set(renames.values())
+        add_cols = [
+            (c, _infer_lake_type(df.schema[c].dataType))
+            for c in batch_extra
+            if c not in rename_targets
+        ]
+        effective_renames = {
+            old: new for old, new in renames.items() if old in cur_names
+        }
+        if add_cols or effective_renames:
+            snap = table.evolve_schema(add_columns=add_cols, renames=effective_renames)
+
+        epoch_id = snap["epoch_id"] + 1 if snap["epoch_id"] >= 0 else 0
+        new_snap = apply_batch(
+            spark,
+            table,
+            df,
+            epoch_id=epoch_id,
+            batch_id=batch_id,
+            staged_snapshot=snap,
+            fail_after_data_write=batch_id in self.fail_after_data_write_on,
+        )
+        if batch_id in self.fail_before_checkpoint_on:
+            raise RuntimeError("injected crash between commit and checkpoint write")
+
+        # --- checkpoint manifest (FIXTURES.md §A4) ---
+        per_part = {
+            str(f["bucket"]): {
+                "offset": new_snap["epoch_id"],
+                "rows": None,
+                "bytes": f["bytes"],
+            }
+            for f in new_snap["files"]
+        }
+        ckpt["epoch_id"] = new_snap["epoch_id"]
+        ckpt["batches_applied"] = ckpt["batches_applied"] + [batch_id]
+        ckpt["per_partition"] = per_part
+        ckpt["lineage"] = new_snap["lineage"]
+        ckpt["schema_version"] = new_snap["schema_version"]
+        self._write_checkpoint(ckpt)
+
+
+def _infer_lake_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.IntegerType):
+        return "int"
+    if isinstance(dt, T.LongType):
+        return "long"
+    if isinstance(dt, T.DoubleType):
+        return "double"
+    if isinstance(dt, T.TimestampType):
+        return "timestamp"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    return "string"

@@ -1,0 +1,285 @@
+"""LakeTable — an Iceberg-style snapshot table on Parquet.
+
+No Iceberg/Delta jars exist in this sandbox (SURVEY.md §7.1), so the engine
+codes against this thin table abstraction. The ``ManifestParquetBackend``
+below is functionally equivalent for every correctness property the north
+rule tests:
+
+- **Snapshot isolation + atomic commit**: a snapshot JSON lists every data
+  file; ``manifest.json`` is a one-line pointer to the current snapshot,
+  published with ``os.replace`` (atomic on POSIX). Readers either see the
+  old snapshot or the new one, never a mix.
+- **Epoch fencing / exactly-once**: each snapshot records ``epoch_id`` and
+  ``batch_id``; committing an epoch ≤ the current one for an already-applied
+  batch is a no-op (idempotent re-commit after crash/retry).
+- **Bucket layout**: data is hash-bucketed by key (``pmod(xxhash64(url),
+  n_buckets)``). A keyed MERGE only rewrites the buckets that contain
+  changed keys — copy-on-write at bucket granularity, which is what keeps a
+  10^10-row table mergeable: a batch touching 0.1% of keys rewrites ~all
+  buckets at small n_buckets but at production n_buckets (e.g. 4096) only
+  the affected slices. The bucket of a row is derivable from its key, so
+  merge joins co-partition by construction.
+- **Schema evolution by field id** (Iceberg-style): columns are tracked as
+  ``{id, name, type}``; renames change only the name for an id, additive
+  columns append a new id. Old data files keep their physical column names;
+  the reader maps physical → current names per file's schema_version, so a
+  rename never rewrites data (SURVEY.md §7.5 trap 4).
+
+Reference parity: csv-cruncher's output-table overwrite/backup discipline
+(util/HsqlDbTableCreator.kt:91-179) and schema-epoch handling
+(util/FilesUtils.kt:288-327) are what this generalizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MANIFEST = "manifest.json"
+
+_TYPE_MAP: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "binary": T.BinaryType(),
+    "timestamp": T.TimestampType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "date": T.DateType(),
+}
+
+
+def spark_type(name: str) -> T.DataType:
+    if name.startswith("decimal"):
+        p, s = name[name.index("(") + 1 : -1].split(",")
+        return T.DecimalType(int(p), int(s))
+    return _TYPE_MAP[name]
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic bucket of a key — same function everywhere so merge
+    joins and file layout agree without a shuffle-side lookup."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+class LakeTable:
+    """Manifest-Parquet lake table. See module docstring."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    # ---------- creation / loading ----------
+
+    @classmethod
+    def create(
+        cls,
+        path: str,
+        fields: list[tuple[str, str]],
+        key_col: str = "url",
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        """fields: [(name, type_str)] — initial schema version 1."""
+        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        schema = [
+            {"id": i + 1, "name": n, "type": t} for i, (n, t) in enumerate(fields)
+        ]
+        snap = {
+            "snapshot_id": 0,
+            "parent": None,
+            "epoch_id": -1,
+            "batch_id": None,
+            "key_col": key_col,
+            "n_buckets": n_buckets,
+            "schema_version": 1,
+            "schemas": {"1": schema},
+            "next_field_id": len(fields) + 1,
+            "files": [],
+            "lineage": [],
+            "metrics": {"rows": 0, "bytes": 0},
+        }
+        t = cls(path)
+        t._write_snapshot(snap)
+        return t
+
+    @classmethod
+    def load(cls, path: str) -> "LakeTable":
+        t = cls(path)
+        t.snapshot()  # raises if missing
+        return t
+
+    def snapshot(self) -> dict:
+        with open(os.path.join(self.path, MANIFEST)) as f:
+            ptr = json.load(f)
+        with open(os.path.join(self.path, "snapshots", ptr["snapshot"])) as f:
+            return json.load(f)
+
+    def _write_snapshot(self, snap: dict) -> None:
+        name = f"snap-{snap['snapshot_id']:08d}.json"
+        _atomic_write_json(os.path.join(self.path, "snapshots", name), snap)
+        _atomic_write_json(os.path.join(self.path, MANIFEST), {"snapshot": name})
+
+    # ---------- schema ----------
+
+    def current_fields(self, snap: dict | None = None) -> list[dict]:
+        snap = snap or self.snapshot()
+        return snap["schemas"][str(snap["schema_version"])]
+
+    def spark_schema(self, snap: dict | None = None) -> T.StructType:
+        return T.StructType(
+            [T.StructField(f["name"], spark_type(f["type"]), True) for f in self.current_fields(snap)]
+        )
+
+    def evolve_schema(
+        self,
+        add_columns: list[tuple[str, str]] | None = None,
+        renames: dict[str, str] | None = None,
+    ) -> dict:
+        """Apply additive + rename evolution; returns the staged (uncommitted)
+        snapshot dict — the next ``commit`` publishes it. Renames rewrite only
+        metadata (field id keeps its identity); adds append a fresh field id.
+        """
+        snap = self.snapshot()
+        fields = [dict(f) for f in self.current_fields(snap)]
+        changed = False
+        if renames:
+            by_name = {f["name"]: f for f in fields}
+            for old, new in renames.items():
+                if old in by_name:
+                    by_name[old]["name"] = new
+                    changed = True
+        if add_columns:
+            existing = {f["name"] for f in fields}
+            for name, typ in add_columns:
+                if name not in existing:
+                    fields.append({"id": snap["next_field_id"], "name": name, "type": typ})
+                    snap["next_field_id"] += 1
+                    changed = True
+        if changed:
+            snap["schema_version"] += 1
+            snap["schemas"][str(snap["schema_version"])] = fields
+        return snap
+
+    # ---------- read ----------
+
+    def read(self, spark: SparkSession, snap: dict | None = None, buckets: list[int] | None = None) -> DataFrame:
+        """Current-snapshot scan projected to the current schema.
+
+        Files are grouped by the schema version they were written under;
+        each group is scanned once, physical names mapped to current names
+        via field ids, missing (later-added) columns filled with typed
+        nulls, then the groups are unioned. At most #schema-versions scans —
+        no per-file driver loop.
+        """
+        snap = snap or self.snapshot()
+        files = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        cur_fields = self.current_fields(snap)
+        if not files:
+            return spark.createDataFrame([], self.spark_schema(snap))
+
+        by_ver: dict[int, list[str]] = {}
+        for f in files:
+            by_ver.setdefault(f["schema_version"], []).append(
+                os.path.join(self.path, f["path"])
+            )
+
+        parts: list[DataFrame] = []
+        for ver, paths in by_ver.items():
+            ver_fields = snap["schemas"][str(ver)]
+            phys_by_id = {f["id"]: f["name"] for f in ver_fields}
+            df = spark.read.parquet(*paths)
+            cols = []
+            for f in cur_fields:
+                phys = phys_by_id.get(f["id"])
+                if phys is not None and phys in df.columns:
+                    cols.append(F.col(phys).alias(f["name"]))
+                else:
+                    cols.append(F.lit(None).cast(spark_type(f["type"])).alias(f["name"]))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------- write / commit ----------
+
+    def write_bucket_data(self, df: DataFrame, schema_version: int) -> list[dict]:
+        """Write a DataFrame that carries a ``bucket`` column to new parquet
+        files partitioned by bucket; returns file entries (uncommitted).
+        One shuffle: repartition by bucket so each bucket lands in few files.
+        """
+        rel_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
+        out_dir = os.path.join(self.path, rel_dir)
+        n_buckets = self.snapshot()["n_buckets"]
+        (
+            df.repartition(min(n_buckets, max(1, df.sparkSession.sparkContext.defaultParallelism)), "bucket")
+            .write.partitionBy("bucket")
+            .parquet(out_dir)
+        )
+        entries: list[dict] = []
+        for bucket_dir in sorted(os.listdir(out_dir)):
+            if not bucket_dir.startswith("bucket="):
+                continue
+            b = int(bucket_dir.split("=")[1])
+            for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
+                if fn.endswith(".parquet"):
+                    full = os.path.join(out_dir, bucket_dir, fn)
+                    entries.append(
+                        {
+                            "path": os.path.join(rel_dir, bucket_dir, fn),
+                            "bucket": b,
+                            "schema_version": schema_version,
+                            "bytes": os.path.getsize(full),
+                        }
+                    )
+        return entries
+
+    def commit(
+        self,
+        new_files: list[dict],
+        replaced_buckets: list[int],
+        epoch_id: int,
+        batch_id: str | None,
+        staged_snapshot: dict | None = None,
+        metrics: dict | None = None,
+    ) -> dict:
+        """Publish a new snapshot: keep files of untouched buckets, swap in
+        ``new_files`` for ``replaced_buckets``. Idempotent: if ``batch_id``
+        is already in lineage, the commit is a no-op (epoch fence)."""
+        snap = staged_snapshot or self.snapshot()
+        if batch_id is not None and any(e["batch"] == batch_id for e in snap["lineage"]):
+            return snap  # fenced: this batch's effects are already committed
+        replaced = set(replaced_buckets)
+        kept = [f for f in snap["files"] if f["bucket"] not in replaced]
+        new_snap = dict(snap)
+        new_snap["snapshot_id"] = snap["snapshot_id"] + 1
+        new_snap["parent"] = snap["snapshot_id"]
+        new_snap["epoch_id"] = epoch_id
+        new_snap["batch_id"] = batch_id
+        new_snap["files"] = kept + new_files
+        new_snap["lineage"] = snap["lineage"] + (
+            [{"batch": batch_id, "snapshot": snap["snapshot_id"] + 1, "epoch": epoch_id}]
+            if batch_id is not None
+            else []
+        )
+        if metrics:
+            new_snap["metrics"] = metrics
+        self._write_snapshot(new_snap)
+        return new_snap

@@ -1,0 +1,103 @@
+"""Exactly-once commit protocol + checkpoint/resume tests
+(SURVEY.md §7.3 phases 2-3, §7.5 trap 1)."""
+
+import os
+
+import pytest
+
+from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log, reference_fold
+from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+from csv_cruncher_spark.lake.table import LakeTable
+
+
+@pytest.fixture()
+def change_log(tmp_path):
+    spec = ChangeLogSpec(
+        n_urls=120, n_batches=4, events_per_batch=150, seed=11, out_dir=str(tmp_path / "b")
+    )
+    return tmp_path, generate_change_log(spec)
+
+
+def _state(spark, path):
+    df = LakeTable.load(path).read(spark)
+    return {(r["url"], r["text"]) for r in df.collect()}
+
+
+def test_crash_between_data_write_and_commit_is_recoverable(spark, change_log):
+    tmp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    table = str(tmp / "lake")
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.fail_after_data_write_on = {os.path.basename(paths[2])}
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(spark, bdir)
+
+    # crashed mid-batch: 2 batches committed, orphan data files on disk,
+    # manifest unaffected
+    snap = LakeTable.load(table).snapshot()
+    assert len(snap["lineage"]) == 2
+
+    # resume with a FRESH pipeline object (as a restarted driver would)
+    pipe2 = CdcPipeline(table, n_buckets=4)
+    ckpt = pipe2.run(spark, bdir)
+    assert ckpt["batches_applied"] == [os.path.basename(p) for p in paths]
+
+    want = {(u, v["text"]) for u, v in reference_fold(paths).items()}
+    assert _state(spark, table) == want
+
+
+def test_crash_between_commit_and_checkpoint_is_idempotent(spark, change_log):
+    """Worst spot: snapshot committed but checkpoint not yet written. On
+    resume the batch is retried; the table-level lineage fence makes the
+    duplicate commit a no-op."""
+    tmp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    table = str(tmp / "lake2")
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.fail_before_checkpoint_on = {os.path.basename(paths[1])}
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(spark, bdir)
+
+    snap1 = LakeTable.load(table).snapshot()
+    assert len(snap1["lineage"]) == 2  # batch 1 committed, checkpoint missed it
+
+    pipe2 = CdcPipeline(table, n_buckets=4)
+    pipe2.run(spark, bdir)
+    snap2 = LakeTable.load(table).snapshot()
+    # batch-00001 appears exactly once in lineage despite the retry
+    assert [e["batch"] for e in snap2["lineage"]] == [os.path.basename(p) for p in paths]
+
+    want = {(u, v["text"]) for u, v in reference_fold(paths).items()}
+    assert _state(spark, table) == want
+
+
+def test_rerun_of_fully_applied_log_is_noop(spark, change_log):
+    tmp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    table = str(tmp / "lake3")
+    CdcPipeline(table, n_buckets=4).run(spark, bdir)
+    snap_a = LakeTable.load(table).snapshot()
+    CdcPipeline(table, n_buckets=4).run(spark, bdir)
+    snap_b = LakeTable.load(table).snapshot()
+    assert snap_a["snapshot_id"] == snap_b["snapshot_id"]
+    assert snap_a["files"] == snap_b["files"]
+
+
+def test_resume_mid_log(spark, change_log):
+    """max_batches simulates an interrupted tail; resume continues from the
+    checkpoint without reprocessing."""
+    tmp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    table = str(tmp / "lake4")
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.run(spark, bdir, max_batches=2)
+    ckpt = pipe.load_checkpoint()
+    assert len(ckpt["batches_applied"]) == 2
+    assert ckpt["epoch_id"] == 1
+
+    CdcPipeline(table, n_buckets=4).run(spark, bdir)
+    want = {(u, v["text"]) for u, v in reference_fold(paths).items()}
+    assert _state(spark, table) == want
+    ckpt2 = CdcPipeline(table, n_buckets=4).load_checkpoint()
+    assert ckpt2["epoch_id"] == len(paths) - 1
+    assert [e["batch"] for e in ckpt2["lineage"]] == [os.path.basename(p) for p in paths]

@@ -1,0 +1,89 @@
+"""Schema-evolution tests mirroring the reference's sample-changedSchema
+corpus (additive mid-stream column, FilesUtils.kt:297-327) plus the north
+rule's rename evolution — table metadata evolves in lockstep with the
+stream, old rows stay readable, final state matches the oracle."""
+
+import os
+
+import pytest
+
+from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log, reference_fold
+from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+from csv_cruncher_spark.lake.table import LakeTable
+
+
+@pytest.fixture(scope="module")
+def evolving_log(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("evo")
+    spec = ChangeLogSpec(
+        n_urls=150,
+        n_batches=6,
+        events_per_batch=200,
+        seed=23,
+        out_dir=str(tmp / "b"),
+        schema_v2_from_batch=2,  # + fetch_status
+        schema_v3_from_batch=4,  # lang → language
+    )
+    return tmp, generate_change_log(spec)
+
+
+def test_additive_and_rename_evolution(spark, evolving_log):
+    tmp, paths = evolving_log
+    table_path = str(tmp / "lake")
+    CdcPipeline(table_path, n_buckets=4).run(spark, os.path.dirname(paths[0]))
+
+    table = LakeTable.load(table_path)
+    snap = table.snapshot()
+    names = [f["name"] for f in table.current_fields(snap)]
+    assert "fetch_status" in names, "additive column missing"
+    assert "language" in names and "lang" not in names, "rename not applied"
+    # rename kept the field id (metadata-only rewrite)
+    v1 = {f["name"]: f["id"] for f in snap["schemas"]["1"]}
+    cur = {f["name"]: f["id"] for f in table.current_fields(snap)}
+    assert cur["language"] == v1["lang"]
+    assert snap["schema_version"] == 3
+
+    df = table.read(spark)
+    want = reference_fold(paths)
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == set(want)
+    for url, w in want.items():
+        g = rows[url]
+        assert g["text"] == w["text"], url
+        # 'lang' values written pre-rename must surface under 'language'
+        assert g["language"] == w["lang"], url
+        assert g["fetch_status"] == w["fetch_status"], url
+
+
+def test_pre_evolution_rows_readable_with_null_new_column(spark, evolving_log):
+    """Rows last written before fetch_status existed read back as null;
+    rows written after have it populated."""
+    tmp, paths = evolving_log
+    table = LakeTable.load(str(tmp / "lake"))
+    df = table.read(spark)
+    want = reference_fold(paths)
+    with_status = [u for u, w in want.items() if w["fetch_status"] is not None]
+    without = [u for u, w in want.items() if w["fetch_status"] is None]
+    assert with_status, "fixture should produce post-evolution rows"
+    assert without, "fixture should retain pre-evolution rows"
+    got_null = {r["url"] for r in df.filter(df.fetch_status.isNull()).collect()}
+    assert got_null == set(without)
+
+
+def test_schema_epoch_split_never_concatenates_across_header_change(tmp_path):
+    """Driver-side epoch split parity with util/FilesUtils.kt:288-327 —
+    including the order-sensitive 'revert opens a new epoch' rule."""
+    from csv_cruncher_spark.sources.discovery import split_schema_epochs
+
+    headers = {
+        "a.csv": ["op", "url"],
+        "b.csv": ["op", "url"],
+        "c.csv": ["op", "url", "new_col"],
+        "d.csv": ["op", "url"],  # revert — still a NEW epoch
+    }
+    epochs = split_schema_epochs("grp", list(headers), headers.get)
+    assert [e.files for e in epochs] == [["a.csv", "b.csv"], ["c.csv"], ["d.csv"]]
+    assert [e.name for e in epochs] == ["grp_1", "grp_2", "grp_3"]
+
+    single = split_schema_epochs("grp", ["a.csv", "b.csv"], headers.get)
+    assert [e.name for e in single] == ["grp"]
