@@ -1,38 +1,450 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the implemented operator surface from SURVEY.md §2 +
+the training-data-pipeline operators; ``oracle_sql()`` gives the DuckDB
+twin for every SQL-expressible one. Column names/aliases match exactly on
+both sides (the driver hash-compares values per sorted column name).
+
+Determinism rules used throughout:
+- every LIMIT has a full deterministic ORDER BY (unique-key tiebreak);
+- float aggregates are rounded (2dp money, 6dp ratios) on BOTH sides so
+  engine-order summation drift cannot flip the value hash;
+- timestamps are exported as epoch seconds/microseconds (bigint), never as
+  raw timestamp columns (tz-conversion-free).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from csv_cruncher_spark.operators import dedup, similarity, textstats  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# deterministic 64-dim probe vector for similarity queries
+_QUERY_VEC = [0.125] * 64
+_QUERY_VEC_SQL = "[" + ", ".join("0.125" for _ in range(64)) + "]::DOUBLE[]"
+
+
+# ---------------------------------------------------------------- queries --
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + partial/final hash agg (SURVEY.md §2.C
+    aggregation surface)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + deterministic top-k."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.max(F.unix_timestamp("o_orderdate")).alias("o_epoch"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with broadcast dims (region/nation broadcast; Catalyst+AQE
+    pick broadcast for customer/supplier at small SF, SMJ at scale)."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT → TakeOrdered (no global sort)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number window (reference has no windows — needed for LWW parity,
+    SURVEY.md §2.C)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream (batch view)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour_epoch", "event_type")
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min gap rule via lag + cumulative sum."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps are NTZ; session tz is UTC so LTZ cast is identity
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    gap_us = ts_us - F.lag(ts_us).over(w)
+    is_new = F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def events_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC LWW primitive on a public table: final event per key via
+    partial-aggregating max_by (the skew-proof form used by lake/merge.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_type", "value"), F.struct("ts", "event_id")
+            ).alias("_last")
+        )
+        .select(
+            "user_id",
+            F.col("_last.event_type").alias("last_event_type"),
+            F.col("_last.value").alias("last_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonLeaf parity (reference util/SqlFunctions.kt:46-58): raw scalar
+    text extraction from a JSON column."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k_text")
+    ).orderBy("event_id")
+
+
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine=INTERSECT — declared but unimplemented in the reference
+    (app/OptionsEnums.kt:47-62); trivial here."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """combine=EXCEPT (set semantics, like SQL EXCEPT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id", F.md5(F.col("text"))).orderBy("fp")
+
+
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.normalized_fingerprint("text").alias("fp")
+    ).orderBy("doc_id")
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    q = textstats.quality_metrics(docs, "text")
+    return q.select(
+        "doc_id",
+        "n_tokens",
+        F.round("mean_token_len", 6).alias("mean_token_len"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("alpha_ratio", 6).alias("alpha_ratio"),
+    ).orderBy("doc_id")
+
+
+def doc_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.regex_token_count("text").alias("n_regex_tokens")
+    ).orderBy("doc_id")
+
+
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.lang_id(docs, "text").select("doc_id", "lang_guess").orderBy("doc_id")
+
+
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, "vec_id", "embedding", _QUERY_VEC, k=20)
+
+
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (non-SQL-expressible → rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature per doc (non-SQL-expressible → rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (approximate → rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, "vec_id", "embedding", _QUERY_VEC, k=20)
+
+
+# ---------------------------------------------------------------- contract --
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_regional_revenue": q5_regional_revenue,
+        "topk_parts": topk_parts,
+        "window_top_order_per_customer": window_top_order_per_customer,
+        "events_hourly_rollup": events_hourly_rollup,
+        "events_sessionize": events_sessionize,
+        "events_lww_state": events_lww_state,
+        "json_extract_props": json_extract_props,
+        "set_intersect_nations": set_intersect_nations,
+        "set_except_nations": set_except_nations,
+        "dedup_exact_documents": dedup_exact_documents,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_quality": doc_quality,
+        "doc_token_count_regex": doc_token_count_regex,
+        "doc_lang_id": doc_lang_id,
+        "embedding_cosine_topk": embedding_cosine_topk,
+        "minhash_near_dups": minhash_near_dups,
+        "simhash_signatures": simhash_signatures,
+        "ann_lsh_topk": ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
+    lang_score = {
+        lang: f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({', '.join(repr(w) for w in markers)})))"
+        for lang, markers in textstats.LANG_MARKERS.items()
+    }
+    langs = list(textstats.LANG_MARKERS)
+    # strict argmax with first-listed-wins ties, matching textstats.lang_id
+    lang_case = "CASE"
+    conds = []
+    for i, lang in enumerate(langs):
+        gt_prev = " AND ".join(f"s_{lang} > s_{prev}" for prev in langs[:i])
+        gt_zero = f"s_{lang} > 0"
+        ge_later = " AND ".join(f"s_{lang} >= s_{nxt}" for nxt in langs[i + 1 :])
+        cond = " AND ".join(x for x in (gt_zero, gt_prev, ge_later) if x)
+        conds.append(f" WHEN {cond} THEN '{lang}'")
+    lang_case += "".join(conds) + " ELSE 'und' END"
+    lang_scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in lang_score.items())
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   max(epoch(o_orderdate))::BIGINT AS o_epoch
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+              AND l_shipdate > TIMESTAMP '1999-01-01'
+            GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_regional_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "topk_parts": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+        """,
+        "window_top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) t
+            WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "events_hourly_rollup": """
+            SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type
+        """,
+        "events_sessionize": """
+            WITH g AS (
+              SELECT user_id,
+                     epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                           ORDER BY ts, event_id)) AS gap_us
+              FROM events)
+            SELECT user_id,
+                   sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "events_lww_state": """
+            SELECT user_id, event_type AS last_event_type, value AS last_value FROM (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1 ORDER BY user_id
+        """,
+        "json_extract_props": """
+            SELECT event_id, json_extract_string(props, '$.k') AS k_text
+            FROM events WHERE event_id < 500 ORDER BY event_id
+        """,
+        "set_intersect_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey
+        """,
+        "set_except_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey
+        """,
+        "dedup_exact_documents": """
+            SELECT md5(text) AS fp, min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY fp
+        """,
+        "doc_fingerprints": """
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                           ' +', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_quality": f"""
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   round((length(text) - (len(string_split(text, ' ')) - 1))
+                         / len(string_split(text, ' ')), 6) AS mean_token_len,
+                   round(len(list_filter(string_split(text, ' '), x -> x IN ({stop_list})))
+                         / len(string_split(text, ' ')), 6) AS stopword_ratio,
+                   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                         / length(text), 6) AS alpha_ratio
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_token_count_regex": """
+            SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_regex_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_lang_id": f"""
+            SELECT doc_id, {lang_case} AS lang_guess FROM (
+              SELECT doc_id, {lang_scores_sql} FROM documents) t
+            ORDER BY doc_id
+        """,
+        "embedding_cosine_topk": f"""
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+    }

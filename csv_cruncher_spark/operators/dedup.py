@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the point of each implementation):
+
+- **exact_dedup** — hash-groupBy on a content fingerprint. One shuffle on
+  the fingerprint; partial aggregation makes duplicate-heavy (skewed)
+  fingerprints cheap.
+- **MinHash+LSH** — shingle → 64 minhashes → b bands of r rows →
+  *band-bucket equi-join*. The candidate join shuffles on
+  (band_idx, band_hash), so cost is Σ|bucket|² over genuinely-similar
+  groups, never O(n²). All hashing is ``xxhash64`` + affine permutations
+  (JVM built-in, codegen'd); no Python.
+- **SimHash** — 64-bit signature from token-hash bit votes; near-dup
+  candidates = equal signature bands (same join strategy as LSH).
+- **n-gram Jaccard** — exact Jaccard via inverted-index join on shingle
+  hashes with a document-frequency stop-shingle cutoff: shingles occurring
+  in > max_df docs carry no discriminative signal and would create the
+  quadratic hot buckets, so they are dropped before the pair join (this is
+  the standard scalable all-pairs trick).
+
+Reference parity: csv-cruncher has no dedup operators; these are the
+training-data-pipeline surface required by the build brief (graft axes A+B)
+on top of the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed affine-permutation constants for minhash (deterministic, seedless).
+# 31-bit Mersenne prime: a*h + b stays < 2^62, no ANSI long overflow.
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_constants(n: int) -> list[tuple[int, int]]:
+    # deterministic LCG-derived (a, b) pairs; a odd so the map is a bijection
+    out = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(n):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state | 1) % _MERSENNE
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % _MERSENNE
+        out.append((a, b))
+    return out
+
+
+def shingles(text_col: str, k: int = 3) -> F.Column:
+    """Word k-gram shingle array (JVM lambda expressions only)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k})))"
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, fingerprint: F.Column) -> DataFrame:
+    """Group by content fingerprint; keep the min id as the canonical doc.
+    Returns (fp, keeper_id, n_copies)."""
+    return (
+        df.select(F.col(id_col), fingerprint.alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 64, shingle_k: int = 3
+) -> DataFrame:
+    """(id, signature array<long>) via explode → n_hashes min-aggregates.
+    Partial aggregation collapses each partition's shingles before the
+    shuffle, so wide documents don't skew."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    )
+    h = sh.withColumn("h", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)))
+    aggs = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_constants(n_hashes))
+    ]
+    sig = h.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh{i}") for i in range(n_hashes)]).alias("signature")
+    )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str, n_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH: equal band → candidate pair. Returns distinct (id_a, id_b),
+    id_a < id_b. The self-join shuffles on (band, band_hash) — bucket-local."""
+    rows = n_hashes // bands
+    banded = sig_df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup candidates with estimated Jaccard
+    (fraction of matching minhashes) attached."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    est = F.expr(
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"
+    )
+    return (
+        pairs.join(a, "id_a").join(b, "id_b").select("id_a", "id_b", est.alias("est_jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash: per token hash, vote +1/-1 per bit, sign of the sum.
+    Explode + groupBy keeps it shuffle-light via partial aggregation."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        )
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_candidates(df: DataFrame, id_col: str, text_col: str, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates: documents sharing any 16-bit simhash band
+    (Hamming-distance screening via the pigeonhole principle)."""
+    sig = simhash(df, id_col, text_col)
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig.select(
+        F.col(id_col).alias("id"),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs from an inverted-index
+    join. Stop-shingles (document frequency > max_df) are dropped before
+    the pair join — they would otherwise create quadratic hot buckets."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
+    l, r = filtered.alias("l"), filtered.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out

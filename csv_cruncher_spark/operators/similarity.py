@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- **cosine_similarity_col / brute-force top-k** — exact baseline: the dot
+  product is a JVM ``aggregate`` fold over ``zip_with`` (codegen'd, no
+  Python). For a single probe vector this is one scan + TakeOrdered —
+  embarrassingly parallel, the right plan at any scale.
+- **Random-hyperplane LSH ANN** — the scale path for many-probe / all-pairs
+  workloads: deterministic seeded hyperplanes → sign-bit bucket key →
+  candidates share a bucket → exact rerank within bucket. Bucket join
+  shuffles on the bucket key only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: str, b: str) -> F.Column:
+    """Sequential-fold dot product in double precision (deterministic
+    summation order — required for oracle parity)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),"
+        " cast(0.0 AS double), (acc, v) -> acc + v)"
+    )
+
+
+def norm_expr(a: str) -> F.Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_to_query(df: DataFrame, vec_col: str, query: list[float], out_col: str = "cosine") -> DataFrame:
+    """Cosine similarity of every row's vector to a constant query vector."""
+    qlit = "array(" + ", ".join(f"cast({v!r} AS double)" for v in query) + ")"
+    df2 = df.withColumn("_q", F.expr(qlit))
+    sim = dot_expr(vec_col, "_q") / (norm_expr(vec_col) * norm_expr("_q"))
+    return df2.withColumn(out_col, sim).drop("_q")
+
+
+def brute_force_topk(
+    df: DataFrame, id_col: str, vec_col: str, query: list[float], k: int = 20
+) -> DataFrame:
+    """Exact top-k by cosine: scan + TakeOrdered (Spark turns
+    orderBy+limit into a per-partition top-k + driver merge — no full sort)."""
+    scored = cosine_to_query(df, vec_col, query)
+    return (
+        scored.select(id_col, F.round("cosine", 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim))
+
+
+def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
+    """Sign-bit bucket key from fixed hyperplanes, as a JVM expression:
+    bit i = (v · plane_i) > 0. Planes are embedded as literals — no
+    Python at execution time."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane_lit = "array(" + ", ".join(f"cast({v!r} AS double)" for v in p) + ")"
+        d = F.expr(
+            f"aggregate(zip_with({vec_col}, {plane_lit}, (x, y) -> cast(x AS double) * y),"
+            " cast(0.0 AS double), (acc, v) -> acc + v)"
+        )
+        bits.append(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0))
+    out = F.lit(0).cast("long")
+    for b in bits:
+        out = out.bitwiseOR(b)
+    return out
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 20,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact rerank to vectors whose LSH
+    bucket matches the query's bucket (prunes ~2^-n_planes of the data per
+    probe; at scale the table would be written bucket-partitioned so the
+    scan prunes files too)."""
+    planes = _hyperplanes(len(query), n_planes, seed)
+    q = np.asarray(query)
+    q_bucket = 0
+    for i, p in enumerate(planes):
+        if float(np.dot(q, p)) > 0:
+            q_bucket |= 1 << i
+    bucketed = df.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
+    cand = bucketed.filter(F.col("_bucket") == F.lit(q_bucket))
+    return brute_force_topk(cand, id_col, vec_col, query, k)
+
+
+def pairwise_topk_within_buckets(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = 8,
+    min_cosine: float = 0.9,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket by LSH, exact cosine
+    inside each bucket only (the all-pairs cross join never materializes)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    l, r = b.alias("l"), b.alias("r")
+    pairs = l.join(
+        r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
+    )
+    sim = F.expr(
+        "aggregate(zip_with(l.v, r.v, (x, y) -> cast(x AS double) * cast(y AS double)),"
+        " cast(0.0 AS double), (acc, v) -> acc + v)"
+    ) / (
+        F.sqrt(
+            F.expr(
+                "aggregate(transform(l.v, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
+            )
+        )
+        * F.sqrt(
+            F.expr(
+                "aggregate(transform(r.v, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
+            )
+        )
+    )
+    return (
+        pairs.select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), sim.alias("cosine")
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All JVM-side built-in expressions (whole-stage codegen, no Python in the
+hot path) so they run at 100 TB without Arrow transfer. Each has an exact
+ANSI-SQL twin in __spark_entry__.oracle_sql for the DuckDB gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# fixed marker vocabularies for the n-gram/keyword language heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "und", "die", "nicht", "ist"),
+    "fr": ("le", "et", "les", "des", "est"),
+    "es": ("el", "los", "que", "es", "una"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+TOKEN_REGEX = "[a-z0-9]+"  # BPE-ish lowercase word/number pieces
+
+
+def tokens(text_col: str | Column) -> Column:
+    """Whitespace tokenization as an array column."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_count(text_col: str | Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def regex_token_count(text_col: str | Column, pattern: str = TOKEN_REGEX) -> Column:
+    """Token count under a regex tokenizer (JVM regexp, codegen'd)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(F.lower(c), F.lit(pattern))
+
+
+def stopword_ratio(text_col: str | Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    toks = tokens(text_col)
+    in_list = ", ".join(f"'{w}'" for w in stopwords)
+    col_sql = text_col if isinstance(text_col, str) else None
+    assert col_sql is not None, "stopword_ratio needs a column name for the lambda expr"
+    return F.expr(
+        f"size(filter(split({col_sql}, ' '), x -> x IN ({in_list}))) / size(split({col_sql}, ' '))"
+    )
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: token count, mean token length,
+    stopword ratio, alpha ratio. Rounds are applied by callers who need
+    hash-stable output."""
+    n_tok = token_count(text_col).alias("n_tokens")
+    # mean token length = (chars - separators) / tokens
+    mean_len = (
+        (F.length(text_col) - (token_count(text_col) - F.lit(1))) / token_count(text_col)
+    ).alias("mean_token_len")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", "")) / F.length(text_col)
+    ).alias("alpha_ratio")
+    return df.select(
+        "*",
+        n_tok,
+        mean_len,
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        alpha_ratio,
+    )
+
+
+def lang_scores(text_col: str) -> dict[str, Column]:
+    """Marker-word vote count per language (deterministic)."""
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        in_list = ", ".join(f"'{w}'" for w in markers)
+        out[lang] = F.expr(
+            f"size(filter(split(lower({text_col}), ' '), x -> x IN ({in_list})))"
+        )
+    return out
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_guess") -> DataFrame:
+    """Heuristic language ID: argmax of marker-word votes, ties broken by
+    fixed language order (en < de < fr < es), 'und' when no votes."""
+    scores = lang_scores(text_col)
+    langs = list(LANG_MARKERS)
+    df2 = df
+    for lang in langs:
+        df2 = df2.withColumn(f"_score_{lang}", scores[lang])
+    # strict-argmax, first-listed language wins ties (strict > comparison)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in langs:
+        cond = F.col(f"_score_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"_score_{lang}")).otherwise(best_score)
+    out = df2.withColumn(out_col, best)
+    return out.drop(*[f"_score_{lang}" for lang in langs])
+
+
+def normalized_fingerprint(text_col: str | Column) -> Column:
+    """Content fingerprint: md5 of (lowercase, punctuation-stripped,
+    whitespace-collapsed, trimmed) text. Identical formula is expressible
+    in DuckDB, so this is oracle-checkable byte-for-byte."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    return F.md5(norm)
