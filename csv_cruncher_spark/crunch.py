@@ -1,0 +1,488 @@
+"""The reference's user-facing pipeline, Spark-first: files as SQL tables →
+user SELECT → CSV/JSON export.
+
+Mirrors the crunch lifecycle (/root/reference/src/main/kotlin/cz/dynawest/
+csvcruncher/Cruncher.kt:96-307, SURVEY.md §3.1) with Spark equivalents:
+
+| reference step                                | here |
+|-----------------------------------------------|------|
+| walk/filter/sort inputs (FilesUtils.kt:190-286)| sources.discovery |
+| JSON→CSV tabularize (JsonFileFlattener.kt)     | sources.json_flatten (no temp CSV — direct DataFrame) |
+| schema-epoch split (FilesUtils.kt:288-327)     | discovery.split_schema_epochs |
+| CREATE TEXT TABLE + bind (HsqlDbTableCreator)  | createOrReplaceTempView |
+| VARCHAR→typed ALTER (SqlTypeReducer.kt)        | functions.infer.infer_and_cast (one-pass probe) |
+| identifier-quoting rewrite (HsqlDbHelper:218)  | unnecessary — Spark resolves case-insensitively |
+| $table substitution (Cruncher.kt:226-233)      | substitute_table() |
+| LIMIT-1 schema probe (HsqlDbHelper:88-144)     | df.schema (free, no execution) |
+| crunchCounter sequence (Cruncher.kt:342-372)   | row_number over result order (add_crunch_counter) |
+| INSERT INTO output (Cruncher.kt:265-268)       | df.write (single-file move for CSV parity) |
+| CSV→JSON export (JsonUtils.kt:21-51)           | lowercased labels + JSON-lines / array wrap |
+| init SQL script (HsqlDbHelper:207-216)         | run_init_sql |
+| error hints (HsqldbErrorHandling.kt:13-60)     | catalog-aware CruncherError |
+
+Scale notes: every per-row transformation is a Catalyst projection (no
+Python in the hot path); single-file CSV export is a parity affordance —
+pass ``single_file=False`` on an ExportSpec to keep a parallel multi-part
+write for big results.
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import re
+import shutil
+import tempfile
+import time
+from dataclasses import dataclass, field
+
+from pyspark.errors import AnalysisException, ParseException
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .functions.infer import infer_and_cast
+from .sources import discovery
+from .sources.format import DataFormat, detect_format, parse_csv_header
+from .sources.json_flatten import flatten_columns, read_json_flat
+
+
+class CruncherError(Exception):
+    """Known engine error (reference exit code 20, App.kt:36-59)."""
+
+
+class ConfigError(CruncherError):
+    """Options/config error (reference exit code 1)."""
+
+
+class SqlSyntaxError(CruncherError):
+    """SQL syntax error (reference exit code 11)."""
+
+
+# Cruncher.kt:377-379
+TABLE_PLACEHOLDER = "$table"
+DEFAULT_SQL = "SELECT $table.* FROM $table"
+COUNTER_COLUMN = "crunchCounter"
+TIMESTAMP_SUBTRACT = 1_733_000_000_000  # Cruncher.kt:377
+
+
+def normalize_table_name(name: str) -> str:
+    """[^a-zA-Z0-9_] → _ (HsqlDbHelper.kt:229-231, applied Cruncher.kt:168)."""
+    return re.sub(r"[^a-zA-Z0-9_]", "_", name)
+
+
+def substitute_table(sql: str, table: str) -> str:
+    return sql.replace(TABLE_PLACEHOLDER, f"`{table}`")
+
+
+@dataclass
+class ImportSpec:
+    path: str
+    alias: str | None = None           # -as (Options.kt importArguments)
+    format: str | None = None          # None = sniff (A1)
+    items_at: str = "/"                # -itemsAt for JSON (A19)
+    ignore_first_lines: int = 1        # incl. header (README.md:182-189)
+    ignore_line_regex: str | None = None
+    quote: str = "'"                   # HSQLDB input binding qc=' (HsqlDbTableCreator.kt:167)
+    infer_types: bool = True           # A10; False = all-string like phase 1
+    indexed: list[str] = field(default_factory=list)  # A11 — becomes a repartition hint
+    array_mode: str = "json"           # 'stub' for JsonFileFlattener.kt:116 parity
+
+
+@dataclass
+class ExportSpec:
+    path: str                          # '-' = stdout (Options.kt:54-61)
+    format: str = "csv"                # csv | json
+    json_mode: str = "entries"         # entries | array (OptionsEnums.kt:64-74)
+    single_file: bool = True           # parity: one output file like the reference
+
+
+@dataclass
+class Options:
+    imports: list[ImportSpec]
+    exports: list[ExportSpec]
+    sql: str | None = None
+    combine: discovery.CombineMode = discovery.CombineMode.NONE
+    query_per_input_subpart: bool = False     # Options.kt:124-132
+    row_numbers: int | bool | None = None     # True → timestamp-seeded initial
+    include: str | None = None
+    exclude: str | None = None
+    sort: discovery.SortMethod = discovery.SortMethod.ALPHA
+    init_sql: list[str] = field(default_factory=list)
+    overwrite: bool = False
+
+    def validate(self) -> None:
+        """validateAndApplyDefaults parity (Options.kt:161-199)."""
+        if not self.imports:
+            raise ConfigError("No input files specified")
+        if not self.exports:
+            raise ConfigError("No output specified")
+        if self.sql is None:
+            self.sql = DEFAULT_SQL
+        if self.query_per_input_subpart and TABLE_PLACEHOLDER not in self.sql:
+            raise ConfigError(
+                "queryPerInputSubpart requires a generic SQL with the "
+                f"{TABLE_PLACEHOLDER} placeholder (Options.kt:179-186)"
+            )
+
+
+@dataclass
+class InputTable:
+    name: str
+    df: DataFrame
+    files: list[str]
+
+
+class Cruncher:
+    """Programmatic entry point (reference: Cruncher(Options).crunch(),
+    SURVEY.md §3.2)."""
+
+    def __init__(self, options: Options):
+        self.options = options
+
+    # ------------------------------------------------------------ inputs --
+
+    def _read_csv_group(self, spark: SparkSession, spec: ImportSpec, files: list[str]) -> DataFrame:
+        header = parse_csv_header(files[0])
+        needs_line_filter = (
+            spec.ignore_line_regex is not None or spec.ignore_first_lines > 1
+        )
+        base_opts = {
+            "quote": spec.quote,
+            "escape": spec.quote,  # HSQLDB doubles the quote char
+            "mode": "PERMISSIVE",
+            "comment": "#",
+            # HSQLDB TEXT-table semantics trim unquoted cell whitespace —
+            # required for ", 355" to type-infer as INTEGER (fixture B3)
+            "ignoreLeadingWhiteSpace": True,
+            "ignoreTrailingWhiteSpace": True,
+        }
+        if not needs_line_filter:
+            raw_header = header and not _first_line(files[0]).startswith("#")
+            if raw_header:
+                df = (
+                    spark.read.options(**base_opts)
+                    .option("header", True)
+                    .csv(files)  # multi-path scan IS the concat (A6)
+                )
+                df = df.toDF(*header)
+            else:
+                df = (
+                    spark.read.options(**base_opts)
+                    .option("header", False)
+                    .csv(files)
+                    .toDF(*header)
+                )
+        else:
+            # distributed line-level path: text scan → per-file line skip →
+            # regex drop (A6's ignoreLineRegex) → from_csv parse
+            parts = []
+            schema_ddl = ", ".join(f"`{c}` string" for c in header)
+            for f in files:
+                lines = spark.read.text(f).rdd.zipWithIndex()
+                kept = lines.filter(
+                    lambda t, n=spec.ignore_first_lines: t[1] >= n
+                ).map(lambda t: (t[0]["value"],))
+                ldf = spark.createDataFrame(kept, "line: string")
+                if spec.ignore_line_regex:
+                    ldf = ldf.filter(~F.col("line").rlike(spec.ignore_line_regex))
+                parsed = ldf.select(
+                    F.from_csv(
+                        "line",
+                        schema_ddl,
+                        {
+                            "quote": spec.quote,
+                            "escape": spec.quote,
+                            "ignoreLeadingWhiteSpace": "true",
+                            "ignoreTrailingWhiteSpace": "true",
+                        },
+                    ).alias("r")
+                ).select("r.*")
+                parts.append(parsed)
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if spec.infer_types:
+            df = infer_and_cast(df)
+        return df
+
+    def _load_tables(self, spark: SparkSession) -> list[InputTable]:
+        opts = self.options
+        tables: list[InputTable] = []
+        seen: set[str] = set()
+        for spec in opts.imports:
+            expanded = discovery.walk_inputs([spec.path], extensions=(".csv", ".json"))
+            files = [f for fl in expanded.values() for f in fl]
+            files = discovery.filter_paths(files, opts.include, opts.exclude)
+            files = discovery.sort_paths(files, opts.sort)
+            if not files:
+                raise ConfigError(f"No input files under {spec.path}")
+            fmt = (
+                DataFormat(spec.format)
+                if spec.format
+                else detect_format(files[0], spec.ignore_first_lines - 1)[0]
+            )
+            base = spec.alias or os.path.splitext(os.path.basename(spec.path))[0]
+            base = normalize_table_name(base)
+
+            if fmt == DataFormat.JSON:
+                df = read_json_flat(
+                    spark, files, items_at=spec.items_at, array_mode=spec.array_mode
+                )
+                groups = [(base, files, df)]
+            else:
+                grouped = discovery.group_inputs(
+                    {spec.path: files},
+                    opts.combine if opts.combine != discovery.CombineMode.NONE
+                    else discovery.CombineMode.PER_INPUT_DIR,
+                )
+                groups = []
+                for _gkey, gfiles in sorted(grouped.items()):
+                    epochs = discovery.split_schema_epochs(
+                        base, gfiles, parse_csv_header
+                    )
+                    for ep in epochs:
+                        groups.append(
+                            (ep.name, ep.files, self._read_csv_group(spark, spec, ep.files))
+                        )
+
+            for name, gfiles, df in groups:
+                name = normalize_table_name(name)
+                if name in seen:  # Cruncher.kt:170-171
+                    raise ConfigError(f"Table name collision: {name}")
+                seen.add(name)
+                if spec.indexed:
+                    # A11: no indexes in Spark — co-locate on the declared
+                    # key so downstream joins/aggs on it avoid a shuffle
+                    df = df.repartition(*[F.col(c) for c in spec.indexed if c in df.columns])
+                df.createOrReplaceTempView(name)
+                tables.append(InputTable(name=name, df=df, files=gfiles))
+        return tables
+
+    # ------------------------------------------------------------- query --
+
+    def _run_sql(self, spark: SparkSession, sql: str) -> DataFrame:
+        try:
+            return spark.sql(sql)
+        except ParseException as e:
+            raise SqlSyntaxError(f"SQL syntax error: {e}") from e
+        except AnalysisException as e:
+            hints = []
+            for t in spark.catalog.listTables():
+                cols = [c.name for c in spark.catalog.listColumns(t.name)]
+                hints.append(f"  {t.name}({', '.join(cols)})")
+            raise CruncherError(
+                f"{e}\nAvailable tables (HsqldbErrorHandling.kt:13-60 parity):\n"
+                + "\n".join(hints)
+            ) from e
+
+    def _with_counter(self, df: DataFrame) -> DataFrame:
+        rn = self.options.row_numbers
+        if rn is None:
+            return df
+        initial = (
+            rn
+            if isinstance(rn, int) and not isinstance(rn, bool)
+            else int(time.time() * 1000) - TIMESTAMP_SUBTRACT  # Cruncher.kt:335-337
+        )
+        return add_crunch_counter(df, initial)
+
+    # ------------------------------------------------------------ export --
+
+    def _export(self, df: DataFrame, spec: ExportSpec, suffix: str = "") -> str:
+        path = spec.path
+        if suffix and path != "-":
+            root, ext = os.path.splitext(path)
+            path = f"{root}_{suffix}{ext}"
+        if path == "-":
+            buf = io.StringIO()
+            _write_csv_to_buffer(df, buf)
+            import sys
+
+            sys.stdout.write(buf.getvalue())
+            return "-"
+        _backup_existing(path, self.options.overwrite)
+        if spec.format == "json":
+            write_json_export(df, path, spec.json_mode)
+        else:
+            write_single_csv(df, path) if spec.single_file else df.write.option(
+                "header", True
+            ).csv(path)
+        return path
+
+    # --------------------------------------------------------------- run --
+
+    def run(self, spark: SparkSession) -> list[str]:
+        opts = self.options
+        opts.validate()
+        for script in opts.init_sql:
+            run_init_sql(spark, script)
+
+        # convert-only shortcut (Cruncher.kt:134-143): 1 JSON import,
+        # 1 CSV export, no SQL → tabularize and write, skip the query
+        if (
+            opts.sql == DEFAULT_SQL
+            and len(opts.imports) == 1
+            and len(opts.exports) == 1
+            and (opts.imports[0].format == "json" or opts.imports[0].path.endswith(".json"))
+            and opts.exports[0].format == "csv"
+        ):
+            spec = opts.imports[0]
+            df = read_json_flat(
+                spark, spec.path, items_at=spec.items_at, array_mode=spec.array_mode
+            )
+            return [self._export(df, opts.exports[0])]
+
+        tables = self._load_tables(spark)
+        outputs: list[str] = []
+        try:
+            if opts.query_per_input_subpart:
+                # one output per schema epoch (Cruncher.kt:207-216)
+                for i, t in enumerate(tables, start=1):
+                    df = self._with_counter(
+                        self._run_sql(spark, substitute_table(opts.sql, t.name))
+                    )
+                    for espec in opts.exports:
+                        outputs.append(self._export(df, espec, suffix=str(i)))
+            else:
+                sql = opts.sql
+                if TABLE_PLACEHOLDER in sql:
+                    if len(tables) != 1:
+                        raise ConfigError(
+                            f"{TABLE_PLACEHOLDER} used with {len(tables)} input tables; "
+                            "use queryPerInputSubpart for per-epoch runs"
+                        )
+                    sql = substitute_table(sql, tables[0].name)
+                df = self._with_counter(self._run_sql(spark, sql))
+                for espec in opts.exports:
+                    outputs.append(self._export(df, espec))
+        finally:
+            for t in tables:  # A22 cleanup
+                spark.catalog.dropTempView(t.name)
+        return outputs
+
+
+# ------------------------------------------------------------------ util --
+
+
+def add_crunch_counter(df: DataFrame, initial: int) -> DataFrame:
+    """Dense, successive, result-ordered id column prepended as
+    ``crunchCounter`` (Cruncher.kt:342-372; monotonic-across-batches
+    invariant asserted by CsvCruncherTestUtils.kt:51-75).
+
+    monotonically_increasing_id encodes (partition_id, offset) so ordering
+    by it reproduces the plan's output order even after a global sort
+    (range-partitioned output). The row_number window is a single-partition
+    pass — the documented scalability tradeoff of a *globally dense*
+    counter (SURVEY.md §7.5 trap 3); leave row_numbers off for 100 TB runs
+    or accept the final single-stage pass over the (already small) result.
+    """
+    w = Window.orderBy("__mono")
+    return (
+        df.withColumn("__mono", F.monotonically_increasing_id())
+        .withColumn(COUNTER_COLUMN, (F.row_number().over(w) + F.lit(initial - 1)).cast("long"))
+        .drop("__mono")
+        .select(COUNTER_COLUMN, *df.columns)
+    )
+
+
+def run_init_sql(spark: SparkSession, script_path: str) -> None:
+    """Execute an init-SQL script statement-by-statement
+    (HsqlDbHelper.kt:207-216; test data src/test/data/init.sql)."""
+    with open(script_path, encoding="utf-8") as f:
+        content = f.read()
+    for stmt in content.split(";"):
+        stmt = stmt.strip()
+        if stmt and not stmt.startswith("--"):
+            spark.sql(stmt)
+
+
+def _first_line(path: str) -> str:
+    with open(path, encoding="utf-8", errors="replace") as f:
+        return f.readline()
+
+
+def _backup_existing(path: str, overwrite: bool) -> None:
+    """Backup-rename an existing output unless overwrite
+    (HsqlDbTableCreator.kt:181-183 discipline)."""
+    if not os.path.exists(path):
+        return
+    if overwrite:
+        os.remove(path)
+        return
+    n = 1
+    while os.path.exists(f"{path}.backup.{n}"):
+        n += 1
+    shutil.move(path, f"{path}.backup.{n}")
+
+
+def _move_single_part(tmpdir: str, dest: str, ext: str) -> None:
+    parts = sorted(glob.glob(os.path.join(tmpdir, f"part-*{ext}")))
+    if not parts:  # empty result still produces a file
+        open(dest, "w").close()
+        return
+    shutil.move(parts[0], dest)
+
+
+def write_single_csv(df: DataFrame, dest: str) -> None:
+    """Single CSV file with header, order-preserving (coalesce(1) keeps
+    partition order, so a sorted df stays sorted). Parity affordance —
+    the reference's output IS one CSV file (A9/A16)."""
+    tmpdir = tempfile.mkdtemp(prefix="crunch_csv_")
+    try:
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("header", True)
+            .option("emptyValue", "")
+            .csv(tmpdir)
+        )
+        _move_single_part(tmpdir, dest, ".csv")
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def write_json_export(df: DataFrame, dest: str, mode: str = "entries") -> None:
+    """CSV→JSON export parity (JsonUtils.kt:21-51): column labels
+    lowercased (:61), entries = one object per line, array = wrapped in
+    [...]; timestamps serialize with the 'T' separator (:77) which is
+    Spark's native JSON timestamp format."""
+    lowered = df.toDF(*[c.lower() for c in df.columns])
+    tmpdir = tempfile.mkdtemp(prefix="crunch_json_")
+    try:
+        lowered.coalesce(1).write.mode("overwrite").json(tmpdir)
+        tmp_entries = os.path.join(tmpdir, "entries.json")
+        _move_single_part(tmpdir, tmp_entries, ".json")
+        if mode == "entries":
+            shutil.move(tmp_entries, dest)
+        else:  # array (OptionsEnums.kt:64-74)
+            with open(tmp_entries, encoding="utf-8") as src, open(
+                dest, "w", encoding="utf-8"
+            ) as out:
+                out.write("[")
+                first = True
+                for line in src:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    if not first:
+                        out.write(",\n")
+                    else:
+                        out.write("\n")
+                    out.write(line)
+                    first = False
+                out.write("\n]" if not first else "]")
+    finally:
+        shutil.rmtree(tmpdir, ignore_errors=True)
+
+
+def _write_csv_to_buffer(df: DataFrame, buf: io.StringIO) -> None:
+    """STDOUT sink (A18): stream via toLocalIterator — constant driver
+    memory, used only for '-' exports."""
+    import csv as _csv
+
+    writer = _csv.writer(buf)
+    writer.writerow(df.columns)
+    for row in df.toLocalIterator():
+        writer.writerow(["" if v is None else v for v in row])

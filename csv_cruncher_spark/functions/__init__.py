@@ -1,0 +1,12 @@
+from .json_funcs import json_leaf, json_leaves, json_subtree, slash_path_to_jsonpath
+from .infer import CandidateType, infer_and_cast, infer_column_types
+
+__all__ = [
+    "json_subtree",
+    "json_leaf",
+    "json_leaves",
+    "slash_path_to_jsonpath",
+    "CandidateType",
+    "infer_column_types",
+    "infer_and_cast",
+]
