@@ -25,7 +25,9 @@ from pyspark.sql.window import Window
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from csv_cruncher_spark.operators import dedup, similarity, textstats  # noqa: E402
+from csv_cruncher_spark.functions import json_subtree  # noqa: E402
+from csv_cruncher_spark.lake import salt  # noqa: E402
+from csv_cruncher_spark.operators import dedup, multimodal, similarity, textstats  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -258,6 +260,57 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def json_subtree_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonSubtree parity (reference util/SqlFunctions.kt:31-43): subtree
+    re-serialized as JSON text — variant-based, no Python UDF."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return ev.select(
+        "event_id", json_subtree("props", "k").alias("k_json")
+    ).orderBy("event_id")
+
+
+def salted_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted join (lake/salt.py): bit-identical to the plain
+    join, hot keys spread over salt buckets (SURVEY.md §2.D)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = salt.salted_join(orders, cust, "o_custkey", salt_buckets=4)
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs via inverted-index join with
+    stop-shingle pruning (non-SQL-expressible → rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.4)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_a", "id_b")
+
+
+def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over binary media columns: decode metadata via
+    mapInPandas + deterministic feature vectors via Arrow-batched pandas
+    UDF (rows-only check; decode stubbed per operators/multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("media")
+    )
+    decoded = multimodal.decode_metadata(media, "media")
+    feats = multimodal.media_features(decoded, "media", dim=8)
+    return feats.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    ).orderBy("doc_id")
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (approximate → rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -294,6 +347,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": minhash_near_dups,
         "simhash_signatures": simhash_signatures,
         "ann_lsh_topk": ann_lsh_topk,
+        "json_subtree_props": json_subtree_props,
+        "salted_revenue_by_nation": salted_revenue_by_nation,
+        "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
+        "media_decode_features": media_decode_features,
     }
 
 
@@ -438,6 +495,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {lang_case} AS lang_guess FROM (
               SELECT doc_id, {lang_scores_sql} FROM documents) t
             ORDER BY doc_id
+        """,
+        "json_subtree_props": """
+            SELECT event_id, json_extract(props, '$.k')::VARCHAR AS k_json
+            FROM events WHERE event_id < 500 ORDER BY event_id
+        """,
+        "salted_revenue_by_nation": """
+            SELECT c_nationkey,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "embedding_cosine_topk": f"""
             SELECT vec_id,

@@ -1,0 +1,141 @@
+"""Skew-handling (lake/salt.py) and multimodal plumbing
+(operators/multimodal.py) tests.
+
+Salting invariant: salted results are bit-identical to the unsalted plan —
+salting is a physical rewrite only (SURVEY.md §2.D hot-key handling; the
+generator's zipf domain skew is FIXTURES.md §A1's 'hot domains' rule).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.lake import salt
+from csv_cruncher_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # zipf-ish: key 'hot' gets ~70% of rows, deterministic
+    return spark.range(2000).select(
+        F.when(F.col("id") % 10 < 7, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 10).cast("string")))
+        .alias("domain"),
+        (F.col("id") % 97).alias("v"),
+    )
+
+
+def test_key_histogram_and_bucket_pick(skewed):
+    hist = salt.key_histogram(skewed, "domain", top_k=3)
+    assert hist[0][0] == "hot" and hist[0][1] == 1400
+    assert salt.pick_salt_buckets(skewed, "domain", target_rows_per_task=500) == 3
+    assert salt.pick_salt_buckets(skewed, "domain", target_rows_per_task=10**7) == 1
+
+
+def test_salted_join_matches_plain_join(spark, skewed):
+    dims = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k5", "B")], ["domain", "label"]
+    )
+    plain = skewed.join(dims, "domain").groupBy("domain", "label").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    salted = salt.salted_join(skewed, dims, "domain", salt_buckets=4)
+    got = salted.groupBy("domain", "label").agg(
+        F.sum("v").alias("s"), F.count("*").alias("n")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    # salt column must not leak
+    assert salt.SALT_COL not in salted.columns
+
+
+def test_salted_join_left_outer(spark, skewed):
+    dims = spark.createDataFrame([("k1", "A")], ["domain", "label"])
+    plain = skewed.join(dims, "domain", "left").where(F.col("label").isNull()).count()
+    got = (
+        salt.salted_join(skewed, dims, "domain", how="left", salt_buckets=4)
+        .where(F.col("label").isNull())
+        .count()
+    )
+    assert got == plain
+
+
+def test_salt_is_deterministic(skewed):
+    a = salt.with_salt(skewed, 8).groupBy(salt.SALT_COL).count().collect()
+    b = salt.with_salt(skewed, 8).groupBy(salt.SALT_COL).count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_two_stage_agg(skewed):
+    got = salt.salted_two_stage_agg(
+        skewed, ["domain"], {"v": "sum"}, salt_buckets=4
+    )
+    plain = skewed.groupBy("domain").agg(F.sum("v").alias("sum_v"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, multimodal.encode_fake_media(b"x" * 256, 64, 32)),
+        (2, multimodal.encode_fake_media(b"y" * 512, 128, 64)),
+        (3, None),
+        (4, b"not-a-known-format-blob"),
+    ]
+    return spark.createDataFrame(rows, "media_id: int, media: binary")
+
+
+def test_decode_metadata_fake_format(media):
+    got = {r["media_id"]: r["meta"] for r in multimodal.decode_metadata(media).collect()}
+    assert got[1]["format"] == "ccsm" and got[1]["width"] == 64 and got[1]["height"] == 32
+    assert got[2]["n_bytes"] == 512 + 12
+    assert got[3] is None or got[3]["format"] is None
+    assert got[4]["format"] == "unknown"
+
+
+def test_decode_real_format_raises(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n\x1a\nrest")], "media_id: int, media: binary"
+    )
+    with pytest.raises(Exception, match="codec library"):
+        multimodal.decode_metadata(df).collect()
+
+
+def test_media_features_deterministic_and_partition_invariant(media):
+    f1 = {
+        r["media_id"]: r["features"]
+        for r in multimodal.media_features(media, dim=8).collect()
+    }
+    f2 = {
+        r["media_id"]: r["features"]
+        for r in multimodal.media_features(media.repartition(7), dim=8).collect()
+    }
+    assert f1 == f2
+    assert len(f1[1]) == 8 and all(0.0 <= x <= 1.0 for x in f1[1])
+    assert f1[3] is None
+
+
+def test_frame_sample_cardinality(media):
+    frames = multimodal.frame_sample(
+        media, frame_bytes=64, every_n=2
+    ).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # id=1: 256 bytes payload → 4 frames → sampled 0,2 → 2 frames
+    assert len(by_id[1]) == 2
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == [0, 2]
+    # id=2: 512 → 8 frames → 4 sampled
+    assert len(by_id[2]) == 4
+    assert all(len(r["frame"]) == 64 for r in frames)
+
+
+def test_resize_stub_rewrites_header(media):
+    out = multimodal.resize_stub(
+        media.where(F.col("media_id") == 1), width=16, height=8
+    ).collect()[0]["media"]
+    meta = multimodal._decode_one(bytes(out))
+    assert meta[1] == 16 and meta[2] == 8
