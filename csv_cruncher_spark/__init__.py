@@ -18,7 +18,10 @@ Reimagines the capabilities of OndraZizka/csv-cruncher (reference surveyed in
                   epoch-fenced commits; keyed LWW MERGE.
 - ``cdc``       — change-batch replay pipeline: discovery → schema evolution →
                   LWW upsert → exactly-once commit → checkpoint/resume.
-- ``pipeline``  — csv-cruncher-equivalent "files in, SQL, file out" API.
+- ``crunch``    — csv-cruncher-equivalent "files in, SQL, file out" API
+                  (Options/Cruncher; $table substitution, crunchCounter,
+                  CSV/JSON exports, init SQL); ``cli`` wraps it with the
+                  reference's option style and exit codes.
 
 Everything is built on the public PySpark DataFrame/SQL API; no per-row
 Python UDFs in any hot path (Arrow-batched pandas UDFs only).

@@ -47,16 +47,33 @@ def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
     op, url, warc_ts(timestamp), html(binary), lang/…extras, row_idx.
 
     CSV batches carry html as base64 (FIXTURES.md §A2); JSON batches carry
-    it as a base64 string field too. ``row_idx`` is the in-file order —
-    the LWW tiebreak — derived from a single-file ordered scan: we zip the
-    natural file order via a monotonic id over a NON-reshuffled single-file
-    read (valid because one file = one ordered split sequence)."""
+    it as a base64 string field too.
+
+    ``row_idx`` is the in-file order — the LWW tiebreak — and must stay
+    correct under a SPLIT-PARALLEL scan (a 1 GiB binlog segment must not
+    parse on one task). ``monotonically_increasing_id`` alone is wrong for
+    that: Spark orders splits by size for bin-packing, so partition index
+    does not follow file offset. Instead the order key is
+    ``file_block_start * 2^20 + partition-local counter``: block start is
+    the split's byte offset in the file (``_metadata`` column, constant
+    per split), the local counter (low 33 bits of the monotonic id) is the
+    in-split line number. Monotone in file order for any split order, any
+    parallelism. The 2^20 factor is safe while a split holds < 1M lines —
+    guaranteed by maxPartitionBytes ≤ 128 MiB and base64-html lines > 128 B.
+    """
     if path.endswith(".json"):
+        # JSON-lines batches are split-parallel the same way
         raw = spark.read.json(path)
     else:
         raw = spark.read.option("header", True).option("mode", "FAILFAST").csv(path)
     cols = raw.columns
-    df = raw.withColumn("row_idx", F.monotonically_increasing_id())
+    local_counter = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    df = raw.select(
+        *cols,
+        (
+            F.col("_metadata.file_block_start") * F.lit(1 << 20) + local_counter
+        ).alias("row_idx"),
+    )
     df = df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
     df = df.withColumn("html", F.unbase64(F.col("html")))
     for c in cols:
@@ -86,10 +103,16 @@ class CdcPipeline:
         table_path: str,
         checkpoint_path: str | None = None,
         n_buckets: int = 16,
+        broadcast_winner_limit: int | None = None,
     ):
+        from ..lake.merge import BROADCAST_WINNER_LIMIT
+
         self.table_path = table_path
         self.checkpoint_path = checkpoint_path or os.path.join(table_path, "checkpoint.json")
         self.n_buckets = n_buckets
+        self.broadcast_winner_limit = (
+            BROADCAST_WINNER_LIMIT if broadcast_winner_limit is None else broadcast_winner_limit
+        )
         # test hooks (SURVEY.md §7.5 trap 1)
         self.fail_after_data_write_on: set[str] = set()
         self.fail_before_checkpoint_on: set[str] = set()
@@ -191,6 +214,7 @@ class CdcPipeline:
             batch_id=batch_id,
             staged_snapshot=snap,
             fail_after_data_write=batch_id in self.fail_after_data_write_on,
+            broadcast_winner_limit=self.broadcast_winner_limit,
         )
         if batch_id in self.fail_before_checkpoint_on:
             raise RuntimeError("injected crash between commit and checkpoint write")

@@ -1,5 +1,6 @@
 from .json_funcs import json_leaf, json_leaves, json_subtree, slash_path_to_jsonpath
 from .infer import CandidateType, infer_and_cast, infer_column_types
+from .scalars import starts_with
 
 __all__ = [
     "json_subtree",
@@ -9,4 +10,5 @@ __all__ = [
     "CandidateType",
     "infer_column_types",
     "infer_and_cast",
+    "starts_with",
 ]

@@ -16,10 +16,21 @@ Semantics (must match ``cdc.fixtures.reference_fold`` exactly):
    the reference's monotone-counter discipline, Cruncher.kt:342-372).
    ``D`` removes the row, ``I``/``U`` upsert it.
 3. **Bucket-scoped copy-on-write**: only buckets containing winner keys are
-   read + rewritten; the merge join is an equi-join on url between the old
-   rows of those buckets and the (already tiny after dedup) winner set —
-   AQE picks broadcast when winners fit, and skew-join splits oversized
-   partitions otherwise.
+   read + rewritten.
+4. **Two physical merge strategies**, picked per batch by winner count:
+
+   - *broadcast merge* (default for normal batches): the deduped winner
+     set is broadcast, so the TABLE SIDE NEVER SHUFFLES — surviving old
+     rows come from a broadcast left join (rows stay where the scan put
+     them), and the applies/stale decision comes from a column-pruned
+     (url, warc_ts) scan joined against the broadcast winners. At 10^10
+     table rows this removes the full-row table shuffle that would
+     otherwise dominate every batch (html+text bytes crossing the wire);
+     the extra cost is a second scan of the affected buckets that reads
+     exactly two small columns.
+   - *shuffle merge* (fallback): full-outer join on url for pathological
+     batches whose winner set is too large to broadcast; AQE skew-join
+     handles oversized partitions.
 
 HTML→text extraction runs only on rows that actually get applied (so a
 batch that's 90% stale costs 10% of the extraction work).
@@ -53,6 +64,102 @@ def lww_winners(batch_df: DataFrame, key_col: str = "url") -> DataFrame:
     return agg.select(key_col, *[F.col(f"_w.{c}").alias(c) for c in event_cols])
 
 
+# above this many winner rows the broadcast merge would over-stress driver/
+# executor memory (winners carry html bytes); fall back to the shuffle plan
+BROADCAST_WINNER_LIMIT = 2_000_000
+
+
+def _winner_upsert_rows(winners_applied: DataFrame, key: str, cur_fields: list[dict]) -> DataFrame:
+    """Project applied I/U winner events onto the current table schema:
+    batch-borne columns pass through, table columns the batch doesn't carry
+    become typed nulls, text is re-extracted from html."""
+    from .table import spark_type
+
+    data_cols = [f["name"] for f in cur_fields]
+    type_by_name = {f["name"]: f["type"] for f in cur_fields}
+    have = set(winners_applied.columns)
+    sel = [F.col(key)]
+    for c in data_cols:
+        if c == key or c == "text":
+            continue
+        if c in have and c not in ("op", "row_idx"):
+            sel.append(F.col(c))
+        else:
+            sel.append(F.lit(None).cast(spark_type(type_by_name[c])).alias(c))
+    out = winners_applied.select(*sel, "bucket")
+    # extraction only on applied rows (Arrow-batched pandas UDF)
+    out = out.withColumn("text", extract_text_udf(F.col("html")))
+    return out.select(*data_cols, "bucket")
+
+
+def _merge_broadcast(
+    old: DataFrame, winners: DataFrame, key: str, cur_fields: list[dict]
+) -> DataFrame:
+    """Zero-table-shuffle merge: winners (and per-url applies flags) are
+    broadcast; the table side is scanned twice — once column-pruned for the
+    staleness decision, once full-width for survivors — and never shuffled.
+    """
+    data_cols = [f["name"] for f in cur_fields]
+    wmeta = winners.select(
+        F.col(key), F.col("warc_ts").alias("__w_ts"), F.col("op").alias("__w_op")
+    )
+    # scan 1 (pruned to key+warc_ts by Catalyst): does each winner apply?
+    flags = (
+        old.select(key, "warc_ts")
+        .join(F.broadcast(wmeta), key, "inner")
+        .select(
+            key,
+            (
+                F.col("warc_ts").isNull() | (F.col("__w_ts") >= F.col("warc_ts"))
+            ).alias("__applies"),
+        )
+    )
+    # ≤ one row per winner — broadcastable by construction
+    # scan 2: survivors = old rows whose winner is absent or stale
+    keep = (
+        old.join(F.broadcast(wmeta.select(key, "__w_ts")), key, "left")
+        .join(F.broadcast(flags), key, "left")
+        .filter(
+            F.col("__w_ts").isNull()  # no winner for this url
+            | ~F.coalesce(F.col("__applies"), F.lit(True))  # winner stale
+        )
+        .select(*data_cols, "bucket")
+    )
+    applied = (
+        winners.join(F.broadcast(flags), key, "left")
+        .filter(F.coalesce(F.col("__applies"), F.lit(True)))  # new url → applies
+        .filter(F.col("op") != F.lit("D"))
+    )
+    return keep.unionByName(_winner_upsert_rows(applied, key, cur_fields))
+
+
+def _merge_shuffle(
+    old: DataFrame, winners: DataFrame, key: str, cur_fields: list[dict]
+) -> DataFrame:
+    """Fallback for winner sets too large to broadcast: full-outer join on
+    the key (both sides shuffle; AQE skew-join splits oversized partitions).
+    """
+    data_cols = [f["name"] for f in cur_fields]
+    o = old.alias("o")
+    w = winners.alias("w")
+    joined = o.join(w, on=[F.col(f"o.{key}") == F.col(f"w.{key}")], how="full_outer")
+
+    has_winner = F.col(f"w.{key}").isNotNull()
+    has_old = F.col(f"o.{key}").isNotNull()
+    # stale: an existing row with strictly newer warc_ts beats the event
+    winner_applies = has_winner & (
+        ~has_old | F.col("o.warc_ts").isNull() | (F.col("w.warc_ts") >= F.col("o.warc_ts"))
+    )
+    keep_old = has_old & (~winner_applies)
+    old_rows = joined.filter(keep_old).select(
+        *[F.col(f"o.{c}").alias(c) for c in data_cols], F.col("o.bucket").alias("bucket")
+    )
+    applied = joined.filter(winner_applies & (F.col("w.op") != F.lit("D"))).select(
+        *[F.col(f"w.{c}").alias(c) for c in winners.columns]
+    )
+    return old_rows.unionByName(_winner_upsert_rows(applied, key, cur_fields))
+
+
 def apply_batch(
     spark: SparkSession,
     table: LakeTable,
@@ -61,6 +168,7 @@ def apply_batch(
     batch_id: str,
     staged_snapshot: dict | None = None,
     fail_after_data_write: bool = False,
+    broadcast_winner_limit: int = BROADCAST_WINNER_LIMIT,
 ) -> dict:
     """Merge one change batch into the table and commit a snapshot.
 
@@ -79,67 +187,32 @@ def apply_batch(
     n_buckets = snap["n_buckets"]
     schema_version = snap["schema_version"]
     cur_fields = snap["schemas"][str(schema_version)]
-    data_cols = [f["name"] for f in cur_fields]
 
     winners = lww_winners(batch_df, key).withColumn("bucket", bucket_expr(key, n_buckets))
     winners = winners.persist()
     try:
-        affected = sorted(
-            r["bucket"] for r in winners.select("bucket").distinct().collect()
-        )
+        bucket_counts = winners.groupBy("bucket").count().collect()
+        affected = sorted(r["bucket"] for r in bucket_counts)
+        n_winners = sum(r["count"] for r in bucket_counts)
         if not affected:
             return table.commit([], [], epoch_id, batch_id, staged_snapshot=snap)
 
         old = table.read(spark, snap=snap, buckets=affected).withColumn(
             "bucket", bucket_expr(key, n_buckets)
         )
+        merge = _merge_broadcast if n_winners <= broadcast_winner_limit else _merge_shuffle
+        result = merge(old, winners, key, cur_fields)
 
-        w_cols = [c for c in winners.columns if c not in (key, "bucket")]
-        o = old.alias("o")
-        w = winners.alias("w")
-        joined = o.join(w, on=[F.col(f"o.{key}") == F.col(f"w.{key}")], how="full_outer")
-
-        has_winner = F.col(f"w.{key}").isNotNull()
-        has_old = F.col(f"o.{key}").isNotNull()
-        # stale: an existing row with strictly newer warc_ts beats the event
-        winner_applies = has_winner & (
-            ~has_old | F.col("o.warc_ts").isNull() | (F.col("w.warc_ts") >= F.col("o.warc_ts"))
-        )
-
-        # surviving old rows: no applicable winner, and not deleted
-        keep_old = has_old & (~winner_applies)
-        old_rows = joined.filter(keep_old).select(
-            *[F.col(f"o.{c}").alias(c) for c in data_cols], F.col("o.bucket").alias("bucket")
-        )
-
-        # applied events: I/U upserts (D just disappears)
-        applied = joined.filter(winner_applies & (F.col("w.op") != F.lit("D")))
-        batch_cols = {
-            c for c in w_cols if c not in ("op", "row_idx", "text") and c in data_cols
-        }
-        type_by_name = {f["name"]: f["type"] for f in cur_fields}
-        sel = [F.col(f"w.{key}").alias(key)]
-        for c in data_cols:
-            if c == key or c == "text":
-                continue
-            if c in batch_cols:
-                sel.append(F.col(f"w.{c}").alias(c))
-            else:  # table column the batch doesn't carry (pre-evolution batch)
-                from .table import spark_type
-
-                sel.append(F.lit(None).cast(spark_type(type_by_name[c])).alias(c))
-        new_rows = applied.select(*sel, F.col("w.bucket").alias("bucket"))
-        # extraction only on applied rows (Arrow-batched pandas UDF)
-        new_rows = new_rows.withColumn("text", extract_text_udf(F.col("html")))
-        new_rows = new_rows.select(*data_cols, "bucket")
-
-        result = old_rows.unionByName(new_rows)
         new_files = table.write_bucket_data(result, schema_version)
         if fail_after_data_write:
             raise RuntimeError("injected crash between data write and manifest publish")
 
         metrics = dict(snap.get("metrics", {}))
         metrics["last_batch_files"] = len(new_files)
+        metrics["last_batch_strategy"] = (
+            "broadcast" if merge is _merge_broadcast else "shuffle"
+        )
+        metrics["last_batch_winners"] = n_winners
         return table.commit(
             new_files,
             affected,

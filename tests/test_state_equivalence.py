@@ -76,3 +76,49 @@ def test_no_deleted_urls_survive(spark, change_log):
     want = reference_fold(paths)
     got = _table_state(spark, str(d / "lake"))
     assert set(got) == set(want)
+
+
+def test_row_idx_order_correct_under_split_parallel_read(spark, change_log):
+    """read_change_batch's row_idx must follow file line order even when
+    the file is read as many splits (block_start*2^20 + local counter —
+    pipeline.py read_change_batch). Forces tiny splits and compares
+    against the file's actual line order."""
+    import csv as _csv
+
+    from pyspark.sql import functions as F
+
+    from csv_cruncher_spark.cdc.pipeline import read_change_batch
+
+    _d, paths = change_log
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        df = read_change_batch(spark, paths[0])
+        assert df.rdd.getNumPartitions() > 1, "expected a split-parallel scan"
+        got = [
+            (r["url"], r["op"])
+            for r in df.orderBy("row_idx").select("url", "op").collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    with open(paths[0], newline="") as f:
+        want = [(row["url"], row["op"]) for row in _csv.DictReader(f)]
+    assert got == want
+
+
+def test_broadcast_and_shuffle_merge_agree(spark, change_log):
+    """The two physical merge strategies (broadcast vs full-outer shuffle,
+    lake/merge.py) must produce identical table state — strategy is a
+    physical choice only."""
+    d, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    pb = str(d / "lake_bcast")
+    ps = str(d / "lake_shuf")
+    CdcPipeline(pb, n_buckets=4, broadcast_winner_limit=10**9).run(spark, bdir)
+    CdcPipeline(ps, n_buckets=4, broadcast_winner_limit=0).run(spark, bdir)
+    assert _table_state(spark, pb) == _table_state(spark, ps)
+    # metrics record which strategy ran
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    assert LakeTable.load(pb).snapshot()["metrics"]["last_batch_strategy"] == "broadcast"
+    assert LakeTable.load(ps).snapshot()["metrics"]["last_batch_strategy"] == "shuffle"
