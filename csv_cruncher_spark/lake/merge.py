@@ -94,48 +94,44 @@ def _winner_upsert_rows(winners_applied: DataFrame, key: str, cur_fields: list[d
 
 def _merge_broadcast(
     old: DataFrame, winners: DataFrame, key: str, cur_fields: list[dict]
-) -> DataFrame:
-    """Zero-table-shuffle merge: winners (and per-url applies flags) are
-    broadcast; the table side is scanned twice — once column-pruned for the
-    staleness decision, once full-width for survivors — and never shuffled.
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Zero-table-shuffle merge: the only state that crosses executors is
+    the broadcast of the (tiny) per-url stale set and winner-url list.
+
+    - scan 1, pruned to (key, warc_ts) by Catalyst: which winner urls are
+      STALE (an existing row has a strictly newer warc_ts). Persisted —
+      it is consumed by two broadcasts and must not recompute (each
+      recompute would re-scan the table).
+    - scan 2, full-width: survivors = old rows with no winner or a stale
+      winner — one broadcast left join, rows never leave their scan task.
+    - applied = winners minus the stale set (new urls pass through).
+
+    Returns (result, [cached dfs to unpersist after the write action]).
     """
     data_cols = [f["name"] for f in cur_fields]
-    wmeta = winners.select(
-        F.col(key), F.col("warc_ts").alias("__w_ts"), F.col("op").alias("__w_op")
-    )
-    # scan 1 (pruned to key+warc_ts by Catalyst): does each winner apply?
-    flags = (
+    wmeta = winners.select(F.col(key), F.col("warc_ts").alias("__w_ts"))
+    # stale set: usually a tiny fraction of winners (late/out-of-order
+    # events that lost to current state) — broadcast payload is just urls
+    stale = (
         old.select(key, "warc_ts")
         .join(F.broadcast(wmeta), key, "inner")
-        .select(
-            key,
-            (
-                F.col("warc_ts").isNull() | (F.col("__w_ts") >= F.col("warc_ts"))
-            ).alias("__applies"),
-        )
+        .filter(F.col("warc_ts").isNotNull() & (F.col("__w_ts") < F.col("warc_ts")))
+        .select(key)
+        .persist()
     )
-    # ≤ one row per winner — broadcastable by construction
-    # scan 2: survivors = old rows whose winner is absent or stale
-    keep = (
-        old.join(F.broadcast(wmeta.select(key, "__w_ts")), key, "left")
-        .join(F.broadcast(flags), key, "left")
-        .filter(
-            F.col("__w_ts").isNull()  # no winner for this url
-            | ~F.coalesce(F.col("__applies"), F.lit(True))  # winner stale
-        )
-        .select(*data_cols, "bucket")
+    # survivors: url has no winner at all, OR its winner is stale
+    no_winner = old.join(F.broadcast(wmeta.select(key)), key, "left_anti")
+    stale_kept = old.join(F.broadcast(stale), key, "left_semi")
+    keep = no_winner.unionByName(stale_kept).select(*data_cols, "bucket")
+    applied = winners.join(F.broadcast(stale), key, "left_anti").filter(
+        F.col("op") != F.lit("D")
     )
-    applied = (
-        winners.join(F.broadcast(flags), key, "left")
-        .filter(F.coalesce(F.col("__applies"), F.lit(True)))  # new url → applies
-        .filter(F.col("op") != F.lit("D"))
-    )
-    return keep.unionByName(_winner_upsert_rows(applied, key, cur_fields))
+    return keep.unionByName(_winner_upsert_rows(applied, key, cur_fields)), [stale]
 
 
 def _merge_shuffle(
     old: DataFrame, winners: DataFrame, key: str, cur_fields: list[dict]
-) -> DataFrame:
+) -> tuple[DataFrame, list[DataFrame]]:
     """Fallback for winner sets too large to broadcast: full-outer join on
     the key (both sides shuffle; AQE skew-join splits oversized partitions).
     """
@@ -157,7 +153,7 @@ def _merge_shuffle(
     applied = joined.filter(winner_applies & (F.col("w.op") != F.lit("D"))).select(
         *[F.col(f"w.{c}").alias(c) for c in winners.columns]
     )
-    return old_rows.unionByName(_winner_upsert_rows(applied, key, cur_fields))
+    return old_rows.unionByName(_winner_upsert_rows(applied, key, cur_fields)), []
 
 
 def apply_batch(
@@ -201,9 +197,11 @@ def apply_batch(
             "bucket", bucket_expr(key, n_buckets)
         )
         merge = _merge_broadcast if n_winners <= broadcast_winner_limit else _merge_shuffle
-        result = merge(old, winners, key, cur_fields)
+        result, caches = merge(old, winners, key, cur_fields)
 
         new_files = table.write_bucket_data(result, schema_version)
+        for c in caches:
+            c.unpersist()
         if fail_after_data_write:
             raise RuntimeError("injected crash between data write and manifest publish")
 

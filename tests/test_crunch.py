@@ -459,3 +459,57 @@ def test_cli_json_export_flag(spark, tmp_path):
     )
     assert code == 0
     assert json.loads(open(out).readline()) == {"a": 1}
+
+
+def test_multi_import_union(spark, tmp_path):
+    """InputAliasTest.kt:44-50 semantics: two aliased imports, SQL UNION
+    across them (the reference disables its own test for table-name
+    collisions — works here)."""
+    (tmp_path / "u1.csv").write_text("id,v\n1,a\n2,b\n")
+    (tmp_path / "u2.csv").write_text("id,v\n2,b\n3,c\n")
+    out = str(tmp_path / "u.csv")
+    opts = Options(
+        imports=[
+            ImportSpec(path=str(tmp_path / "u1.csv"), alias="t1"),
+            ImportSpec(path=str(tmp_path / "u2.csv"), alias="t2"),
+        ],
+        exports=[ExportSpec(path=out)],
+        sql="SELECT id, v FROM t1 UNION SELECT id, v FROM t2 ORDER BY id",
+    )
+    Cruncher(opts).run(spark)
+    lines = [l.strip() for l in open(out) if l.strip()]
+    assert lines == ["id,v", "1,a", "2,b", "3,c"]
+
+
+def test_stdout_export(spark, tmp_path, capsys):
+    """A18: export path '-' streams CSV to stdout."""
+    (tmp_path / "s.csv").write_text("a,b\n1,x\n")
+    opts = Options(
+        imports=[ImportSpec(path=str(tmp_path / "s.csv"))],
+        exports=[ExportSpec(path="-")],
+        sql="SELECT a, b FROM s",
+    )
+    Cruncher(opts).run(spark)
+    outp = capsys.readouterr().out
+    assert "a,b" in outp and "1,x" in outp
+
+
+def test_init_sql_script(spark, tmp_path):
+    """A21: init-SQL script runs before imports (reference
+    src/test/data/init.sql creates a view/table used by the query)."""
+    script = tmp_path / "init.sql"
+    script.write_text(
+        "CREATE OR REPLACE TEMPORARY VIEW lookup AS "
+        "SELECT * FROM VALUES (1, 'one'), (2, 'two') AS t(id, name);"
+    )
+    (tmp_path / "d.csv").write_text("id,v\n1,a\n2,b\n")
+    out = str(tmp_path / "joined.csv")
+    opts = Options(
+        imports=[ImportSpec(path=str(tmp_path / "d.csv"))],
+        exports=[ExportSpec(path=out)],
+        sql="SELECT d.id, d.v, lookup.name FROM d JOIN lookup ON d.id = lookup.id ORDER BY d.id",
+        init_sql=[str(script)],
+    )
+    Cruncher(opts).run(spark)
+    lines = [l.strip() for l in open(out) if l.strip()]
+    assert lines == ["id,v,name", "1,a,one", "2,b,two"]
