@@ -317,6 +317,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, "vec_id", "embedding", _QUERY_VEC, k=20)
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with full-probe (n_probe == n_centroids ⇒ exact) — exact
+    by construction, so it shares the brute-force DuckDB oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC, k=20, n_centroids=8, n_probe=8
+    )
+
+
 # ---------------------------------------------------------------- contract --
 
 
@@ -351,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_revenue_by_nation": salted_revenue_by_nation,
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "media_decode_features": media_decode_features,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 
@@ -373,7 +383,17 @@ def oracle_sql() -> dict[str, str]:
     lang_case += "".join(conds) + " ELSE 'und' END"
     lang_scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in lang_score.items())
 
+    cosine_topk_sql = f"""
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
+    """
+
     return {
+        "ann_ivf_topk": cosine_topk_sql,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

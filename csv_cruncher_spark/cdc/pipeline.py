@@ -104,12 +104,22 @@ class CdcPipeline:
         checkpoint_path: str | None = None,
         n_buckets: int = 16,
         broadcast_winner_limit: int | None = None,
+        mode: str = "mor",
+        compact_every: int = 16,
     ):
+        """``mode='mor'`` (default): O(batch) delta appends with read-time
+        LWW resolution, auto-compacted every ``compact_every`` stacked
+        delta epochs. ``mode='cow'``: eager copy-on-write merge per batch
+        (the compaction/bulk-load path)."""
         from ..lake.merge import BROADCAST_WINNER_LIMIT
 
+        if mode not in ("mor", "cow"):
+            raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
         self.table_path = table_path
         self.checkpoint_path = checkpoint_path or os.path.join(table_path, "checkpoint.json")
         self.n_buckets = n_buckets
+        self.mode = mode
+        self.compact_every = compact_every
         self.broadcast_winner_limit = (
             BROADCAST_WINNER_LIMIT if broadcast_winner_limit is None else broadcast_winner_limit
         )
@@ -206,16 +216,31 @@ class CdcPipeline:
             snap = table.evolve_schema(add_columns=add_cols, renames=effective_renames)
 
         epoch_id = snap["epoch_id"] + 1 if snap["epoch_id"] >= 0 else 0
-        new_snap = apply_batch(
-            spark,
-            table,
-            df,
-            epoch_id=epoch_id,
-            batch_id=batch_id,
-            staged_snapshot=snap,
-            fail_after_data_write=batch_id in self.fail_after_data_write_on,
-            broadcast_winner_limit=self.broadcast_winner_limit,
-        )
+        if self.mode == "mor":
+            from ..lake.merge import apply_batch_mor
+
+            new_snap = apply_batch_mor(
+                spark,
+                table,
+                df,
+                epoch_id=epoch_id,
+                batch_id=batch_id,
+                staged_snapshot=snap,
+                fail_after_data_write=batch_id in self.fail_after_data_write_on,
+            )
+            if table.delta_epoch_depth(new_snap) >= self.compact_every:
+                new_snap = table.compact(spark)
+        else:
+            new_snap = apply_batch(
+                spark,
+                table,
+                df,
+                epoch_id=epoch_id,
+                batch_id=batch_id,
+                staged_snapshot=snap,
+                fail_after_data_write=batch_id in self.fail_after_data_write_on,
+                broadcast_winner_limit=self.broadcast_winner_limit,
+            )
         if batch_id in self.fail_before_checkpoint_on:
             raise RuntimeError("injected crash between commit and checkpoint write")
 

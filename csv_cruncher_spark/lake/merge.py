@@ -4,12 +4,16 @@ Semantics (must match ``cdc.fixtures.reference_fold`` exactly):
 
 1. **In-batch LWW**: for each url keep the event with the max
    ``(warc_ts, row_idx)``. Implemented as ``groupBy(url).agg(max_by(...))``
-   — an *aggregation*, not a window. This matters at scale: hash
-   aggregation gets map-side partial combine for free, so a hot url whose
-   events are spread over 1000 partitions reduces to 1000 partials before
-   the shuffle — the skew a ``Window.partitionBy(url)`` would concentrate
-   into one task never materializes (SURVEY.md §2.D "hot-key handling";
-   salting utilities in lake/salt.py cover the join-side case).
+   — an *aggregation*, not a window. This matters at scale: the aggregate
+   gets map-side partial combine, so a hot url whose events are spread
+   over 1000 partitions reduces to 1000 partials before the shuffle — the
+   skew a ``Window.partitionBy(url)`` would concentrate into one task
+   never materializes (SURVEY.md §2.D "hot-key handling"; salting
+   utilities in lake/salt.py cover the join-side case). Physical note:
+   because the max_by buffer holds a struct, Spark plans SortAggregate,
+   not HashAggregate (hash aggregation needs fixed-width mutable
+   buffers); the partial/final split — the property that eats the skew —
+   is unaffected, the cost is a per-partition sort by url.
 2. **Apply vs table state**: the winner applies iff its ``warc_ts`` is >=
    the current row's ``warc_ts`` (a stale event loses; equal ts → the
    incoming event wins, because replay order makes it the later writer —
@@ -154,6 +158,78 @@ def _merge_shuffle(
         *[F.col(f"w.{c}").alias(c) for c in winners.columns]
     )
     return old_rows.unionByName(_winner_upsert_rows(applied, key, cur_fields)), []
+
+
+def apply_batch_mor(
+    spark: SparkSession,
+    table: LakeTable,
+    batch_df: DataFrame,
+    epoch_id: int,
+    batch_id: str,
+    staged_snapshot: dict | None = None,
+    fail_after_data_write: bool = False,
+) -> dict:
+    """Merge-on-read apply: the production path for 10^10-event replays.
+
+    Per batch the work is O(batch), NEVER O(table): in-batch LWW winners
+    (incl. ``D`` tombstones) are extracted, projected to the table schema,
+    and written as per-bucket DELTA files — the table is not read at all.
+    Readers replay each key's deltas over its base row in epoch order
+    (LakeTable.read), and ``LakeTable.compact`` periodically folds deltas
+    into new base files. This is the Iceberg-v2/Hudi MOR shape: upsert
+    cost proportional to the change stream, table-size cost amortized
+    into compaction. The eager copy-on-write merge (``apply_batch``)
+    remains as the compaction/bulk-load path.
+    """
+    snap = staged_snapshot or table.snapshot()
+    if any(e["batch"] == batch_id for e in snap["lineage"]):
+        return snap  # exactly-once fence
+
+    key = snap["key_col"]
+    n_buckets = snap["n_buckets"]
+    schema_version = snap["schema_version"]
+    cur_fields = snap["schemas"][str(schema_version)]
+    data_cols = [f["name"] for f in cur_fields]
+
+    winners = lww_winners(batch_df, key).withColumn("bucket", bucket_expr(key, n_buckets))
+    from .table import spark_type
+
+    type_by_name = {f["name"]: f["type"] for f in cur_fields}
+    have = set(winners.columns)
+    sel = [F.col(key)]
+    for c in data_cols:
+        if c == key or c == "text":
+            continue
+        if c in have and c not in ("op", "row_idx"):
+            sel.append(F.col(c))
+        else:
+            sel.append(F.lit(None).cast(spark_type(type_by_name[c])).alias(c))
+    delta = winners.select(*sel, "bucket", F.col("op").alias("__op"))
+    # extraction on winner rows only (Arrow-batched; D tombstones carry
+    # null html → null text, extract_text is None-preserving)
+    if "text" in data_cols:
+        delta = delta.withColumn("text", extract_text_udf(F.col("html")))
+    delta = delta.select(*data_cols, "bucket", "__op").withColumn(
+        "__epoch", F.lit(epoch_id).cast("long")
+    )
+
+    new_files = table.write_bucket_data(
+        delta, schema_version, kind="delta", epoch=epoch_id
+    )
+    if fail_after_data_write:
+        raise RuntimeError("injected crash between data write and manifest publish")
+    affected = sorted({f["bucket"] for f in new_files})
+    metrics = dict(snap.get("metrics", {}))
+    metrics["last_batch_files"] = len(new_files)
+    metrics["last_batch_strategy"] = "mor-delta"
+    return table.commit(
+        new_files,
+        [],  # delta commit replaces nothing
+        epoch_id,
+        batch_id,
+        staged_snapshot=snap,
+        metrics={**metrics, "last_batch_buckets": len(affected)},
+    )
 
 
 def apply_batch(

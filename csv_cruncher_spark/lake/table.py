@@ -91,8 +91,11 @@ class LakeTable:
         fields: list[tuple[str, str]],
         key_col: str = "url",
         n_buckets: int = 16,
+        version_col: str = "warc_ts",
     ) -> "LakeTable":
-        """fields: [(name, type_str)] — initial schema version 1."""
+        """fields: [(name, type_str)] — initial schema version 1.
+        ``version_col`` is the LWW version column used by merge-on-read
+        resolution (the CDC engine's ``warc_ts``)."""
         os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         schema = [
@@ -104,6 +107,7 @@ class LakeTable:
             "epoch_id": -1,
             "batch_id": None,
             "key_col": key_col,
+            "version_col": version_col,
             "n_buckets": n_buckets,
             "schema_version": 1,
             "schemas": {"1": schema},
@@ -176,30 +180,25 @@ class LakeTable:
 
     # ---------- read ----------
 
-    def read(self, spark: SparkSession, snap: dict | None = None, buckets: list[int] | None = None) -> DataFrame:
-        """Current-snapshot scan projected to the current schema.
-
-        Files are grouped by the schema version they were written under;
-        each group is scanned once, physical names mapped to current names
-        via field ids, missing (later-added) columns filled with typed
-        nulls, then the groups are unioned. At most #schema-versions scans —
-        no per-file driver loop.
-        """
-        snap = snap or self.snapshot()
-        files = snap["files"]
-        if buckets is not None:
-            bset = set(buckets)
-            files = [f for f in files if f["bucket"] in bset]
-        cur_fields = self.current_fields(snap)
+    def _scan(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        files: list[dict],
+        extra_cols: list[str] = (),
+    ) -> DataFrame | None:
+        """Scan a file list projected to the current schema (field-id
+        mapping per schema version; at most #schema-versions scans).
+        ``extra_cols`` are physical columns passed through verbatim
+        (the delta files' __op/__epoch)."""
         if not files:
-            return spark.createDataFrame([], self.spark_schema(snap))
-
+            return None
+        cur_fields = self.current_fields(snap)
         by_ver: dict[int, list[str]] = {}
         for f in files:
             by_ver.setdefault(f["schema_version"], []).append(
                 os.path.join(self.path, f["path"])
             )
-
         parts: list[DataFrame] = []
         for ver, paths in by_ver.items():
             ver_fields = snap["schemas"][str(ver)]
@@ -212,18 +211,95 @@ class LakeTable:
                     cols.append(F.col(phys).alias(f["name"]))
                 else:
                     cols.append(F.lit(None).cast(spark_type(f["type"])).alias(f["name"]))
+            cols += [F.col(c) for c in extra_cols]
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
 
+    def read(
+        self,
+        spark: SparkSession,
+        snap: dict | None = None,
+        buckets: list[int] | None = None,
+        resolve: bool = True,
+    ) -> DataFrame:
+        """Current-snapshot scan projected to the current schema.
+
+        With merge-on-read deltas present (``resolve=True``), the view is
+        reconstructed by replaying each key's delta events over its base
+        row IN EPOCH ORDER with the same acceptance rule the eager merge
+        uses (stale events lose; a delete resets the version floor, so a
+        later re-insert with an OLDER version still lands — plain
+        max-by-version would get this wrong). The replay is a JVM
+        ``aggregate`` fold over a per-key sorted event array — one hash
+        shuffle on the key, no Python, no window.
+        """
+        snap = snap or self.snapshot()
+        files = snap["files"]
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f for f in files if f["bucket"] in bset]
+        base_files = [f for f in files if f.get("kind", "base") == "base"]
+        delta_files = [f for f in files if f.get("kind") == "delta"]
+        base = self._scan(spark, snap, base_files)
+        if not resolve:  # base-only view (diagnostics/compaction internals)
+            delta_files = []
+        if not delta_files:
+            if base is None:
+                return spark.createDataFrame([], self.spark_schema(snap))
+            return base
+
+        cur_fields = self.current_fields(snap)
+        data_cols = [f["name"] for f in cur_fields]
+        deltas = self._scan(spark, snap, delta_files, extra_cols=["__op", "__epoch"])
+        if base is not None:
+            base_ev = base.select(
+                *data_cols,
+                F.lit("I").alias("__op"),
+                F.lit(-1).cast("long").alias("__epoch"),
+            )
+            events = base_ev.unionByName(deltas)
+        else:
+            events = deltas
+
+        key = snap["key_col"]
+        vcol = snap.get("version_col", "warc_ts")
+        row_ddl = T.StructType(
+            [T.StructField(f["name"], spark_type(f["type"])) for f in cur_fields]
+        ).simpleString()
+        ev_struct = F.struct(
+            F.col("__epoch"),
+            F.col("__op"),
+            F.struct(*[F.col(c) for c in data_cols]).alias("r"),
+        )
+        grouped = events.groupBy(key).agg(
+            F.sort_array(F.collect_list(ev_struct)).alias("__evs")
+        )
+        # eager-merge acceptance rule, replayed per key in epoch order:
+        # applies ⟺ no current row ∨ current version null ∨ e.version ≥ current
+        fold = (
+            f"aggregate(__evs, CAST(NULL AS {row_ddl}), (acc, e) -> "
+            f"CASE WHEN acc IS NULL OR acc.{vcol} IS NULL "
+            f"          OR (e.r.{vcol} IS NOT NULL AND e.r.{vcol} >= acc.{vcol}) "
+            f"     THEN (CASE WHEN e.__op = 'D' THEN CAST(NULL AS {row_ddl}) ELSE e.r END) "
+            f"     ELSE acc END)"
+        )
+        resolved = grouped.select(F.expr(fold).alias("__row")).filter(
+            F.col("__row").isNotNull()
+        )
+        return resolved.select(*[F.col(f"__row.{c}").alias(c) for c in data_cols])
+
     # ---------- write / commit ----------
 
-    def write_bucket_data(self, df: DataFrame, schema_version: int) -> list[dict]:
+    def write_bucket_data(
+        self, df: DataFrame, schema_version: int, kind: str = "base", epoch: int | None = None
+    ) -> list[dict]:
         """Write a DataFrame that carries a ``bucket`` column to new parquet
         files partitioned by bucket; returns file entries (uncommitted).
         One shuffle: repartition by bucket so each bucket lands in few files.
+        ``kind='delta'`` entries also record their epoch (merge-on-read).
         """
         rel_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, rel_dir)
@@ -241,15 +317,53 @@ class LakeTable:
             for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
                 if fn.endswith(".parquet"):
                     full = os.path.join(out_dir, bucket_dir, fn)
-                    entries.append(
-                        {
-                            "path": os.path.join(rel_dir, bucket_dir, fn),
-                            "bucket": b,
-                            "schema_version": schema_version,
-                            "bytes": os.path.getsize(full),
-                        }
-                    )
+                    entry = {
+                        "path": os.path.join(rel_dir, bucket_dir, fn),
+                        "bucket": b,
+                        "schema_version": schema_version,
+                        "bytes": os.path.getsize(full),
+                        "kind": kind,
+                    }
+                    if epoch is not None:
+                        entry["epoch"] = epoch
+                    entries.append(entry)
         return entries
+
+    def delta_epoch_depth(self, snap: dict | None = None) -> int:
+        """Max number of delta epochs stacked on any bucket — the
+        compaction trigger signal (read-time fold cost grows with it)."""
+        snap = snap or self.snapshot()
+        per_bucket: dict[int, set] = {}
+        for f in snap["files"]:
+            if f.get("kind") == "delta":
+                per_bucket.setdefault(f["bucket"], set()).add(f.get("epoch"))
+        return max((len(v) for v in per_bucket.values()), default=0)
+
+    def compact(self, spark: SparkSession) -> dict:
+        """Fold all deltas into fresh base files (merge-on-read →
+        copy-on-write amortization). The resolved view is computed with
+        the same read-time replay the readers use, written bucket-
+        partitioned, and committed atomically replacing every bucket —
+        a crash mid-compaction leaves the old snapshot intact.
+        """
+        snap = self.snapshot()
+        if not any(f.get("kind") == "delta" for f in snap["files"]):
+            return snap
+        resolved = self.read(spark, snap=snap).withColumn(
+            "bucket", bucket_expr(snap["key_col"], snap["n_buckets"])
+        )
+        new_files = self.write_bucket_data(resolved, snap["schema_version"], kind="base")
+        all_buckets = list(range(snap["n_buckets"]))
+        metrics = dict(snap.get("metrics", {}))
+        metrics["last_compaction_snapshot"] = snap["snapshot_id"]
+        return self.commit(
+            new_files,
+            all_buckets,
+            epoch_id=snap["epoch_id"],
+            batch_id=None,
+            staged_snapshot=snap,
+            metrics=metrics,
+        )
 
     def commit(
         self,

@@ -139,3 +139,119 @@ def pairwise_topk_within_buckets(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+# --------------------------------------------------------------------- IVF
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    vec_col: str,
+    n_centroids: int = 16,
+    iterations: int = 3,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer: Lloyd k-means expressed entirely in DataFrame
+    ops (no MLlib dependency, deterministic — no random init):
+
+    - init: centroids = the n_centroids vectors whose xxhash64(vector)
+      is smallest — a deterministic pseudo-random sample of the data;
+    - iterate: broadcast centroids → assign each vector to its nearest
+      (argmin of squared L2, a JVM ``aggregate`` fold) → new centroid =
+      element-wise mean per cluster (posexplode + groupBy, partial-agg
+      combine) — one shuffle of (cluster, dim, value) triples per round.
+
+    At 10^9 vectors, train on a sample (``sample_fraction``); assignment
+    of the full set happens once in :func:`ivf_assign`.
+    Returns (centroid_id, centroid array<double>).
+    """
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("v"))
+    if sample_fraction is not None:
+        vecs = vecs.sample(fraction=sample_fraction, seed=42)
+    cent = (
+        vecs.withColumn("_h", F.xxhash64(F.col("v").cast("array<string>")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select(F.monotonically_increasing_id().alias("centroid_id"), "v")
+        .collect()
+    )
+    centroids = [(i, list(r["v"])) for i, r in enumerate(cent)]
+    spark = df.sparkSession
+    for _ in range(iterations):
+        cdf = spark.createDataFrame(centroids, "centroid_id: int, c: array<double>")
+        assigned = (
+            vecs.join(F.broadcast(cdf))
+            .withColumn(
+                "d2",
+                F.expr(
+                    "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)),"
+                    " cast(0.0 as double), (a, b) -> a + b)"
+                ),
+            )
+            .groupBy("v")
+            .agg(F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias("centroid_id"))
+        )
+        means = (
+            assigned.select("centroid_id", F.posexplode("v").alias("dim", "val"))
+            .groupBy("centroid_id", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("centroid_id", F.expr("transform(dm, x -> x.m)").alias("c"))
+            .collect()
+        )
+        new = {r["centroid_id"]: list(r["c"]) for r in means}
+        centroids = [(cid, new.get(cid, vec)) for cid, vec in centroids]
+    return spark.createDataFrame(centroids, "centroid_id: int, centroid: array<double>")
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (broadcast argmin —
+    table side never shuffles). Returns df + centroid_id; write this
+    partitioned by centroid_id for pruned probes."""
+    cdf = centroids.select("centroid_id", F.col("centroid").alias("_c"))
+    return (
+        df.withColumn("_v", F.col(vec_col).cast("array<double>"))
+        .join(F.broadcast(cdf))
+        .withColumn(
+            "_d2",
+            F.expr(
+                "aggregate(zip_with(_v, _c, (x, y) -> (x - y) * (x - y)),"
+                " cast(0.0 as double), (a, b) -> a + b)"
+            ),
+        )
+        .groupBy(*df.columns)
+        .agg(F.min_by("centroid_id", F.struct("_d2", "centroid_id")).alias("centroid_id"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: list[float],
+    k: int = 20,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids: DataFrame | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """IVF ANN: exact cosine rerank inside the ``n_probe`` inverted lists
+    whose centroids are closest to the query. Recall is tunable via
+    n_probe; n_probe == n_centroids degenerates to exact brute force.
+    Pass pre-trained ``centroids``/``assigned`` to amortize training
+    across queries (the production shape: train once, probe many)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, vec_col, n_centroids=n_centroids)
+    if assigned is None:
+        assigned = ivf_assign(df, id_col, vec_col, centroids)
+    import numpy as _np
+
+    cents = sorted(
+        (r["centroid_id"], list(r["centroid"])) for r in centroids.collect()
+    )
+    q = _np.array(query, dtype=float)
+    d2 = [(float(((_np.array(c) - q) ** 2).sum()), cid) for cid, c in cents]
+    probe = [cid for _, cid in sorted(d2)[:n_probe]]
+    shard = assigned.filter(F.col("centroid_id").isin(probe))
+    return brute_force_topk(shard, id_col, vec_col, query, k=k)

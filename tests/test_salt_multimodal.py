@@ -139,3 +139,51 @@ def test_resize_stub_rewrites_header(media):
     ).collect()[0]["media"]
     meta = multimodal._decode_one(bytes(out))
     assert meta[1] == 16 and meta[2] == 8
+
+
+# -------------------------------------------------------------------- IVF
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """n_probe == n_centroids ⇒ IVF degenerates to exact search."""
+    import numpy as np
+
+    from csv_cruncher_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id: int, embedding: array<double>")
+    q = [0.3] * 8
+    exact = similarity.brute_force_topk(df, "vec_id", "embedding", q, k=10).collect()
+    ivf = similarity.ivf_topk(
+        df, "vec_id", "embedding", q, k=10, n_centroids=4, n_probe=4
+    ).collect()
+    assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_ivf_partial_probe_recall(spark):
+    """Probing half the lists keeps most of the true top-k (sane recall on
+    clustered data) and returns exact cosines for what it finds."""
+    import numpy as np
+
+    from csv_cruncher_spark.operators import similarity
+
+    rng = np.random.RandomState(4)
+    centers = rng.normal(size=(4, 8)) * 3
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.normal(size=8) * 0.2).tolist()))
+    df = spark.createDataFrame(rows, "vec_id: int, embedding: array<double>")
+    q = (centers[1] + 0.05).tolist()
+    exact_ids = {
+        r["vec_id"]
+        for r in similarity.brute_force_topk(df, "vec_id", "embedding", q, k=10).collect()
+    }
+    ivf_ids = {
+        r["vec_id"]
+        for r in similarity.ivf_topk(
+            df, "vec_id", "embedding", q, k=10, n_centroids=8, n_probe=4
+        ).collect()
+    }
+    assert len(ivf_ids & exact_ids) >= 8  # ≥0.8 recall on well-clustered data

@@ -114,11 +114,86 @@ def test_broadcast_and_shuffle_merge_agree(spark, change_log):
     bdir = os.path.dirname(paths[0])
     pb = str(d / "lake_bcast")
     ps = str(d / "lake_shuf")
-    CdcPipeline(pb, n_buckets=4, broadcast_winner_limit=10**9).run(spark, bdir)
-    CdcPipeline(ps, n_buckets=4, broadcast_winner_limit=0).run(spark, bdir)
+    CdcPipeline(pb, n_buckets=4, mode="cow", broadcast_winner_limit=10**9).run(spark, bdir)
+    CdcPipeline(ps, n_buckets=4, mode="cow", broadcast_winner_limit=0).run(spark, bdir)
     assert _table_state(spark, pb) == _table_state(spark, ps)
     # metrics record which strategy ran
     from csv_cruncher_spark.lake.table import LakeTable
 
     assert LakeTable.load(pb).snapshot()["metrics"]["last_batch_strategy"] == "broadcast"
     assert LakeTable.load(ps).snapshot()["metrics"]["last_batch_strategy"] == "shuffle"
+
+
+def test_mor_replay_matches_reference_and_cow(spark, change_log):
+    """Merge-on-read (delta + read-time resolution, the default mode)
+    must equal both the eager COW replay and the sequential reference
+    fold; compaction must not change the view."""
+    d, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    pm = str(d / "lake_mor")
+    CdcPipeline(pm, n_buckets=4, mode="mor", compact_every=10**6).run(spark, bdir)
+    t = LakeTable.load(pm)
+    assert any(f.get("kind") == "delta" for f in t.snapshot()["files"]), (
+        "expected uncompacted deltas for this test"
+    )
+    got = _table_state(spark, pm)
+    want = reference_fold(paths)
+    assert set(got) == set(want)
+    for url, w in want.items():
+        assert got[url]["text"] == w["text"], url
+        assert got[url]["html"] == w["html"], url
+    # compaction folds deltas into base without changing the view
+    t.compact(spark)
+    assert not any(f.get("kind") == "delta" for f in t.snapshot()["files"])
+    assert _table_state(spark, pm) == got
+
+
+def test_mor_auto_compaction_triggers(spark, change_log):
+    d, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    p = str(d / "lake_mor_auto")
+    CdcPipeline(p, n_buckets=4, mode="mor", compact_every=2).run(spark, bdir)
+    t = LakeTable.load(p)
+    # 5 batches, compact at depth ≥2 → at most 1 uncompacted epoch remains
+    assert t.delta_epoch_depth() <= 1
+    assert _table_state(spark, p) == {
+        u: {
+            "warc_ts": s["warc_ts"],
+            "text": s["text"],
+            "lang": s["lang"],
+            "html": s["html"],
+        }
+        for u, s in reference_fold(paths).items()
+    }
+
+
+def test_mor_delete_then_older_reinsert(spark, tmp_path):
+    """The trap that breaks naive max-by-timestamp MOR resolution: after a
+    delete, a re-insert with an OLDER warc_ts must still land (the eager
+    rule applies events against *current state*, and a delete clears the
+    version floor). reference_fold and both merge modes agree."""
+    import base64 as b64
+
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    h = b64.b64encode(b"<p>x</p>").decode()
+    (bdir / "batch-00000.csv").write_text(
+        "op,url,warc_ts,html,lang\n"
+        f"I,https://e.com/a,2024-01-01 00:00:12,{h},en\n"
+    )
+    (bdir / "batch-00001.csv").write_text(
+        "op,url,warc_ts,html,lang\n"
+        "D,https://e.com/a,2024-01-01 00:00:13,,\n"
+    )
+    (bdir / "batch-00002.csv").write_text(
+        "op,url,warc_ts,html,lang\n"
+        f"I,https://e.com/a,2024-01-01 00:00:11,{h},en\n"
+    )
+    want = reference_fold(sorted(str(p) for p in bdir.glob("*.csv")))
+    assert "https://e.com/a" in want  # the older re-insert survives
+    for mode in ("mor", "cow"):
+        p = str(tmp_path / f"lake_{mode}")
+        CdcPipeline(p, n_buckets=2, mode=mode).run(spark, str(bdir))
+        got = _table_state(spark, p)
+        assert list(got) == ["https://e.com/a"], mode
+        assert got["https://e.com/a"]["warc_ts"] == "2024-01-01 00:00:11", mode
