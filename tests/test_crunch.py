@@ -513,3 +513,24 @@ def test_init_sql_script(spark, tmp_path):
     Cruncher(opts).run(spark)
     lines = [l.strip() for l in open(out) if l.strip()]
     assert lines == ["id,v,name", "1,a,one", "2,b,two"]
+
+
+def test_format_sniff_from_content(tmp_path):
+    """A1 content sniffing for extension-less files
+    (app/Options.kt:76-103 regex semantics)."""
+    from csv_cruncher_spark.sources.format import DataFormat, FormatFrom, detect_format
+
+    j = tmp_path / "datafile"
+    j.write_text('{"a": 1}\n')
+    fmt, prov = detect_format(str(j))
+    assert fmt == DataFormat.JSON and prov == FormatFrom.CONTENT
+
+    c = tmp_path / "datafile2"
+    c.write_text("col_a, col_b, col_c\n1,2,3\n")
+    fmt, prov = detect_format(str(c))
+    assert fmt == DataFormat.CSV and prov == FormatFrom.CONTENT
+
+    e = tmp_path / "named.csv"
+    e.write_text('{"looks": "like json"}\n')
+    fmt, prov = detect_format(str(e))
+    assert fmt == DataFormat.CSV and prov == FormatFrom.EXTENSION  # extension wins

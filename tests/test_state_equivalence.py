@@ -197,3 +197,35 @@ def test_mor_delete_then_older_reinsert(spark, tmp_path):
         got = _table_state(spark, p)
         assert list(got) == ["https://e.com/a"], mode
         assert got["https://e.com/a"]["warc_ts"] == "2024-01-01 00:00:11", mode
+
+
+def test_json_change_batches_equivalent(spark, tmp_path):
+    """CSV and JSON-lines encodings of the same change batch replay to
+    the same state (read_change_batch handles both; html base64 in
+    transit for each)."""
+    import base64 as b64
+    import json as _json
+
+    from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log
+
+    csv_dir = tmp_path / "csv_batches"
+    paths = generate_change_log(
+        ChangeLogSpec(n_urls=80, n_batches=2, events_per_batch=120, seed=21,
+                      out_dir=str(csv_dir))
+    )
+    # re-encode each batch as JSON-lines with identical content and order
+    json_dir = tmp_path / "json_batches"
+    json_dir.mkdir()
+    import csv as _csv
+
+    for p in paths:
+        name = os.path.basename(p).replace(".csv", ".json")
+        with open(p, newline="") as f, open(json_dir / name, "w") as out:
+            for row in _csv.DictReader(f):
+                out.write(_json.dumps(row) + "\n")
+
+    CdcPipeline(str(tmp_path / "lake_csv"), n_buckets=4).run(spark, str(csv_dir))
+    CdcPipeline(str(tmp_path / "lake_json"), n_buckets=4).run(spark, str(json_dir))
+    assert _table_state(spark, str(tmp_path / "lake_csv")) == _table_state(
+        spark, str(tmp_path / "lake_json")
+    )
