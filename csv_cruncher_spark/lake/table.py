@@ -339,26 +339,34 @@ class LakeTable:
                 per_bucket.setdefault(f["bucket"], set()).add(f.get("epoch"))
         return max((len(v) for v in per_bucket.values()), default=0)
 
-    def compact(self, spark: SparkSession) -> dict:
-        """Fold all deltas into fresh base files (merge-on-read →
-        copy-on-write amortization). The resolved view is computed with
-        the same read-time replay the readers use, written bucket-
-        partitioned, and committed atomically replacing every bucket —
-        a crash mid-compaction leaves the old snapshot intact.
+    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict:
+        """Fold deltas into fresh base files (merge-on-read →
+        copy-on-write amortization). Bucket-pruned: only buckets that
+        actually carry deltas are resolved and rewritten — at production
+        scale compaction cost is proportional to the touched slices, not
+        the table. The resolved view is computed with the same read-time
+        replay the readers use, written bucket-partitioned, and committed
+        atomically replacing exactly those buckets — a crash
+        mid-compaction leaves the old snapshot intact.
         """
         snap = self.snapshot()
-        if not any(f.get("kind") == "delta" for f in snap["files"]):
+        delta_buckets = sorted(
+            {f["bucket"] for f in snap["files"] if f.get("kind") == "delta"}
+        )
+        if buckets is not None:
+            delta_buckets = sorted(set(delta_buckets) & set(buckets))
+        if not delta_buckets:
             return snap
-        resolved = self.read(spark, snap=snap).withColumn(
+        resolved = self.read(spark, snap=snap, buckets=delta_buckets).withColumn(
             "bucket", bucket_expr(snap["key_col"], snap["n_buckets"])
         )
         new_files = self.write_bucket_data(resolved, snap["schema_version"], kind="base")
-        all_buckets = list(range(snap["n_buckets"]))
         metrics = dict(snap.get("metrics", {}))
         metrics["last_compaction_snapshot"] = snap["snapshot_id"]
+        metrics["last_compaction_buckets"] = len(delta_buckets)
         return self.commit(
             new_files,
-            all_buckets,
+            delta_buckets,
             epoch_id=snap["epoch_id"],
             batch_id=None,
             staged_snapshot=snap,

@@ -229,3 +229,45 @@ def test_json_change_batches_equivalent(spark, tmp_path):
     assert _table_state(spark, str(tmp_path / "lake_csv")) == _table_state(
         spark, str(tmp_path / "lake_json")
     )
+
+
+def test_compaction_is_bucket_pruned(spark, tmp_path):
+    """Compaction only rewrites buckets that carry deltas; untouched
+    buckets keep their original base files (by path identity)."""
+    import base64 as b64
+
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    h = b64.b64encode(b"<p>base</p>").decode()
+    # batch 0: many urls spread over all buckets (becomes base after compact)
+    rows = [f"I,https://e.com/p{i},2024-01-01 00:00:0{i % 10},{h},en" for i in range(40)]
+    (bdir / "batch-00000.csv").write_text("op,url,warc_ts,html,lang\n" + "\n".join(rows) + "\n")
+    p = str(tmp_path / "lake")
+    pipe = CdcPipeline(p, n_buckets=8, mode="mor", compact_every=10**6)
+    pipe.run(spark, str(bdir), max_batches=1)
+    t = LakeTable.load(p)
+    t.compact(spark)  # all-base snapshot
+    base_before = {
+        f["bucket"]: sorted(x["path"] for x in t.snapshot()["files"] if x["bucket"] == f["bucket"])
+        for f in t.snapshot()["files"]
+    }
+
+    # batch 1: a single url → deltas land in exactly one bucket
+    (bdir / "batch-00001.csv").write_text(
+        "op,url,warc_ts,html,lang\n"
+        f"U,https://e.com/p0,2024-01-02 00:00:00,{h},en\n"
+    )
+    pipe.run(spark, str(bdir))
+    t = LakeTable.load(p)
+    touched = {f["bucket"] for f in t.snapshot()["files"] if f.get("kind") == "delta"}
+    assert len(touched) == 1
+    state_before = _table_state(spark, p)
+    t.compact(spark)
+    snap = t.snapshot()
+    assert not any(f.get("kind") == "delta" for f in snap["files"])
+    for f in snap["files"]:
+        if f["bucket"] not in touched:
+            assert f["path"] in base_before[f["bucket"]], (
+                "untouched bucket was rewritten by compaction"
+            )
+    assert _table_state(spark, p) == state_before
