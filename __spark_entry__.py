@@ -317,6 +317,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, "vec_id", "embedding", _QUERY_VEC, k=20)
 
 
+def parts_starting_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """startsWith parity (reference util/SqlFunctions.kt:17-29) used as a
+    filter, plus grouped counts."""
+    from csv_cruncher_spark.functions import starts_with
+
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.filter(starts_with("p_name", F.lit("s")))
+        .groupBy(F.substring("p_name", 1, 2).alias("prefix"))
+        .agg(F.count("*").alias("n"), F.round(F.avg("p_retailprice"), 2).alias("avg_price"))
+        .orderBy("prefix")
+    )
+
+
+def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (advertised HSQLDB surface, README.md:36):
+    stddev/variance/correlation per return flag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 2).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 2).alias("corr_qty_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with full-probe (n_probe == n_centroids ⇒ exact) — exact
     by construction, so it shares the brute-force DuckDB oracle."""
@@ -361,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "media_decode_features": media_decode_features,
         "ann_ivf_topk": ann_ivf_topk,
+        "parts_starting_with": parts_starting_with,
+        "lineitem_stats": lineitem_stats,
     }
 
 
@@ -394,6 +426,21 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "ann_ivf_topk": cosine_topk_sql,
+        "parts_starting_with": """
+            SELECT substring(p_name, 1, 2) AS prefix,
+                   count(*) AS n,
+                   round(avg(p_retailprice), 2) AS avg_price
+            FROM part WHERE starts_with(p_name, 's')
+            GROUP BY 1 ORDER BY prefix
+        """,
+        "lineitem_stats": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 2) AS sd_qty,
+                   round(var_samp(l_discount), 2) AS var_disc,
+                   round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
