@@ -88,6 +88,71 @@ def run_cdc_bench(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_scaling_probe(events: int = 1_000_000, urls: int = 150_000, batches: int = 2) -> dict:
+    """Two-parallelism-level CDC replay (the north rule's N vs 4N
+    evidence): one shared pre-generated change log, one warm + one timed
+    replay per level in separate subprocesses (a JVM's core count is
+    fixed at startup). Levels: cpus/4 and cpus."""
+    import subprocess
+
+    cpus = os.cpu_count() or 8
+    hi = cpus
+    lo = max(2, cpus // 4)
+    work = tempfile.mkdtemp(prefix="cdc_scale_")
+    try:
+        from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log
+
+        bdir = os.path.join(work, "batches")
+        generate_change_log(
+            ChangeLogSpec(
+                n_urls=urls,
+                n_batches=batches,
+                events_per_batch=events // batches,
+                seed=42,
+                out_dir=bdir,
+            )
+        )
+        out: dict[int, float] = {}
+        for level in (lo, hi):
+            r = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--cdc-only",
+                    "--master",
+                    f"local[{level}]",
+                    "--events",
+                    str(events),
+                    "--urls",
+                    str(urls),
+                    "--batches",
+                    str(batches),
+                    "--warmup",
+                    "1",
+                    "--batch-dir",
+                    bdir,
+                ],
+                capture_output=True,
+                text=True,
+                timeout=1200,
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
+            out[level] = json.loads(line).get("cdc_events_per_sec", 0.0)
+        eff = round(out[hi] / (out[lo] * (hi / lo)), 3) if out.get(lo) else None
+        return {
+            "scaling_n_cores": lo,
+            "scaling_n_events_per_sec": out.get(lo),
+            "scaling_4n_cores": hi,
+            "scaling_4n_events_per_sec": out.get(hi),
+            "scaling_efficiency": eff,
+            "scaling_events": events,
+        }
+    except Exception as e:  # scaling probe must never sink the bench
+        return {"scaling_error": str(e)[:200]}
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--master", default=None)
@@ -101,6 +166,8 @@ def main() -> None:
     ap.add_argument("--max-partition-bytes", default="8m")
     ap.add_argument("--cdc-only", action="store_true")
     ap.add_argument("--queries-only", action="store_true")
+    ap.add_argument("--no-scaling", action="store_true",
+                    help="skip the two-parallelism-level scaling probe")
     args = ap.parse_args()
 
     from csv_cruncher_spark.session import get_spark
@@ -130,6 +197,10 @@ def main() -> None:
         )
     total = round(time.perf_counter() - t_start, 3)
 
+    scaling: dict = {}
+    if not args.no_scaling and not args.cdc_only and not args.queries_only:
+        scaling = run_scaling_probe()
+
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_plus_cdc_replay_wall_seconds",
@@ -138,6 +209,7 @@ def main() -> None:
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **cdc,
+        **scaling,
         "master": spark.sparkContext.master,
     }
     print(json.dumps(result))
