@@ -132,6 +132,57 @@ class LakeTable:
         with open(os.path.join(self.path, "snapshots", ptr["snapshot"])) as f:
             return json.load(f)
 
+    def snapshot_history(self) -> list[dict]:
+        """All retained snapshots, oldest first."""
+        sdir = os.path.join(self.path, "snapshots")
+        out = []
+        for fn in sorted(os.listdir(sdir)):
+            if fn.startswith("snap-") and fn.endswith(".json"):
+                with open(os.path.join(sdir, fn)) as f:
+                    out.append(json.load(f))
+        return out
+
+    def snapshot_at(self, epoch_id: int) -> dict:
+        """Time travel: the snapshot state as of a committed epoch
+        (Iceberg's snapshot-id read, keyed by our epoch counter). Pass the
+        result as ``read(snap=...)`` to query the table as it was."""
+        candidates = [
+            s for s in self.snapshot_history() if s["epoch_id"] <= epoch_id
+        ]
+        if not candidates:
+            raise ValueError(f"No snapshot at or before epoch {epoch_id}")
+        return max(candidates, key=lambda s: s["snapshot_id"])
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Retention: drop all but the newest ``keep_last`` snapshots and
+        DELETE data files no retained snapshot references (compaction and
+        COW merges leave replaced files on disk for time travel until
+        expired — the Iceberg expire_snapshots/remove_orphans shape).
+        Returns {"snapshots_removed": n, "files_removed": n}."""
+        history = self.snapshot_history()
+        if len(history) <= keep_last:
+            return {"snapshots_removed": 0, "files_removed": 0}
+        keep = history[-keep_last:]
+        drop = history[:-keep_last]
+        current = self.snapshot()
+        assert any(s["snapshot_id"] == current["snapshot_id"] for s in keep), (
+            "refusing to expire the current snapshot"
+        )
+        referenced = {f["path"] for s in keep for f in s["files"]}
+        removed_files = 0
+        for s in drop:
+            for f in s["files"]:
+                if f["path"] not in referenced:
+                    full = os.path.join(self.path, f["path"])
+                    if os.path.exists(full):
+                        os.remove(full)
+                        removed_files += 1
+                    referenced.add(f["path"])  # count each orphan once
+            os.remove(
+                os.path.join(self.path, "snapshots", f"snap-{s['snapshot_id']:08d}.json")
+            )
+        return {"snapshots_removed": len(drop), "files_removed": removed_files}
+
     def _write_snapshot(self, snap: dict) -> None:
         name = f"snap-{snap['snapshot_id']:08d}.json"
         _atomic_write_json(os.path.join(self.path, "snapshots", name), snap)

@@ -1,0 +1,81 @@
+"""Snapshot time travel and retention (LakeTable.snapshot_at /
+expire_snapshots) — the table-maintenance surface compaction and COW
+merges rely on for space reclamation."""
+
+from __future__ import annotations
+
+import os
+
+from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log, reference_fold
+from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+from csv_cruncher_spark.lake.table import LakeTable
+
+
+def _mk_log(tmp_path, n_batches=3, seed=31):
+    return generate_change_log(
+        ChangeLogSpec(
+            n_urls=120,
+            n_batches=n_batches,
+            events_per_batch=150,
+            seed=seed,
+            out_dir=str(tmp_path / "batches"),
+        )
+    )
+
+
+def test_time_travel_reads_past_epochs(spark, tmp_path):
+    paths = _mk_log(tmp_path)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=4).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+
+    # state as of epoch 0 == reference fold of the first batch only
+    want0 = reference_fold(paths[:1])
+    snap0 = t.snapshot_at(0)
+    got0 = {r["url"] for r in t.read(spark, snap=snap0).collect()}
+    assert got0 == set(want0)
+
+    # full history == fold of everything
+    got_all = {r["url"] for r in t.read(spark).collect()}
+    assert got_all == set(reference_fold(paths))
+
+
+def test_expire_snapshots_reclaims_files(spark, tmp_path):
+    paths = _mk_log(tmp_path, seed=32)
+    p = str(tmp_path / "lake")
+    pipe = CdcPipeline(p, n_buckets=4, compact_every=10**6)
+    pipe.run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    t.compact(spark)  # replaced delta files stay on disk for time travel
+
+    before_state = sorted(
+        tuple(r) for r in t.read(spark).select("url", "lang").collect()
+    )
+    n_snaps_before = len(t.snapshot_history())
+    assert n_snaps_before >= 4  # create + 3 batches + compaction
+
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["snapshots_removed"] == n_snaps_before - 1
+    assert stats["files_removed"] > 0
+    assert len(t.snapshot_history()) == 1
+
+    # current view unaffected; every referenced file still exists
+    after_state = sorted(
+        tuple(r) for r in t.read(spark).select("url", "lang").collect()
+    )
+    assert after_state == before_state
+    for f in t.snapshot()["files"]:
+        assert os.path.exists(os.path.join(p, f["path"]))
+
+
+def test_expire_keeps_time_travel_window(spark, tmp_path):
+    paths = _mk_log(tmp_path, seed=33)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=4).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    t.expire_snapshots(keep_last=2)
+    hist = t.snapshot_history()
+    assert len(hist) == 2
+    # the retained older snapshot is still readable
+    older = hist[0]
+    assert t.read(spark, snap=older).count() >= 0
