@@ -106,11 +106,14 @@ class CdcPipeline:
         broadcast_winner_limit: int | None = None,
         mode: str = "mor",
         compact_every: int = 16,
+        keep_snapshots: int | None = None,
     ):
         """``mode='mor'`` (default): O(batch) delta appends with read-time
         LWW resolution, auto-compacted every ``compact_every`` stacked
         delta epochs. ``mode='cow'``: eager copy-on-write merge per batch
-        (the compaction/bulk-load path)."""
+        (the compaction/bulk-load path). ``keep_snapshots``: if set,
+        expire older snapshots (and their orphaned files) after each
+        compaction — bounds on-disk history for long replays."""
         from ..lake.merge import BROADCAST_WINNER_LIMIT
 
         if mode not in ("mor", "cow"):
@@ -120,6 +123,7 @@ class CdcPipeline:
         self.n_buckets = n_buckets
         self.mode = mode
         self.compact_every = compact_every
+        self.keep_snapshots = keep_snapshots
         self.broadcast_winner_limit = (
             BROADCAST_WINNER_LIMIT if broadcast_winner_limit is None else broadcast_winner_limit
         )
@@ -230,6 +234,8 @@ class CdcPipeline:
             )
             if table.delta_epoch_depth(new_snap) >= self.compact_every:
                 new_snap = table.compact(spark)
+                if self.keep_snapshots is not None:
+                    table.expire_snapshots(keep_last=self.keep_snapshots)
         else:
             new_snap = apply_batch(
                 spark,
