@@ -34,6 +34,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _utc(spark: SparkSession) -> None:
+    """Pin the session timezone for queries that convert naive (NTZ)
+    timestamps to epochs: Spark's unix_timestamp/unix_micros interpret
+    NTZ in the SESSION timezone while the DuckDB oracle's epoch() treats
+    naive as UTC — without this, a non-UTC driver session would shift
+    every epoch value."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # deterministic 64-dim probe vector for similarity queries
 _QUERY_VEC = [0.125] * 64
 _QUERY_VEC_SQL = "[" + ", ".join("0.125" for _ in range(64)) + "]::DOUBLE[]"
@@ -66,6 +75,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-way join + agg + deterministic top-k."""
+    _utc(spark)
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1999-01-01")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1999-01-01")
@@ -136,6 +146,7 @@ def window_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregation over the event stream (batch view)."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
@@ -149,6 +160,7 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min gap rule via lag + cumulative sum."""
+    _utc(spark)
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # parquet timestamps are NTZ; session tz is UTC so LTZ cast is identity
