@@ -132,6 +132,25 @@ class LakeTable:
         with open(os.path.join(self.path, "snapshots", ptr["snapshot"])) as f:
             return json.load(f)
 
+    def read_keys(
+        self, spark: SparkSession, keys: list[str], snap: dict | None = None
+    ) -> DataFrame:
+        """Point lookup: current rows for specific keys. The bucket of a
+        key is derivable driver-side (same xxhash the writer used), so
+        the scan touches only the buckets the keys hash into — at 4096
+        buckets a 10-url lookup reads ≤10/4096 of the table, deltas
+        included, before the usual read-time resolution."""
+        snap = snap or self.snapshot()
+        n = snap["n_buckets"]
+        kdf = spark.createDataFrame([(k,) for k in keys], f"{snap['key_col']}: string")
+        buckets = sorted(
+            r["b"] for r in kdf.select(
+                bucket_expr(snap["key_col"], n).alias("b")
+            ).distinct().collect()
+        )
+        df = self.read(spark, snap=snap, buckets=buckets)
+        return df.filter(F.col(snap["key_col"]).isin(keys))
+
     def snapshot_history(self) -> list[dict]:
         """All retained snapshots, oldest first."""
         sdir = os.path.join(self.path, "snapshots")

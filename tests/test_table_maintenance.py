@@ -79,3 +79,18 @@ def test_expire_keeps_time_travel_window(spark, tmp_path):
     # the retained older snapshot is still readable
     older = hist[0]
     assert t.read(spark, snap=older).count() >= 0
+
+
+def test_read_keys_point_lookup(spark, tmp_path):
+    """Keyed lookup prunes to the buckets the keys hash into and returns
+    exactly the current rows for those keys (deltas resolved)."""
+    paths = _mk_log(tmp_path, seed=34)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=8, compact_every=10**6).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    want = reference_fold(paths)
+    some = sorted(want)[:3] + ["https://nowhere.example.com/missing"]
+    got = {r["url"]: r["lang"] for r in t.read_keys(spark, some).collect()}
+    assert set(got) == set(some) - {"https://nowhere.example.com/missing"}
+    for u in got:
+        assert got[u] == want[u]["lang"]
