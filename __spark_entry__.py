@@ -352,11 +352,55 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
             F.round(F.var_samp("l_discount"), 2).alias("var_disc"),
-            F.round(F.corr("l_quantity", "l_extendedprice"), 2).alias("corr_qty_price"),
+            # + 0.0 folds IEEE -0.0 to 0.0 (DuckDB's round(corr) can emit
+            # -0.0 where Spark emits 0.0 — r1 hash artifact); same on oracle
+            (F.round(F.corr("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias(
+                "corr_qty_price"
+            ),
             F.count("*").alias("n"),
         )
         .orderBy("l_returnflag")
     )
+
+
+def recursive_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (reference advertises recursive queries,
+    /root/reference/README.md:31-32; HSQLDB executes them natively).
+    Spark 4.1 executes WITH RECURSIVE — transitive ancestor walk over a
+    synthetic parent chain (parent(n) = n - 5) derived from nation."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(nationkey, anc, depth) AS (
+          SELECT CAST(n_nationkey AS BIGINT), CAST(n_nationkey AS BIGINT),
+                 CAST(0 AS BIGINT) FROM nation
+          UNION ALL
+          SELECT c.nationkey, CAST(n.n_nationkey AS BIGINT), c.depth + 1
+          FROM chain c JOIN nation n ON n.n_nationkey = c.anc - 5
+          WHERE c.anc >= 5
+        )
+        SELECT nationkey, max(depth) AS depth, min(anc) AS root_key
+        FROM chain GROUP BY nationkey ORDER BY nationkey
+        """
+    )
+
+
+def json_leaves_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonLeaves parity (reference util/SqlFunctions.kt:77-89,143-176):
+    per array element, extract the scalar at the leaves subpath; the
+    byte-parity text form serializes the array like HSQLDB (which cannot
+    return ARRAY). The nested array JSON is constructed from event data."""
+    from csv_cruncher_spark.functions import json_leaves_text
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    j = F.format_string(
+        '{"items": [{"v": %s}, {"v": %s}]}',
+        F.get_json_object("props", "$.k"),
+        F.col("event_id").cast("string"),
+    )
+    return ev.select(
+        "event_id", json_leaves_text(j, "items", "v").alias("leaves")
+    ).orderBy("event_id")
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,6 +449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "parts_starting_with": parts_starting_with,
         "lineitem_stats": lineitem_stats,
+        "recursive_nation_rollup": recursive_nation_rollup,
+        "json_leaves_props": json_leaves_props,
     }
 
 
@@ -449,7 +495,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    round(stddev_samp(l_quantity), 2) AS sd_qty,
                    round(var_samp(l_discount), 2) AS var_disc,
-                   round(corr(l_quantity, l_extendedprice), 2) AS corr_qty_price,
+                   round(corr(l_quantity, l_extendedprice), 2) + 0.0 AS corr_qty_price,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
@@ -517,7 +563,7 @@ def oracle_sql() -> dict[str, str]:
                                                            ORDER BY ts, event_id)) AS gap_us
               FROM events)
             SELECT user_id,
-                   sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END) AS n_sessions,
+                   sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
                    count(*) AS n_events
             FROM g GROUP BY user_id ORDER BY user_id
         """,
@@ -585,6 +631,50 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "recursive_nation_rollup": """
+            WITH RECURSIVE chain(nationkey, anc, depth) AS (
+              SELECT n_nationkey::BIGINT, n_nationkey::BIGINT, 0::BIGINT FROM nation
+              UNION ALL
+              SELECT c.nationkey, n.n_nationkey::BIGINT, c.depth + 1
+              FROM chain c JOIN nation n ON n.n_nationkey = c.anc - 5
+              WHERE c.anc >= 5
+            )
+            SELECT nationkey, max(depth) AS depth, min(anc) AS root_key
+            FROM chain GROUP BY nationkey ORDER BY nationkey
+        """,
+        "json_leaves_props": """
+            SELECT event_id,
+                   to_json([json_extract_string(j, '$.items[0].v'),
+                            json_extract_string(j, '$.items[1].v')])::VARCHAR AS leaves
+            FROM (SELECT event_id,
+                         '{"items": [{"v": ' || json_extract_string(props, '$.k')
+                         || '}, {"v": ' || event_id || '}]}' AS j
+                  FROM events WHERE event_id < 500) t
+            ORDER BY event_id
+        """,
+        "ngram_jaccard_near_dups": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM documents
+            ),
+            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            f AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.id = common.id_a
+                        JOIN sizes sb ON sb.id = common.id_b
+            WHERE n_common / (sa.n + sb.n - n_common) >= 0.4
+            ORDER BY id_a, id_b
         """,
         "embedding_cosine_topk": f"""
             SELECT vec_id,

@@ -1,4 +1,10 @@
-from .json_funcs import json_leaf, json_leaves, json_subtree, slash_path_to_jsonpath
+from .json_funcs import (
+    json_leaf,
+    json_leaves,
+    json_leaves_text,
+    json_subtree,
+    slash_path_to_jsonpath,
+)
 from .infer import CandidateType, infer_and_cast, infer_column_types
 from .scalars import starts_with
 
@@ -6,6 +12,7 @@ __all__ = [
     "json_subtree",
     "json_leaf",
     "json_leaves",
+    "json_leaves_text",
     "slash_path_to_jsonpath",
     "CandidateType",
     "infer_column_types",

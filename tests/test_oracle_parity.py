@@ -30,21 +30,25 @@ def duck():
     return con
 
 
-def _normalize(rows, columns):
-    """Sort columns by name, normalize floats, return a sorted multiset."""
-    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+def _normalize_pdf(pdf):
+    """Driver-faithful normalization: go through pandas (like the driver's
+    hash does), sort columns by name, keep dtype distinctions — an int64
+    column and a float64 column holding the same numbers must MISMATCH
+    (that is exactly the HUGEINT→float64 artifact that slipped past the
+    fetchall()-based round-1 version of this test), and -0.0 stays
+    distinct from 0.0."""
+    pdf = pdf[sorted(pdf.columns)]
+    kinds = tuple(pdf[c].dtype.kind for c in pdf.columns)
     out = []
-    for row in rows:
+    for row in pdf.itertuples(index=False):
         vals = []
-        for i in idx:
-            v = row[i]
+        for v in row:
             if isinstance(v, float):
-                v = 0.0 if v == 0 else round(v, 9)
-                if math.isnan(v):
-                    v = "NaN"
+                # tolerate sub-1e-9 engine noise only; sign of zero survives
+                v = "NaN" if math.isnan(v) else round(v, 9)
             vals.append(repr(v))
         out.append(tuple(vals))
-    return sorted(out)
+    return kinds, sorted(out)
 
 
 ORACLED = sorted(entrymod.oracle_sql().keys())
@@ -55,20 +59,25 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sdf = q(spark, SF_DIR)
-    spark_cols = sdf.columns
-    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_pdf = sdf.toPandas()
 
-    res = duck.execute(entrymod.oracle_sql()[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pdf = duck.execute(entrymod.oracle_sql()[name]).fetchdf()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column names differ: spark={spark_cols} duck={duck_cols}"
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), (
+        f"{name}: column names differ: spark={list(spark_pdf.columns)} "
+        f"duck={list(duck_pdf.columns)}"
     )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row counts differ: spark={len(spark_rows)} duck={len(duck_rows)}"
+    assert len(spark_pdf) == len(duck_pdf), (
+        f"{name}: row counts differ: spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
-    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    (sk, ns), (dk, nd) = _normalize_pdf(spark_pdf), _normalize_pdf(duck_pdf)
+    # dtype KINDS must agree column-by-column (int vs float is a driver
+    # hash mismatch even when values print the same)
+    norm = {"u": "i", "b": "i"}  # unsigned/bool fold into int kind
+    assert [norm.get(k, k) for k in sk] == [norm.get(k, k) for k in dk], (
+        f"{name}: dtype kinds differ on sorted columns "
+        f"{sorted(spark_pdf.columns)}: spark={sk} duck={dk}"
+    )
     mism = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b][:5]
     assert ns == nd, f"{name}: value mismatch at sorted rows {mism}: " + "; ".join(
         f"spark={ns[i]} duck={nd[i]}" for i in mism
