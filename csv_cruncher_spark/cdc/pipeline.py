@@ -61,6 +61,7 @@ def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
     parallelism. The 2^20 factor is safe while a split holds < 1M lines —
     guaranteed by maxPartitionBytes ≤ 128 MiB and base64-html lines > 128 B.
     """
+    _check_split_bound(spark)
     if path.endswith(".json"):
         # JSON-lines batches are split-parallel the same way
         raw = spark.read.json(path)
@@ -74,7 +75,10 @@ def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
             F.col("_metadata.file_block_start") * F.lit(1 << 20) + local_counter
         ).alias("row_idx"),
     )
-    df = df.withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    # try_to_timestamp: malformed warc_ts → NULL (ANSI to_timestamp would
+    # kill the replay); a null-version event loses LWW to any non-null
+    # existing row — identical rule in all three merge strategies
+    df = df.withColumn("warc_ts", F.try_to_timestamp("warc_ts"))
     df = df.withColumn("html", F.unbase64(F.col("html")))
     for c in cols:
         if c in ("op", "url", "warc_ts", "html"):
@@ -82,6 +86,34 @@ def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
         if c in ("fetch_status",):
             df = df.withColumn(c, F.col(c).cast("int"))
     return df
+
+
+_SIZE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+ROW_IDX_SPLIT_BOUND = 128 << 20  # 128 MiB: the bound the 2^20 gap math assumes
+
+
+def _parse_bytes(v: str) -> int:
+    """Parse Spark byte-size conf strings ('134217728b', '8m', '128')."""
+    s = str(v).strip().lower().removesuffix("ib")
+    if s and s[-1] in _SIZE_SUFFIX:
+        return int(float(s[:-1]) * _SIZE_SUFFIX[s[-1]])
+    return int(s)
+
+
+def _check_split_bound(spark: SparkSession) -> None:
+    """Enforce the convention row_idx's gap math relies on (don't trust
+    callers): with maxPartitionBytes > 128 MiB, a tombstone-heavy batch
+    (~50-byte lines) could exceed 2^20 lines per split and the
+    block_start*2^20 + local-counter key would stop being monotone in
+    file order, silently mis-breaking LWW warc_ts ties."""
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    if _parse_bytes(raw) > ROW_IDX_SPLIT_BOUND:
+        raise ValueError(
+            f"spark.sql.files.maxPartitionBytes={raw} exceeds the "
+            f"{ROW_IDX_SPLIT_BOUND}-byte bound read_change_batch's row_idx "
+            "ordering assumes (<= 1M lines per split); set it to 128m or "
+            "lower (get_spark's default is safe)"
+        )
 
 
 def batch_meta(path: str) -> dict:

@@ -115,11 +115,18 @@ def _merge_broadcast(
     data_cols = [f["name"] for f in cur_fields]
     wmeta = winners.select(F.col(key), F.col("warc_ts").alias("__w_ts"))
     # stale set: usually a tiny fraction of winners (late/out-of-order
-    # events that lost to current state) — broadcast payload is just urls
+    # events that lost to current state) — broadcast payload is just urls.
+    # A null-__w_ts winner (unparseable warc_ts nulled by to_timestamp)
+    # loses to any non-null existing row — same predicate as
+    # _merge_shuffle's winner_applies and the MOR read fold, so all three
+    # strategies produce identical table state for null-version events.
     stale = (
         old.select(key, "warc_ts")
         .join(F.broadcast(wmeta), key, "inner")
-        .filter(F.col("warc_ts").isNotNull() & (F.col("__w_ts") < F.col("warc_ts")))
+        .filter(
+            F.col("warc_ts").isNotNull()
+            & (F.col("__w_ts").isNull() | (F.col("__w_ts") < F.col("warc_ts")))
+        )
         .select(key)
         .persist()
     )
@@ -146,9 +153,15 @@ def _merge_shuffle(
 
     has_winner = F.col(f"w.{key}").isNotNull()
     has_old = F.col(f"o.{key}").isNotNull()
-    # stale: an existing row with strictly newer warc_ts beats the event
+    # stale: an existing row with strictly newer warc_ts beats the event.
+    # The w-side comparison must be NULL-SAFE: a null-__w_ts winner vs a
+    # non-null old row would otherwise make winner_applies NULL, failing
+    # BOTH the keep_old and applied filters and silently dropping the row
+    # (same rule as the MOR fold: e.vcol IS NOT NULL AND e.vcol >= acc.vcol)
     winner_applies = has_winner & (
-        ~has_old | F.col("o.warc_ts").isNull() | (F.col("w.warc_ts") >= F.col("o.warc_ts"))
+        ~has_old
+        | F.col("o.warc_ts").isNull()
+        | (F.col("w.warc_ts").isNotNull() & (F.col("w.warc_ts") >= F.col("o.warc_ts")))
     )
     keep_old = has_old & (~winner_applies)
     old_rows = joined.filter(keep_old).select(

@@ -92,8 +92,19 @@ def salted_join(
     ``salt_buckets`` shuffle partitions instead of one.
 
     Cost model: small side grows ``salt_buckets``× — keep it the DIM side.
-    Result is bit-identical to ``big.join(small, on, how)``.
+    Result is bit-identical to ``big.join(small, on, how)`` for the
+    supported ``how`` values. right/full outer joins are rejected: the
+    exploded small side would emit each unmatched small row
+    ``salt_buckets`` times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: replicating the "
+            "small side breaks right/full outer semantics (unmatched small "
+            f"rows would duplicate salt_buckets times); allowed: {sorted(allowed)}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     b = with_salt(big, salt_buckets)
     s = explode_salt(small, salt_buckets)

@@ -184,9 +184,15 @@ class LakeTable:
         keep = history[-keep_last:]
         drop = history[:-keep_last]
         current = self.snapshot()
-        assert any(s["snapshot_id"] == current["snapshot_id"] for s in keep), (
-            "refusing to expire the current snapshot"
-        )
+        # hard error, not assert: under `python -O` a stripped assert would
+        # let a keep window that excludes the live manifest's snapshot
+        # delete files the manifest still references (table corruption)
+        if not any(s["snapshot_id"] == current["snapshot_id"] for s in keep):
+            raise ValueError(
+                "refusing to expire the current snapshot "
+                f"(id={current['snapshot_id']}): keep_last={keep_last} "
+                "excludes the manifest-referenced snapshot"
+            )
         referenced = {f["path"] for s in keep for f in s["files"]}
         removed_files = 0
         for s in drop:

@@ -60,6 +60,17 @@ def test_salted_join_left_outer(spark, skewed):
     assert got == plain
 
 
+def test_salted_join_rejects_outer(spark, skewed):
+    """right/full outer would duplicate unmatched small-side rows
+    salt_buckets times (the small side is exploded) — must raise."""
+    import pytest as _pytest
+
+    dims = spark.createDataFrame([("k1", "A")], ["domain", "label"])
+    for how in ("right", "full", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="salted_join"):
+            salt.salted_join(skewed, dims, "domain", how=how)
+
+
 def test_salt_is_deterministic(skewed):
     a = salt.with_salt(skewed, 8).groupBy(salt.SALT_COL).count().collect()
     b = salt.with_salt(skewed, 8).groupBy(salt.SALT_COL).count().collect()
@@ -96,12 +107,65 @@ def test_decode_metadata_fake_format(media):
     assert got[4]["format"] == "unknown"
 
 
-def test_decode_real_format_raises(spark):
-    df = spark.createDataFrame(
-        [(1, b"\x89PNG\r\n\x1a\nrest")], "media_id: int, media: binary"
+def _png(width, height):
+    import struct as _s
+
+    return (
+        b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + b"IHDR"
+        + _s.pack(">II", width, height) + b"\x08\x02\x00\x00\x00" + b"\x00" * 4
     )
-    with pytest.raises(Exception, match="codec library"):
-        multimodal.decode_metadata(df).collect()
+
+
+def _gif(width, height):
+    import struct as _s
+
+    return b"GIF89a" + _s.pack("<HH", width, height) + b"\x00" * 6
+
+
+def _wav(rate):
+    import struct as _s
+
+    return (
+        b"RIFF" + _s.pack("<I", 36) + b"WAVE" + b"fmt " + _s.pack("<I", 16)
+        + _s.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16) + b"data" + _s.pack("<I", 0)
+    )
+
+
+def _jpeg(width, height):
+    import struct as _s
+
+    # SOI | APP0 (minimal) | SOF0 carrying the dimensions
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", height, width) + b"\x01"
+    return b"\xff\xd8" + app0 + sof0
+
+
+def test_decode_real_format_headers(spark):
+    """Real-format METADATA is a stdlib byte parse (PNG IHDR, GIF screen
+    descriptor, JPEG SOF, RIFF/WAVE fmt) — no codec library needed; only
+    pixel/sample work stays stubbed (round-1 verdict item 9)."""
+    df = spark.createDataFrame(
+        [
+            (1, _png(640, 480)),
+            (2, _gif(320, 200)),
+            (3, _wav(44100)),
+            (4, _jpeg(800, 600)),
+        ],
+        "media_id: int, media: binary",
+    )
+    got = {r["media_id"]: r["meta"] for r in multimodal.decode_metadata(df).collect()}
+    assert (got[1]["format"], got[1]["width"], got[1]["height"]) == ("png", 640, 480)
+    assert (got[2]["format"], got[2]["width"], got[2]["height"]) == ("gif", 320, 200)
+    assert (got[3]["format"], got[3]["sample_rate"]) == ("wav", 44100)
+    assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("jpeg", 800, 600)
+
+
+def test_resize_real_format_still_raises(spark):
+    df = spark.createDataFrame(
+        [(1, _png(640, 480))], "media_id: int, media: binary"
+    )
+    with pytest.raises(Exception, match="codec"):
+        multimodal.resize_stub(df, width=10, height=10).collect()
 
 
 def test_media_features_deterministic_and_partition_invariant(media):
@@ -159,6 +223,36 @@ def test_ivf_full_probe_equals_brute_force(spark):
         df, "vec_id", "embedding", q, k=10, n_centroids=4, n_probe=4
     ).collect()
     assert [tuple(r) for r in ivf] == [tuple(r) for r in exact]
+
+
+def test_ivf_assign_is_shuffle_free_and_weighted(spark):
+    """Round-1 verdict fix: assignment must be a pure projection (no
+    Exchange whose key is the embedding — in fact no Exchange at all),
+    and duplicate vectors must each count toward their cluster mean."""
+    from csv_cruncher_spark.operators import similarity
+
+    rows = [(i, [float(i % 3), 1.0]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id: long, v: array<double>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [2.0, 1.0])], "centroid_id: int, centroid: array<double>"
+    )
+    assigned = similarity.ivf_assign(df, "vec_id", "v", cents)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"assignment plan shuffles:\n{plan}"
+    got = {r["vec_id"]: r["centroid_id"] for r in assigned.collect()}
+    # x=0 and x=1 → centroid 0 (d2 1 vs 4 / 0 vs 1); x=2 → centroid 1
+    for i in range(30):
+        assert got[i] == (0 if i % 3 < 2 else 1)
+
+    # weighted means: 10 copies of [9,9] and 1 of [0,0] in one cluster →
+    # mean is pulled to (90/11, 90/11), not the duplicate-collapsed 4.5
+    dup = spark.createDataFrame(
+        [(i, [9.0, 9.0]) for i in range(10)] + [(99, [0.0, 0.0])],
+        "vec_id: long, v: array<double>",
+    )
+    trained = similarity.ivf_train_centroids(dup, "v", n_centroids=1, iterations=1)
+    c = list(trained.collect()[0]["centroid"])
+    assert abs(c[0] - 90.0 / 11.0) < 1e-9 and abs(c[1] - 90.0 / 11.0) < 1e-9
 
 
 def test_ivf_partial_probe_recall(spark):

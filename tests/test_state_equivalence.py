@@ -124,6 +124,72 @@ def test_broadcast_and_shuffle_merge_agree(spark, change_log):
     assert LakeTable.load(ps).snapshot()["metrics"]["last_batch_strategy"] == "shuffle"
 
 
+def test_read_change_batch_rejects_oversized_splits(spark, change_log):
+    """The row_idx gap math assumes <= 1M lines per split; the reader must
+    refuse a session configured past the 128 MiB bound rather than
+    silently mis-ordering LWW ties on tombstone-heavy batches."""
+    from csv_cruncher_spark.cdc.pipeline import read_change_batch
+
+    _d, paths = change_log
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "512m")
+        with pytest.raises(ValueError, match="maxPartitionBytes"):
+            read_change_batch(spark, paths[0])
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_null_warc_ts_winner_agrees_across_strategies(spark, tmp_path):
+    """An event whose warc_ts fails to parse (to_timestamp → NULL) must be
+    treated as stale against any non-null existing row by ALL THREE merge
+    paths (broadcast, shuffle, MOR) — the round-1 advice found the
+    broadcast path silently applying it (NULL comparison dropped the row
+    from the stale set) while the other two kept the old row."""
+    import base64
+    import csv as _csv
+
+    from csv_cruncher_spark.cdc.fixtures import BATCH_COLUMNS_V1, make_html
+
+    bdir = tmp_path / "batches"
+    bdir.mkdir()
+    u1 = "https://d1.example.com/page/1"
+    u2 = "https://d1.example.com/page/2"
+    h0 = make_html(u1, 1_704_100_000, 3)
+    h1 = make_html(u1, 1_704_200_000, 9)
+    h2 = make_html(u2, 1_704_300_000, 5)
+    rows0 = [("I", u1, "2024-01-02 00:00:00", base64.b64encode(h0).decode(), "en")]
+    rows1 = [
+        # null-ts update for an EXISTING url: must lose to the old row
+        ("U", u1, "not-a-timestamp", base64.b64encode(h1).decode(), "de"),
+        # null-ts insert for a NEW url: must apply (no old row to lose to)
+        ("I", u2, "also-garbage", base64.b64encode(h2).decode(), "fr"),
+    ]
+    for i, rows in enumerate((rows0, rows1)):
+        with open(bdir / f"batch-{i:05d}.csv", "w", newline="") as f:
+            w = _csv.writer(f)
+            w.writerow(BATCH_COLUMNS_V1)
+            w.writerows(rows)
+
+    states = {}
+    for name, kwargs in {
+        "mor": dict(mode="mor"),
+        "bcast": dict(mode="cow", broadcast_winner_limit=10**9),
+        "shuf": dict(mode="cow", broadcast_winner_limit=0),
+    }.items():
+        p = str(tmp_path / f"lake_{name}")
+        CdcPipeline(p, n_buckets=2, **kwargs).run(spark, str(bdir))
+        states[name] = _table_state(spark, p)
+
+    assert states["mor"] == states["bcast"] == states["shuf"]
+    # the non-null old row survived the null-ts update
+    assert states["mor"][u1]["lang"] == "en"
+    assert states["mor"][u1]["html"] == h0
+    # the null-ts insert on a fresh url applied
+    assert states["mor"][u2]["lang"] == "fr"
+    assert states["mor"][u2]["warc_ts"] is None
+
+
 def test_mor_replay_matches_reference_and_cow(spark, change_log):
     """Merge-on-read (delta + read-time resolution, the default mode)
     must equal both the eager COW replay and the sequential reference
