@@ -86,7 +86,9 @@ class ImportSpec:
     ignore_line_regex: str | None = None
     quote: str = "'"                   # HSQLDB input binding qc=' (HsqlDbTableCreator.kt:167)
     infer_types: bool = True           # A10; False = all-string like phase 1
-    indexed: list[str] = field(default_factory=list)  # A11 — becomes a repartition hint
+    # A11 — becomes a repartition hint; entries are column NAMES or 1-based
+    # POSITIONS (int or digit string), reference HsqlDbTableCreator.kt:31-52
+    indexed: list[str | int] = field(default_factory=list)
     array_mode: str = "json"           # 'stub' for JsonFileFlattener.kt:116 parity
 
 
@@ -175,34 +177,44 @@ class Cruncher:
                     .toDF(*header)
                 )
         else:
-            # distributed line-level path: text scan → per-file line skip →
-            # regex drop (A6's ignoreLineRegex) → from_csv parse
-            parts = []
+            # distributed line-level path (A6: ignore_first_lines > 1 /
+            # ignoreLineRegex), 100% Catalyst — round-1 fix: the old RDD
+            # zipWithIndex ran one extra job per file and pushed every line
+            # through Python. Now: ONE text scan of all files; in-file line
+            # numbers from a window partitioned by file path, ordered by the
+            # split-stable key file_block_start*2^20 + local counter (the
+            # cdc/pipeline.py read_change_batch trick, correct under
+            # split-parallel scans); skip + regex drop stay JVM-side
+            # (rlike). The window's per-file shuffle is the unavoidable
+            # cost of per-file line numbering — each file hashes to one
+            # task, so parallelism = number of files, which matches the
+            # per-file sequential semantics of "skip the first N lines".
             schema_ddl = ", ".join(f"`{c}` string" for c in header)
-            for f in files:
-                lines = spark.read.text(f).rdd.zipWithIndex()
-                kept = lines.filter(
-                    lambda t, n=spec.ignore_first_lines: t[1] >= n
-                ).map(lambda t: (t[0]["value"],))
-                ldf = spark.createDataFrame(kept, "line: string")
-                if spec.ignore_line_regex:
-                    ldf = ldf.filter(~F.col("line").rlike(spec.ignore_line_regex))
-                parsed = ldf.select(
-                    F.from_csv(
-                        "line",
-                        schema_ddl,
-                        {
-                            "quote": spec.quote,
-                            "escape": spec.quote,
-                            "ignoreLeadingWhiteSpace": "true",
-                            "ignoreTrailingWhiteSpace": "true",
-                        },
-                    ).alias("r")
-                ).select("r.*")
-                parts.append(parsed)
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p)
+            local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            ord_key = F.col("_metadata.file_block_start") * F.lit(1 << 20) + local
+            txt = spark.read.text(files).select(
+                F.col("value").alias("line"),
+                F.col("_metadata.file_path").alias("__f"),
+                ord_key.alias("__ord"),
+            )
+            w = Window.partitionBy("__f").orderBy("__ord")
+            kept = txt.withColumn("__ln", F.row_number().over(w)).filter(
+                F.col("__ln") > spec.ignore_first_lines
+            )
+            if spec.ignore_line_regex:
+                kept = kept.filter(~F.col("line").rlike(spec.ignore_line_regex))
+            df = kept.orderBy("__f", "__ord").select(
+                F.from_csv(
+                    "line",
+                    schema_ddl,
+                    {
+                        "quote": spec.quote,
+                        "escape": spec.quote,
+                        "ignoreLeadingWhiteSpace": "true",
+                        "ignoreTrailingWhiteSpace": "true",
+                    },
+                ).alias("r")
+            ).select("r.*")
         if spec.infer_types:
             df = infer_and_cast(df)
         return df
@@ -255,7 +267,9 @@ class Cruncher:
                 if spec.indexed:
                     # A11: no indexes in Spark — co-locate on the declared
                     # key so downstream joins/aggs on it avoid a shuffle
-                    df = df.repartition(*[F.col(c) for c in spec.indexed if c in df.columns])
+                    cols = resolve_indexed_columns(spec.indexed, df.columns)
+                    if cols:
+                        df = df.repartition(*[F.col(c) for c in cols])
                 df.createOrReplaceTempView(name)
                 tables.append(InputTable(name=name, df=df, files=gfiles))
         return tables
@@ -387,15 +401,67 @@ def add_crunch_counter(df: DataFrame, initial: int) -> DataFrame:
     )
 
 
+def resolve_indexed_columns(indexed: list[str | int], columns: list[str]) -> list[str]:
+    """Reference parity for ``-indexed``: entries may be column names or
+    1-BASED positions translated to names (HsqlDbTableCreator.kt:31-52,
+    parsed by app/OptionsParser.kt:126-135). Unknown names are skipped
+    (the column may belong to another input table); out-of-range
+    positions are a config error."""
+    out: list[str] = []
+    for x in indexed:
+        if isinstance(x, int) or (isinstance(x, str) and x.isdigit()):
+            pos = int(x)
+            if not 1 <= pos <= len(columns):
+                raise ConfigError(
+                    f"-indexed position {pos} out of range 1..{len(columns)}"
+                )
+            out.append(columns[pos - 1])
+        elif x in columns:
+            out.append(x)
+    return out
+
+
+def split_sql_statements(content: str) -> list[str]:
+    """Split a SQL script on ';' statement boundaries, respecting single/
+    double-quoted strings (with '' doubling), backtick identifiers, and
+    ``--`` line comments — so INSERT ... VALUES ('a;b') survives intact."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(content)
+    quote: str | None = None
+    while i < n:
+        ch = content[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                if ch in "'\"" and i + 1 < n and content[i + 1] == quote:
+                    buf.append(quote)  # doubled quote stays inside the string
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == "-" and content[i : i + 2] == "--":
+            nl = content.find("\n", i)
+            i = (n if nl == -1 else nl) - 1  # drop comment to end of line
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+        i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
 def run_init_sql(spark: SparkSession, script_path: str) -> None:
     """Execute an init-SQL script statement-by-statement
     (HsqlDbHelper.kt:207-216; test data src/test/data/init.sql)."""
     with open(script_path, encoding="utf-8") as f:
         content = f.read()
-    for stmt in content.split(";"):
-        stmt = stmt.strip()
-        if stmt and not stmt.startswith("--"):
-            spark.sql(stmt)
+    for stmt in split_sql_statements(content):
+        spark.sql(stmt)
 
 
 def _first_line(path: str) -> str:
