@@ -84,11 +84,36 @@ def minhash_signatures(
     )
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Degenerate-bucket guard for band self-joins (round-1 verdict fix):
+    a band shared by k docs costs k² in the pair join, and pathological
+    corpora (thousands of empty/near-empty docs with identical signatures)
+    make k the corpus size. Buckets over ``max_bucket`` carry no near-dup
+    signal worth k² work — drop them BEFORE the join (the band-join
+    analogue of ngram_jaccard_pairs' max_df stop-shingle cutoff). One
+    extra hash-agg on the band keys (map-side combined), no extra scan of
+    the documents."""
+    if max_bucket is None:
+        return banded
+    ok = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") <= max_bucket)
+        .select(*keys)
+    )
+    return banded.join(ok, keys, "left_semi")
+
+
 def lsh_candidate_pairs(
-    sig_df: DataFrame, id_col: str, n_hashes: int = 64, bands: int = 16
+    sig_df: DataFrame,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """Banded LSH: equal band → candidate pair. Returns distinct (id_a, id_b),
-    id_a < id_b. The self-join shuffles on (band, band_hash) — bucket-local."""
+    id_a < id_b. The self-join shuffles on (band, band_hash) — bucket-local;
+    buckets larger than ``max_bucket`` are dropped first (see _cap_buckets)."""
     rows = n_hashes // bands
     banded = sig_df.select(
         F.col(id_col).alias("id"),
@@ -109,6 +134,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -131,11 +157,18 @@ def minhash_dedup_pairs(
     n_hashes: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
+    max_bucket: int | None = 500,
 ) -> DataFrame:
     """End-to-end MinHash-LSH near-dup candidates with estimated Jaccard
-    (fraction of matching minhashes) attached."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
-    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands)
+    (fraction of matching minhashes) attached.
+
+    The signature frame feeds three join branches (banding + both rerank
+    sides) — persisted so the shingle explode + 64 min-aggregates run ONCE
+    per action, not three times. Duplicate groups larger than
+    ``max_bucket`` are the exact-dedup operator's job (run exact_dedup
+    first); their band buckets are dropped here to bound the self-join."""
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).persist()
+    pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands, max_bucket)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = F.expr(
@@ -168,9 +201,16 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return agg.select(id_col, sig.alias("simhash"))
 
 
-def simhash_candidates(df: DataFrame, id_col: str, text_col: str, band_bits: int = 16) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_bits: int = 16,
+    max_bucket: int | None = 500,
+) -> DataFrame:
     """Near-dup candidates: documents sharing any 16-bit simhash band
-    (Hamming-distance screening via the pigeonhole principle)."""
+    (Hamming-distance screening via the pigeonhole principle). Buckets
+    over ``max_bucket`` are dropped before the self-join (_cap_buckets)."""
     sig = simhash(df, id_col, text_col)
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
@@ -186,6 +226,7 @@ def simhash_candidates(df: DataFrame, id_col: str, text_col: str, band_bits: int
             )
         ).alias("band", "band_val"),
     )
+    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -210,10 +251,12 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs from an inverted-index
     join. Stop-shingles (document frequency > max_df) are dropped before
     the pair join — they would otherwise create quadratic hot buckets."""
+    # persisted: the exploded shingle frame feeds three branches (sizes,
+    # document frequency, the filtered pair join) — one explode per action
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
-    )
+    ).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
     filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")

@@ -1,0 +1,136 @@
+"""Value-level verification for the sketch operators the DuckDB oracle
+cannot express (round-1 verdict item 2): seeded pure-Python twins
+(tests/pyref.py, zero shared code) must agree bit-for-bit with the Spark
+implementations on real testdata."""
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyref  # noqa: E402
+from csv_cruncher_spark.operators import dedup, similarity  # noqa: E402
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    rows = df.select("doc_id", "text").collect()
+    return df, {r["doc_id"]: r["text"] for r in rows}
+
+
+def test_xxh64_matches_spark(spark):
+    cases = ["", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 31,
+             "w" * 32, "long " * 50, "únïcode ✓", "123,456,789", "-5,0,17"]
+    got = spark.createDataFrame([(c,) for c in cases], "s: string").select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    for r in got:
+        assert pyref.xxh64(r["s"].encode("utf-8")) == r["h"], repr(r["s"])
+
+
+def test_minhash_signatures_twin(spark, docs):
+    df, texts = docs
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in dedup.minhash_signatures(df, "doc_id", "text").collect()
+    }
+    assert set(got) == set(texts)
+    for doc_id, text in texts.items():
+        assert got[doc_id] == pyref.minhash_signature(text), f"doc {doc_id}"
+
+
+def test_minhash_lsh_pairs_twin(spark, docs):
+    df, texts = docs
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in dedup.minhash_dedup_pairs(df, "doc_id", "text").collect()
+    }
+    want_pairs = pyref.lsh_candidate_pairs(texts)
+    assert set(got) == want_pairs
+    sigs = {i: pyref.minhash_signature(t) for i, t in texts.items()}
+    for (a, b), est in got.items():
+        assert est == pytest.approx(pyref.est_jaccard(sigs[a], sigs[b]), abs=1e-12)
+
+
+def test_simhash_twin(spark, docs):
+    df, texts = docs
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df, "doc_id", "text").collect()}
+    for doc_id, text in texts.items():
+        want = pyref.simhash(text)
+        want = want - (1 << 64) if want >= (1 << 63) else want
+        assert got[doc_id] == want, f"doc {doc_id}"
+
+
+def test_ann_lsh_topk_twin(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    query = [0.125] * 64
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in similarity.ann_lsh_topk(emb, "vec_id", "embedding", query, k=20)
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .collect()
+    ]
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    want = pyref.lsh_ann_topk(vecs, query, k=20)
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, abs=5e-7)
+
+
+def test_media_decode_features_twin(spark):
+    """Value check for the media_decode_features query entry: n_bytes and
+    the first feature are pure functions of the payload bytes (sha256),
+    recomputed here independently."""
+    import hashlib
+    import struct
+
+    import __spark_entry__ as entrymod
+
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["f0"])
+        for r in entrymod.media_decode_features(spark, SF_DIR).collect()
+    }
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        .filter(F.col("doc_id") < 200)
+        .collect()
+    }
+    assert set(got) == set(texts)
+    import numpy as np
+
+    for doc_id, text in texts.items():
+        payload = text.encode("utf-8")
+        digest = hashlib.sha256(payload).digest()
+        f0 = np.float32(
+            np.float64(struct.unpack("<I", digest[:4])[0]) / np.float64(2**32)
+        )
+        n_bytes, got_f0 = got[doc_id]
+        assert n_bytes == len(payload)
+        # round(float32, 6) re-snaps to the nearest float32, so compare
+        # at float32 resolution around the 6dp-rounded value
+        assert got_f0 == pytest.approx(round(float(f0), 6), abs=2e-7)
+
+
+def test_degenerate_bucket_cap_bounds_identical_docs(spark):
+    """1000 identical docs share every band — without the cap the band
+    self-join is 1000² per band. With the cap the giant buckets are
+    dropped (exact_dedup owns identical docs) and the join stays tiny."""
+    df = spark.createDataFrame(
+        [(i, "same exact text repeated for everyone") for i in range(1000)]
+        + [(2001, "a unique document about spark joins here"),
+           (2002, "a unique document about spark joins here")],
+        "doc_id: long, text: string",
+    )
+    pairs = dedup.minhash_dedup_pairs(df, "doc_id", "text", max_bucket=500)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(2001, 2002)}  # the giant group is capped away
+    sim = dedup.simhash_candidates(df, "doc_id", "text", max_bucket=500)
+    got2 = {(r["id_a"], r["id_b"]) for r in sim.collect()}
+    assert got2 == {(2001, 2002)}
