@@ -27,16 +27,26 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _materialize(df) -> None:
+    """Force FULL materialization of every output column via a noop-format
+    write (round-1 verdict bench fix: ``count()`` let Catalyst prune
+    unreferenced columns and drop sorts below the aggregation, so
+    projection-heavy entries were partly timing a no-op)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def run_headline(spark, sf_dir: str) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
+    qs = entrymod.queries()
+    # one untimed warm query: JVM JIT / codegen / python-worker startup
+    # land here instead of on the first timed entry
+    _materialize(next(iter(qs.values()))(spark, sf_dir))
     out: dict[str, float] = {}
-    for name, fn in entrymod.queries().items():
+    for name, fn in qs.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        _materialize(fn(spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     return out
 
 

@@ -4,14 +4,18 @@ pipelines.
 Media are opaque ``binary`` columns plus a typed metadata struct; the
 decode/resize/feature/frame-sample operators run as Arrow-batched
 ``mapInPandas`` stages (one Python process per partition, whole Arrow
-record batches — never per-row Python). The image/audio codecs are NOT in
-this container, so the codec call itself is stubbed two ways:
+record batches — never per-row Python). Capability boundaries:
 
-- real formats (PNG/JPEG/WAV magic bytes) → ``NotImplementedError`` with a
+- **metadata** for real formats is parsed from the container headers with
+  stdlib byte offsets only — PNG IHDR, GIF logical-screen descriptor,
+  JPEG SOF dimensions, RIFF/WAVE fmt chunk — fully implemented and
+  deterministic (no codec library involved);
+- **pixel/sample decoding and resizing** of real formats needs a codec
+  library not present in this container → ``NotImplementedError`` with a
   clear message (the integration point for Pillow/librosa on a real
   cluster);
 - the deterministic FAKE format (header ``CCSM`` + width + height +
-  payload, produced by ``encode_fake_media``) → fully decoded, so the
+  payload, produced by ``encode_fake_media``) is fully decodable, so the
   Spark-side plumbing (schema, batch shape, partitioning, null handling)
   is real and tested end-to-end.
 
@@ -34,10 +38,11 @@ from pyspark.sql import types as T
 
 FAKE_MAGIC = b"CCSM"  # csv-cruncher-spark media (fake deterministic format)
 _REAL_MAGICS = {
-    b"\x89PNG": "png",
+    b"\x89PNG\r\n\x1a\n": "png",
     b"\xff\xd8\xff": "jpeg",
-    b"RIFF": "wav/avi",
-    b"GIF8": "gif",
+    b"RIFF": "riff",
+    b"GIF87a": "gif",
+    b"GIF89a": "gif",
 }
 
 META_SCHEMA = T.StructType(
@@ -45,6 +50,7 @@ META_SCHEMA = T.StructType(
         T.StructField("format", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),  # audio containers
         T.StructField("n_bytes", T.LongType()),
     ]
 )
@@ -55,19 +61,68 @@ def encode_fake_media(payload: bytes, width: int, height: int) -> bytes:
     return FAKE_MAGIC + struct.pack("<II", width, height) + payload
 
 
-def _decode_one(blob: bytes | None) -> tuple[str | None, int | None, int | None, int | None]:
-    if blob is None:
-        return (None, None, None, None)
+def sniff_format(blob: bytes) -> str | None:
+    """Container format from magic bytes; None = not a recognized real
+    format (fake/unknown)."""
     for magic, name in _REAL_MAGICS.items():
         if blob[: len(magic)] == magic:
-            raise NotImplementedError(
-                f"Real {name} decoding needs a codec library not present in "
-                "this environment; wire Pillow/librosa here on a real cluster."
-            )
+            if name == "riff":
+                return "wav" if blob[8:12] == b"WAVE" else "riff"
+            return name
+    return None
+
+
+def _parse_jpeg_dims(blob: bytes) -> tuple[int | None, int | None]:
+    """Walk JPEG segments to the first SOFn marker (baseline/progressive);
+    height/width are big-endian u16 at offset +5 within the segment."""
+    i = 2
+    n = len(blob)
+    while i + 9 < n:
+        if blob[i] != 0xFF:
+            i += 1
+            continue
+        marker = blob[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-length markers
+            i += 2
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+            return int(w), int(h)
+        seglen = struct.unpack(">H", blob[i + 2 : i + 4])[0]
+        i += 2 + seglen
+    return (None, None)
+
+
+def _decode_one(
+    blob: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None]:
+    """(format, width, height, sample_rate, n_bytes) from container
+    headers only — fixed-offset stdlib byte parses per the published
+    format specs (PNG IHDR; GIF logical screen descriptor; JPEG SOF;
+    RIFF/WAVE fmt chunk). No codec library, fully deterministic."""
+    if blob is None:
+        return (None, None, None, None, None)
+    blob = bytes(blob)
+    fmt = sniff_format(blob)
+    if fmt == "png" and len(blob) >= 24:
+        # 8-byte signature | 4 len | b"IHDR" | u32be width | u32be height
+        w, h = struct.unpack(">II", blob[16:24])
+        return ("png", int(w), int(h), None, len(blob))
+    if fmt == "gif" and len(blob) >= 10:
+        w, h = struct.unpack("<HH", blob[6:10])
+        return ("gif", int(w), int(h), None, len(blob))
+    if fmt == "jpeg":
+        w, h = _parse_jpeg_dims(blob)
+        return ("jpeg", w, h, None, len(blob))
+    if fmt == "wav" and len(blob) >= 28 and blob[12:16] == b"fmt ":
+        rate = struct.unpack("<I", blob[24:28])[0]
+        return ("wav", None, None, int(rate), len(blob))
+    if fmt is not None:
+        return (fmt, None, None, None, len(blob))
     if blob[:4] == FAKE_MAGIC and len(blob) >= 12:
         w, h = struct.unpack("<II", blob[4:12])
-        return ("ccsm", int(w), int(h), len(blob))
-    return ("unknown", None, None, len(blob))
+        return ("ccsm", int(w), int(h), None, len(blob))
+    return ("unknown", None, None, None, len(blob))
 
 
 def decode_metadata(df: DataFrame, bytes_col: str = "media") -> DataFrame:
@@ -84,8 +139,8 @@ def decode_metadata(df: DataFrame, bytes_col: str = "media") -> DataFrame:
             decoded = pdf[bytes_col].map(_decode_one)
             pdf = pdf.copy()
             pdf["meta"] = [
-                {"format": f, "width": w, "height": h, "n_bytes": n}
-                for (f, w, h, n) in decoded
+                {"format": f, "width": w, "height": h, "sample_rate": sr, "n_bytes": n}
+                for (f, w, h, sr, n) in decoded
             ]
             yield pdf
 
@@ -164,7 +219,14 @@ def resize_stub(df: DataFrame, bytes_col: str = "media", width: int = 0, height:
         def one(b: bytes | None):
             if b is None:
                 return None
-            _decode_one(bytes(b))  # raises NotImplementedError on real formats
+            fmt = sniff_format(bytes(b))
+            if fmt is not None:
+                raise NotImplementedError(
+                    f"Resizing real {fmt} media needs a pixel/sample codec "
+                    "not present in this environment; wire Pillow/librosa "
+                    "here on a real cluster (header METADATA for real "
+                    "formats is fully parsed — see decode_metadata)."
+                )
             if bytes(b[:4]) == FAKE_MAGIC:
                 return FAKE_MAGIC + struct.pack("<II", width, height) + bytes(b[12:])
             return bytes(b)
