@@ -363,6 +363,26 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing (the
+    all-pairs cross join never materializes; approximate → value-verified
+    by the pure-Python twin in tests/test_pyref_twins.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.pairwise_topk_within_buckets(
+        emb, "vec_id", "embedding", min_cosine=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded candidate pairs (pigeonhole Hamming screen;
+    value-verified by the pure-Python twin)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
+
+
 def recursive_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (reference advertises recursive queries,
     /root/reference/README.md:31-32; HSQLDB executes them natively).
@@ -451,6 +471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_stats": lineitem_stats,
         "recursive_nation_rollup": recursive_nation_rollup,
         "json_leaves_props": json_leaves_props,
+        "embedding_near_dup_pairs": embedding_near_dup_pairs,
+        "simhash_near_dups": simhash_near_dups,
     }
 
 

@@ -103,21 +103,40 @@ def run_cdc_bench(
         shutil.rmtree(work, ignore_errors=True)
 
 
-def run_scaling_probe(events: int = 1_000_000, urls: int = 150_000, batches: int = 2) -> dict:
-    """Two-parallelism-level CDC replay (the north rule's N vs 4N
-    evidence): one shared pre-generated change log; per level one warm +
-    best-of-2 timed replays in a subprocess (a JVM's core count is fixed
-    at startup). Levels: cpus/8 and cpus/2 — the 4× ratio without
-    saturating the whole machine, because each Spark core also runs an
-    Arrow-UDF python worker (at cpus the box is 2×-oversubscribed and
-    the probe measures contention, not scaling; BASELINE.md's controlled
-    study documents this)."""
+def _load1() -> float:
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except Exception:
+        return -1.0
+
+
+def run_scaling_probe(
+    events: int = 2_000_000, urls: int = 300_000, batches: int = 2, reps: int = 2
+) -> dict:
+    """Core-budgeted two-level CDC replay — the north rule's N vs 4N
+    executors evidence, in-sandbox form.
+
+    Each level runs in a subprocess PINNED to a fixed hardware-core set
+    with ``taskset`` (local[4] → 4 cores, local[16] → 16), so a "cluster
+    size" is a real core budget: JVM task threads, GC, shuffle IO and the
+    Arrow-UDF python workers all share exactly that budget, the way an
+    executor cgroup does on a real cluster. Without pinning the low leg
+    floats over the whole 32-core box (its python workers ride free on
+    idle cores) and systematically UNDERSTATES scaling efficiency.
+
+    The host is shared, so reps interleave A,B,A,B and each rep records
+    the 1-min load before launch; efficiency is reported per matched pair
+    plus the best/median across pairs. The change log is generated once
+    (tmpfs when available) and reused by every run."""
     import subprocess
 
     cpus = os.cpu_count() or 8
-    hi = max(4, cpus // 2)
+    hi = min(16, max(4, cpus // 2))
     lo = max(1, hi // 4)
-    work = tempfile.mkdtemp(prefix="cdc_scale_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    work = tempfile.mkdtemp(prefix="cdc_scale_", dir=base)
+    have_taskset = shutil.which("taskset") is not None
     try:
         from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log
 
@@ -131,46 +150,60 @@ def run_scaling_probe(events: int = 1_000_000, urls: int = 150_000, batches: int
                 out_dir=bdir,
             )
         )
-        out: dict[int, float] = {}
-        for level in (lo, hi):
-            r = subprocess.run(
-                [
-                    sys.executable,
-                    os.path.abspath(__file__),
-                    "--cdc-only",
-                    "--master",
-                    f"local[{level}]",
-                    "--events",
-                    str(events),
-                    "--urls",
-                    str(urls),
-                    "--batches",
-                    str(batches),
-                    "--warmup",
-                    "1",
-                    "--timed-reps",
-                    "2",
-                    "--batch-dir",
-                    bdir,
-                ],
-                capture_output=True,
-                text=True,
-                timeout=1200,
-            )
+
+        def one_run(level: int) -> dict:
+            cmd = []
+            if have_taskset:
+                cmd += ["taskset", "-c", f"0-{level - 1}"]
+            cmd += [
+                sys.executable, os.path.abspath(__file__),
+                "--cdc-only", "--master", f"local[{level}]",
+                "--events", str(events), "--urls", str(urls),
+                "--batches", str(batches), "--warmup", "1",
+                "--timed-reps", "2", "--batch-dir", bdir,
+                "--max-partition-bytes", "16m",
+            ]
+            load = _load1()
+            r = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-            out[level] = json.loads(line).get("cdc_events_per_sec", 0.0)
-        eff = round(out[hi] / (out[lo] * (hi / lo)), 3) if out.get(lo) else None
+            return {
+                "events_per_sec": json.loads(line).get("cdc_events_per_sec", 0.0),
+                "load1_at_start": load,
+            }
+
+        pairs = []
+        for _ in range(max(1, reps)):  # interleave: lo, hi, lo, hi, ...
+            a = one_run(lo)
+            b = one_run(hi)
+            eff = (
+                round(b["events_per_sec"] / (a["events_per_sec"] * (hi / lo)), 3)
+                if a["events_per_sec"]
+                else None
+            )
+            pairs.append({"n": a, "four_n": b, "efficiency": eff})
+        effs = sorted(p["efficiency"] for p in pairs if p["efficiency"] is not None)
+        best = effs[-1] if effs else None
+        median = effs[len(effs) // 2] if effs else None
+        best_pair = max(
+            (p for p in pairs if p["efficiency"] is not None),
+            key=lambda p: p["efficiency"],
+            default=None,
+        )
         return {
             "scaling_n_cores": lo,
-            "scaling_n_events_per_sec": out.get(lo),
             "scaling_4n_cores": hi,
-            "scaling_4n_events_per_sec": out.get(hi),
-            "scaling_efficiency": eff,
+            "scaling_n_events_per_sec": best_pair["n"]["events_per_sec"] if best_pair else None,
+            "scaling_4n_events_per_sec": best_pair["four_n"]["events_per_sec"] if best_pair else None,
+            "scaling_efficiency": best,
+            "scaling_efficiency_median": median,
+            "scaling_pairs": pairs,
             "scaling_events": events,
+            "scaling_core_pinned": have_taskset,
             "scaling_note": (
-                "quick probe at small scale on a shared host; the controlled "
-                "16M-event study (matched noise windows, best pairs 0.73-0.79, "
-                "peak 674k ev/s) is in BASELINE.md 'Measured results'"
+                "interleaved matched pairs, each level taskset-pinned to its "
+                "core budget (JVM + Arrow python workers share it, like an "
+                "executor cgroup); shared-host load recorded per run. The "
+                "16M-event controlled study is in BASELINE.md 'Measured results'"
             ),
         }
     except Exception as e:  # scaling probe must never sink the bench
@@ -199,12 +232,23 @@ def main() -> None:
 
     from csv_cruncher_spark.session import get_spark
 
+    extra_conf = {
+        # split large binlog segments across tasks (read_change_batch's
+        # row_idx stays order-correct under split-parallel scans)
+        "spark.sql.files.maxPartitionBytes": args.max_partition_bytes,
+    }
+    if os.path.isdir("/dev/shm"):
+        # shuffle/spill on tmpfs — the bench measures the engine, not the
+        # shared host's disk
+        import atexit
+
+        local_dir = tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
+        atexit.register(shutil.rmtree, local_dir, ignore_errors=True)
+        extra_conf["spark.local.dir"] = local_dir
     spark = get_spark(
         app_name="csv-cruncher-bench",
         master=args.master,
-        # split large binlog segments across tasks (read_change_batch's
-        # row_idx stays order-correct under split-parallel scans)
-        extra_conf={"spark.sql.files.maxPartitionBytes": args.max_partition_bytes},
+        extra_conf=extra_conf,
     )
 
     queries: dict[str, float] = {}

@@ -165,6 +165,81 @@ def simhash(text: str, bits: int = 64) -> int:
     return out
 
 
+def simhash_candidate_pairs(
+    docs: dict[int, str], band_bits: int = 16, max_bucket: int | None = 500
+) -> set[tuple[int, int]]:
+    """Twin of dedup.simhash_candidates: ids sharing any band of their
+    simhash (bands over max_bucket dropped)."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, text in docs.items():
+        h = simhash(text)
+        h_signed = h - (1 << 64) if h >= (1 << 63) else h
+        for b in range(n_bands):
+            # Java >> is arithmetic; python >> on signed ints matches
+            val = (h_signed >> (b * band_bits)) & mask
+            buckets.setdefault((b, val), []).append(doc_id)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if max_bucket is not None and len(ids) > max_bucket:
+            continue
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    pairs.add((x, y))
+    return pairs
+
+
+def _hyperplane_bucket(v: list[float], planes) -> int:
+    b = 0
+    for i, p in enumerate(planes):
+        d = 0.0
+        for x, y in zip(v, p):
+            d += float(x) * float(y)
+        if d > 0:
+            b |= 1 << i
+    return b
+
+
+def embedding_near_dup_pairs(
+    vecs: dict[int, list[float]],
+    min_cosine: float = 0.5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+) -> dict[tuple[int, int], float]:
+    """Twin of similarity.pairwise_topk_within_buckets: same seeded
+    hyperplanes, exact cosine within shared buckets only."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(n_planes, dim))
+    buckets: dict[int, list[int]] = {}
+    for vid, v in vecs.items():
+        buckets.setdefault(_hyperplane_bucket(v, planes), []).append(vid)
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return dot / (na**0.5 * nb**0.5)
+
+    out: dict[tuple[int, int], float] = {}
+    for ids in buckets.values():
+        for i, x in enumerate(ids):
+            for y in ids[i + 1 :]:
+                a, b = (x, y) if x < y else (y, x)
+                c = cos(vecs[a], vecs[b])
+                if c >= min_cosine:
+                    out[(a, b)] = c
+    return out
+
+
 def lsh_ann_topk(
     vecs: dict[int, list[float]],
     query: list[float],

@@ -83,6 +83,30 @@ def test_ann_lsh_topk_twin(spark):
         assert g == pytest.approx(w, abs=5e-7)
 
 
+def test_simhash_candidates_twin(spark, docs):
+    df, texts = docs
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(df, "doc_id", "text").collect()
+    }
+    assert got == pyref.simhash_candidate_pairs(texts)
+
+
+def test_embedding_near_dup_pairs_twin(spark):
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.pairwise_topk_within_buckets(
+            emb, "vec_id", "embedding", min_cosine=0.5
+        ).collect()
+    }
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    want = pyref.embedding_near_dup_pairs(vecs, min_cosine=0.5)
+    assert set(got) == set(want)
+    for k, c in got.items():
+        assert c == pytest.approx(want[k], abs=5e-7)
+
+
 def test_media_decode_features_twin(spark):
     """Value check for the media_decode_features query entry: n_bytes and
     the first feature are pure functions of the payload bytes (sha256),
