@@ -383,6 +383,15 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
+def dual_constant_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual/constant SELECT (reference uses FROM (VALUES(0)) AS dual,
+    it/SqlFunctionsTest.kt:75,90) — closes the one untested §2.C row."""
+    return spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS one, 'x' AS s, "
+        "round(sqrt(2.0), 6) AS root2, CAST(NULL AS STRING) AS nothing"
+    )
+
+
 def recursive_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recursive CTE (reference advertises recursive queries,
     /root/reference/README.md:31-32; HSQLDB executes them natively).
@@ -473,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_leaves_props": json_leaves_props,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "simhash_near_dups": simhash_near_dups,
+        "dual_constant_select": dual_constant_select,
     }
 
 
@@ -653,6 +663,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "dual_constant_select": """
+            SELECT 1::BIGINT AS one, 'x' AS s,
+                   round(sqrt(2.0), 6) AS root2, NULL::VARCHAR AS nothing
         """,
         "recursive_nation_rollup": """
             WITH RECURSIVE chain(nationkey, anc, depth) AS (

@@ -44,6 +44,10 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     _materialize(next(iter(qs.values()))(spark, sf_dir))
     out: dict[str, float] = {}
     for name, fn in qs.items():
+        # per-query isolation: drop persisted frames the previous entry
+        # left cached (pair pipelines persist their sketch frames) so a
+        # query is timed against a clean executor-memory state
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)
@@ -112,7 +116,7 @@ def _load1() -> float:
 
 
 def run_scaling_probe(
-    events: int = 2_000_000, urls: int = 300_000, batches: int = 2, reps: int = 2
+    events: int = 2_000_000, urls: int = 300_000, batches: int = 2, reps: int = 3
 ) -> dict:
     """Core-budgeted two-level CDC replay — the north rule's N vs 4N
     executors evidence, in-sandbox form.
@@ -132,7 +136,14 @@ def run_scaling_probe(
     import subprocess
 
     cpus = os.cpu_count() or 8
-    hi = min(16, max(4, cpus // 2))
+    # Keep the WIDE leg at ≤ cpus/4 so both "cluster sizes" fit the host
+    # with their Arrow python-worker sidecars (each Spark core pairs with
+    # a python worker): at 8 cores on a 32-core box the wide leg + workers
+    # use 16/32 hw threads — still unsaturated. Past that, the probe
+    # measures single-box saturation (memory bus, shared LLC, one JVM
+    # heap), not engine scaling; BASELINE.md reports the saturated 4→16
+    # numbers with that analysis alongside this probe.
+    hi = 8 if cpus >= 16 else max(4, cpus // 2)
     lo = max(1, hi // 4)
     base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="cdc_scale_", dir=base)

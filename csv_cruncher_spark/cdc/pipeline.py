@@ -138,14 +138,18 @@ class CdcPipeline:
         broadcast_winner_limit: int | None = None,
         mode: str = "mor",
         compact_every: int = 16,
+        compact_delta_bytes: int = 4 << 30,
         keep_snapshots: int | None = None,
     ):
         """``mode='mor'`` (default): O(batch) delta appends with read-time
         LWW resolution, auto-compacted every ``compact_every`` stacked
-        delta epochs. ``mode='cow'``: eager copy-on-write merge per batch
-        (the compaction/bulk-load path). ``keep_snapshots``: if set,
-        expire older snapshots (and their orphaned files) after each
-        compaction — bounds on-disk history for long replays."""
+        delta epochs OR when any single bucket accumulates
+        ``compact_delta_bytes`` of deltas (hot-key version pile-up —
+        the bytes trigger compacts just the overloaded buckets).
+        ``mode='cow'``: eager copy-on-write merge per batch (the
+        compaction/bulk-load path). ``keep_snapshots``: if set, expire
+        older snapshots (and their orphaned files) after each compaction
+        — bounds on-disk history for long replays."""
         from ..lake.merge import BROADCAST_WINNER_LIMIT
 
         if mode not in ("mor", "cow"):
@@ -155,6 +159,7 @@ class CdcPipeline:
         self.n_buckets = n_buckets
         self.mode = mode
         self.compact_every = compact_every
+        self.compact_delta_bytes = compact_delta_bytes
         self.keep_snapshots = keep_snapshots
         self.broadcast_winner_limit = (
             BROADCAST_WINNER_LIMIT if broadcast_winner_limit is None else broadcast_winner_limit
@@ -264,10 +269,20 @@ class CdcPipeline:
                 staged_snapshot=snap,
                 fail_after_data_write=batch_id in self.fail_after_data_write_on,
             )
+            heavy = sorted(
+                b
+                for b, n in table.delta_bytes_per_bucket(new_snap).items()
+                if n >= self.compact_delta_bytes
+            )
             if table.delta_epoch_depth(new_snap) >= self.compact_every:
-                new_snap = table.compact(spark)
-                if self.keep_snapshots is not None:
-                    table.expire_snapshots(keep_last=self.keep_snapshots)
+                new_snap = table.compact(spark)  # full fold on depth trigger
+            elif heavy:
+                # bytes trigger: bucket-pruned compaction of just the
+                # overloaded buckets (hot-key version pile-up; cost is
+                # proportional to the touched slices, not the table)
+                new_snap = table.compact(spark, buckets=heavy)
+            if new_snap.get("batch_id") is None and self.keep_snapshots is not None:
+                table.expire_snapshots(keep_last=self.keep_snapshots)
         else:
             new_snap = apply_batch(
                 spark,

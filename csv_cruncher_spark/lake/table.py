@@ -415,6 +415,20 @@ class LakeTable:
                 per_bucket.setdefault(f["bucket"], set()).add(f.get("epoch"))
         return max((len(v) for v in per_bucket.values()), default=0)
 
+    def delta_bytes_per_bucket(self, snap: dict | None = None) -> dict[int, int]:
+        """Stacked delta BYTES per bucket — the second compaction trigger.
+        Epoch depth alone misses the hot-key pathology: a url updated
+        every epoch keeps all its versions (html+text payloads) in the
+        bucket's deltas, and the read-time fold holds them in one
+        aggregation buffer. A bytes cap bounds that independent of epoch
+        count (round-1 verdict scale note)."""
+        snap = snap or self.snapshot()
+        out: dict[int, int] = {}
+        for f in snap["files"]:
+            if f.get("kind") == "delta":
+                out[f["bucket"]] = out.get(f["bucket"], 0) + int(f.get("bytes", 0))
+        return out
+
     def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict:
         """Fold deltas into fresh base files (merge-on-read →
         copy-on-write amortization). Bucket-pruned: only buckets that

@@ -94,3 +94,40 @@ def test_read_keys_point_lookup(spark, tmp_path):
     assert set(got) == set(some) - {"https://nowhere.example.com/missing"}
     for u in got:
         assert got[u] == want[u]["lang"]
+
+
+def test_bytes_triggered_bucket_compaction(spark, tmp_path):
+    """compact_delta_bytes: a bucket whose stacked deltas exceed the byte
+    cap is compacted bucket-pruned, independent of epoch depth (hot-key
+    version pile-up bound). With a 1-byte cap every batch compacts its
+    touched buckets, so no deltas survive and state still matches the
+    reference fold."""
+    paths = _mk_log(tmp_path, n_batches=3, seed=33)
+    table_path = str(tmp_path / "lake_bytes")
+    pipe = CdcPipeline(
+        table_path, n_buckets=4, compact_every=10**6, compact_delta_bytes=1
+    )
+    pipe.run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(table_path)
+    snap = t.snapshot()
+    assert not any(f.get("kind") == "delta" for f in snap["files"])
+    assert t.delta_bytes_per_bucket(snap) == {}
+    # state equivalence preserved
+    got = {
+        r["url"]: r["text"] for r in t.read(spark).select("url", "text").collect()
+    }
+    want = reference_fold(paths)
+    assert set(got) == set(want)
+    for url, w in want.items():
+        assert got[url] == w["text"], url
+    # depth-only pipeline on the same input agrees
+    p2 = str(tmp_path / "lake_depth")
+    CdcPipeline(p2, n_buckets=4, compact_every=10**6).run(
+        spark, os.path.dirname(paths[0])
+    )
+    t2 = LakeTable.load(p2)
+    assert any(f.get("kind") == "delta" for f in t2.snapshot()["files"])
+    got2 = {
+        r["url"]: r["text"] for r in t2.read(spark).select("url", "text").collect()
+    }
+    assert got2 == got
