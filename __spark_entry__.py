@@ -383,6 +383,48 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
+def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/joins.py): each purchase attributed to the
+    user's latest view at-or-before the purchase time. One shuffle on the
+    key (union-and-carry plan), never a range cross join; DuckDB's native
+    ASOF JOIN is the oracle."""
+    from csv_cruncher_spark.operators import joins
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = joins.asof_join(purchases, views, on="user_id", left_time="ts")
+    return j.select(
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.col("r_view_id").alias("view_id"),
+        F.unix_micros(F.col("r_ts").cast("timestamp_ltz")).alias("view_epoch_us"),
+    ).orderBy("event_id")
+
+
+def events_type_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (grouping sets) — multi-level aggregates in one
+    pass (Spark expands grouping sets in a single shuffle)."""
+    _utc(spark)
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(unix_timestamp(date_trunc('hour', ts)), -1) AS hour_epoch,
+               count(*) AS n, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
+        ORDER BY event_type, hour_epoch
+        """
+    )
+
+
 def dual_constant_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dual/constant SELECT (reference uses FROM (VALUES(0)) AS dual,
     it/SqlFunctionsTest.kt:75,90) — closes the one untested §2.C row."""
@@ -483,6 +525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "simhash_near_dups": simhash_near_dups,
         "dual_constant_select": dual_constant_select,
+        "asof_purchase_attribution": asof_purchase_attribution,
+        "events_type_hour_rollup": events_type_hour_rollup,
     }
 
 
@@ -663,6 +707,27 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "asof_purchase_attribution": """
+            WITH v AS (
+              SELECT user_id, ts, max(event_id) AS view_id
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ),
+            p AS (
+              SELECT user_id, ts, event_id, value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, round(p.value, 2) AS value, v.view_id,
+                   epoch_us(v.ts) AS view_epoch_us
+            FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id
+        """,
+        "events_type_hour_rollup": """
+            SELECT coalesce(event_type, 'ALL') AS event_type,
+                   coalesce(epoch(date_trunc('hour', ts))::BIGINT, -1) AS hour_epoch,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type, date_trunc('hour', ts))
+            ORDER BY event_type, hour_epoch
         """,
         "dual_constant_select": """
             SELECT 1::BIGINT AS one, 'x' AS s,

@@ -1,0 +1,177 @@
+"""Custom stateful streaming operator: per-url LWW state maintained with
+``applyInPandasWithState`` (Arrow-batched, one Python state worker per
+shuffle partition — never per-row Python).
+
+This is the streaming twin of the batch engine's LWW merge
+(lake/merge.py): for each url the state is the latest ``(warc_ts, op,
+lang)`` seen so far; each micro-batch emits the urls whose state CHANGED
+in that batch (a change feed of the state store). A timeout evicts urls
+idle longer than ``state_ttl`` — the state bound a 10^10-event stream
+needs (state size is live keys, not events).
+
+Semantics match the batch LWW rule: an event applies iff the current
+state is absent, has a null version, or the event's version is >= the
+current one; ``D`` tombstones clear the state (and emit the deletion).
+Within a micro-batch rows are replayed in ``warc_ts`` order with
+arrival order (row position) breaking ties, mirroring ``row_idx``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_ts_us", T.LongType()),  # None = null version
+        T.StructField("lang", T.StringType()),
+        T.StructField("present", T.BooleanType()),  # False after a delete
+    ]
+)
+
+CHANGED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts_us", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("present", T.BooleanType()),
+    ]
+)
+
+
+def _ts_us(v) -> int | None:
+    if v is None or pd.isna(v):
+        return None
+    return int(pd.Timestamp(v).value // 1000)
+
+
+def lww_state_changes(
+    events: DataFrame, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """events (op, url, warc_ts, lang, ...) → change feed of the per-url
+    LWW state. Grouping shuffles once on url; state lives in the state
+    store keyed by url.
+
+    ``state_ttl_ms`` (production knob): evict urls idle longer than the
+    TTL via ProcessingTimeTimeout — the state bound a 10^10-event stream
+    needs. Default None = NoTimeout, because a query configured with
+    processing-time timeouts never quiesces for
+    ``processAllAvailable()``-style drain-and-stop harnesses (the engine
+    always holds a future timeout trigger); continuous production
+    queries should pass a TTL."""
+
+    def update(
+        key: tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (url,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        if state.exists:
+            cur_ts, cur_lang, cur_present = state.get
+        else:
+            cur_ts, cur_lang, cur_present = None, None, False
+        changed = False
+        for pdf in pdfs:
+            # replay in (warc_ts, arrival) order — the batch LWW tiebreak
+            pdf = pdf.assign(__ts=pdf["warc_ts"].map(_ts_us))
+            pdf = pdf.sort_values(
+                ["__ts", "__arrival"], na_position="first", kind="stable"
+            )
+            for ts, op, lang in zip(pdf["__ts"], pdf["op"], pdf["lang"]):
+                ts = None if ts is None or pd.isna(ts) else int(ts)
+                applies = (
+                    not cur_present
+                    or cur_ts is None
+                    or (ts is not None and ts >= cur_ts)
+                )
+                if not applies:
+                    continue
+                changed = True
+                if op == "D":
+                    cur_ts, cur_lang, cur_present = ts, None, False
+                else:
+                    cur_ts, cur_lang, cur_present = ts, lang, True
+        state.update((cur_ts, cur_lang, cur_present))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if not changed:
+            return iter(())
+        return iter(
+            (
+                pd.DataFrame(
+                    {
+                        "url": [url],
+                        "warc_ts_us": pd.array([cur_ts], dtype="Int64"),
+                        "lang": [cur_lang],
+                        "present": [cur_present],
+                    }
+                ),
+            )
+        )
+
+    from pyspark.sql import functions as F
+
+    # split-stable arrival order, streaming edition: same key shape as the
+    # batch reader (block_start*2^20 + in-partition counter, monotone in
+    # file order under split-parallel scans), but the counter comes from a
+    # mapInPandas pass — monotonically_increasing_id is not allowed on
+    # streaming DataFrames. The stream already crosses into Python for the
+    # state function, so this adds no new Python boundary class.
+    import numpy as np
+
+    meta = events.select(
+        *events.columns, F.col("_metadata.file_block_start").alias("__block")
+    )
+    out_schema = T.StructType(
+        list(events.schema.fields) + [T.StructField("__arrival", T.LongType())]
+    )
+
+    def add_arrival(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = 0
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["__arrival"] = pdf["__block"].astype("int64") * (1 << 20) + np.arange(
+                n, n + len(pdf), dtype="int64"
+            )
+            n += len(pdf)
+            yield pdf.drop(columns=["__block"])
+
+    with_arrival = meta.mapInPandas(add_arrival, out_schema)
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if state_ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return with_arrival.groupBy("url").applyInPandasWithState(
+        update,
+        outputStructType=CHANGED_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+
+
+def run_lww_state_to_memory(
+    spark, batch_dir: str, table_name: str = "lww_state"
+) -> None:
+    """Drive the stateful operator over everything in ``batch_dir`` into
+    an in-memory change-feed table (test/demo harness)."""
+    from .rollup import read_change_stream
+
+    stream = read_change_stream(spark, batch_dir, max_files_per_trigger=1)
+    feed = lww_state_changes(stream)
+    q = (
+        feed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

@@ -1,0 +1,64 @@
+"""As-of join semantics (operators/joins.py): inclusive/strict time
+matching, left rows without matches, per-key isolation, and the
+one-shuffle plan shape."""
+
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.operators.joins import asof_join
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [("a", 10, "p1"), ("a", 20, "p2"), ("a", 5, "p0"), ("b", 7, "p3")],
+        "k: string, t: long, pid: string",
+    )
+    right = spark.createDataFrame(
+        [("a", 10, "v10"), ("a", 15, "v15"), ("a", 1, "v1"), ("c", 3, "vc")],
+        "k: string, t: long, vid: string",
+    )
+    return left, right
+
+
+def test_asof_backward_inclusive(spark):
+    left, right = _frames(spark)
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(left, right, on="k", left_time="t").collect()
+    }
+    assert got == {
+        "p0": "v1",    # 5 -> right at 1
+        "p1": "v10",   # 10 -> right at 10 (inclusive <=)
+        "p2": "v15",   # 20 -> right at 15
+        "p3": None,    # key b has no right rows
+    }
+
+
+def test_asof_strict(spark):
+    left, right = _frames(spark)
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(left, right, on="k", left_time="t", strict=True).collect()
+    }
+    assert got["p1"] == "v1"  # strict <: the t=10 right row is excluded
+
+
+def test_asof_carries_right_time_and_columns(spark):
+    left, right = _frames(spark)
+    row = {
+        r["pid"]: (r["r_t"], r["r_vid"])
+        for r in asof_join(left, right, on="k", left_time="t").collect()
+    }
+    assert row["p2"] == (15, "v15")
+    assert row["p3"] == (None, None)
+
+
+def test_asof_single_shuffle(spark):
+    """The union-and-carry plan shuffles ONCE on the key (window exchange);
+    no range join, no cross product."""
+    left, right = _frames(spark)
+    plan = (
+        asof_join(left, right, on="k", left_time="t")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -96,3 +96,46 @@ def test_streaming_rollup_windows(spark, tmp_path):
     want = {(r["ws"], r["op"]): r["n"] for r in batch.collect()}
     for k, v in got.items():
         assert want.get(k) == v, f"window {k}: stream={v} batch={want.get(k)}"
+
+
+def test_stateful_lww_state_matches_reference_fold(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: the per-url LWW
+    state change feed, replayed batch-by-batch, converges to the same
+    final state as the sequential reference fold (deletes evict)."""
+    import pandas as pd
+
+    from csv_cruncher_spark.cdc.fixtures import (
+        ChangeLogSpec,
+        generate_change_log,
+        reference_fold,
+    )
+    from csv_cruncher_spark.streaming.rollup import read_change_stream
+    from csv_cruncher_spark.streaming.stateful import lww_state_changes
+
+    paths = generate_change_log(
+        ChangeLogSpec(
+            n_urls=80, n_batches=3, events_per_batch=120, seed=11,
+            out_dir=str(tmp_path / "batches"),
+        )
+    )
+    stream = read_change_stream(spark, str(tmp_path / "batches"), max_files_per_trigger=1)
+    feed = lww_state_changes(stream)
+
+    got: dict = {}
+    def sink(df, _bid):
+        for r in df.collect():  # later micro-batches overwrite older state
+            got[r["url"]] = (r["warc_ts_us"], r["lang"], r["present"])
+
+    q = feed.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = reference_fold(paths)
+    present = {u: (ts, lang) for u, (ts, lang, p) in got.items() if p}
+    assert set(present) == set(want)
+    for url, w in want.items():
+        ts_us, lang = present[url]
+        assert lang == w["lang"], url
+        assert ts_us == pd.Timestamp(w["warc_ts"]).value // 1000, url
