@@ -1,4 +1,5 @@
-from .tailer import ChangeLogTailer
 from .rollup import streaming_hourly_rollup
+from .stateful import lww_state_changes
+from .tailer import ChangeLogTailer
 
-__all__ = ["ChangeLogTailer", "streaming_hourly_rollup"]
+__all__ = ["ChangeLogTailer", "streaming_hourly_rollup", "lww_state_changes"]

@@ -32,6 +32,8 @@ def main() -> int:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--mode", choices=["mor", "cow"], default="mor")
     ap.add_argument("--compact-every", type=int, default=16)
+    ap.add_argument("--compact-delta-bytes", type=int, default=4 << 30,
+                    help="per-bucket delta byte cap triggering bucket-pruned compaction")
     ap.add_argument("--include", default=None)
     ap.add_argument("--exclude", default=None)
     ap.add_argument("--max-batches", type=int, default=None)
@@ -68,6 +70,7 @@ def main() -> int:
             n_buckets=args.buckets,
             mode=args.mode,
             compact_every=args.compact_every,
+            compact_delta_bytes=args.compact_delta_bytes,
         )
         before = set(pipe.load_checkpoint()["batches_applied"])
         ckpt = pipe.run(
