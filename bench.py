@@ -90,17 +90,33 @@ def run_cdc_bench(
             CdcPipeline(lake, n_buckets=n_buckets).run(spark, batch_dir)
             shutil.rmtree(lake, ignore_errors=True)
         elapsed = None
+        last_lake = None
         for r in range(max(1, timed_reps)):  # best-of-N damps ambient noise
+            if last_lake:
+                shutil.rmtree(last_lake, ignore_errors=True)
             lake = os.path.join(work, f"lake_t{r}")
             t0 = time.perf_counter()
             CdcPipeline(lake, n_buckets=n_buckets).run(spark, batch_dir)
             el = time.perf_counter() - t0
-            shutil.rmtree(lake, ignore_errors=True)
             elapsed = el if elapsed is None else min(elapsed, el)
+            last_lake = lake
+        # read-path metric: full MOR-resolved scan of the final table
+        # (delta fold included) — proves the read side of merge-on-read
+        from csv_cruncher_spark.lake.table import LakeTable
+
+        t0 = time.perf_counter()
+        final = LakeTable.load(last_lake).read(spark)
+        final.write.format("noop").mode("overwrite").save()
+        read_s = time.perf_counter() - t0
+        n_rows = LakeTable.load(last_lake).read(spark).count()
+        shutil.rmtree(last_lake, ignore_errors=True)
         return {
             "cdc_events": total_events,
             "cdc_seconds": round(elapsed, 3),
             "cdc_events_per_sec": round(total_events / elapsed, 1),
+            "cdc_read_seconds": round(read_s, 3),
+            "cdc_read_rows": n_rows,
+            "cdc_read_rows_per_sec": round(n_rows / read_s, 1) if read_s else None,
             "cdc_warmup_runs": warmup,
         }
     finally:
