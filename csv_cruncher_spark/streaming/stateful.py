@@ -77,8 +77,13 @@ def lww_state_changes(
             cur_ts, cur_lang, cur_present = None, None, False
         changed = False
         for pdf in pdfs:
-            # replay in (warc_ts, arrival) order — the batch LWW tiebreak
-            pdf = pdf.assign(__ts=pdf["warc_ts"].map(_ts_us))
+            # replay in (warc_ts, arrival) order — the batch LWW tiebreak.
+            # float64 (not object) so null timestamps sort as NaN instead
+            # of raising on None<int comparisons; micros (~1.7e15) are
+            # exactly representable in a double (< 2^53)
+            pdf = pdf.assign(
+                __ts=pdf["warc_ts"].map(_ts_us).astype("float64")
+            )
             pdf = pdf.sort_values(
                 ["__ts", "__arrival"], na_position="first", kind="stable"
             )

@@ -139,3 +139,41 @@ def test_stateful_lww_state_matches_reference_fold(spark, tmp_path):
         ts_us, lang = present[url]
         assert lang == w["lang"], url
         assert ts_us == pd.Timestamp(w["warc_ts"]).value // 1000, url
+
+
+def test_stateful_lww_null_ts_event_loses(spark, tmp_path):
+    """A null-timestamp event (unparseable warc_ts) must not crash the
+    state worker nor overwrite a non-null state — same rule as all three
+    batch merge strategies."""
+    import base64
+
+    from csv_cruncher_spark.streaming.rollup import read_change_stream
+    from csv_cruncher_spark.streaming.stateful import lww_state_changes
+
+    bdir = tmp_path / "nb"
+    bdir.mkdir()
+    u = "https://s.example.com/page/1"
+    h = base64.b64encode(b"<p>x</p>").decode()
+    (bdir / "batch-00000.csv").write_text(
+        f"op,url,warc_ts,html,lang\nI,{u},2024-01-02 00:00:00,{h},en\n"
+    )
+    (bdir / "batch-00001.csv").write_text(
+        f"op,url,warc_ts,html,lang\nU,{u},,{h},de\n"
+        f"I,https://s.example.com/page/2,,{h},fr\n"
+    )
+    stream = read_change_stream(spark, str(bdir), max_files_per_trigger=1)
+    feed = lww_state_changes(stream)
+    got: dict = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[r["url"]] = (r["warc_ts_us"], r["lang"], r["present"])
+
+    q = feed.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert got[u][1] == "en" and got[u][2] is True  # null-ts update lost
+    # null-ts insert on a fresh key applied, with null version
+    assert got["https://s.example.com/page/2"] == (None, "fr", True)
