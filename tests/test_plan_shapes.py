@@ -55,3 +55,34 @@ def test_lww_state_partial_aggregates(spark):
 def test_exact_dedup_partial_aggregates(spark):
     plan = _plan(spark, "dedup_exact_documents")
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_mor_apply_never_scans_the_table(spark, tmp_path, monkeypatch):
+    """The O(batch)-not-O(table) claim, pinned at the plan level: a MOR
+    delta append's write plan reads the incoming CSV batch ONLY — no
+    parquet scan of existing table data, even when the table already has
+    committed batches."""
+    from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log
+    from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    generate_change_log(
+        ChangeLogSpec(n_urls=60, n_batches=3, events_per_batch=80, seed=17,
+                      out_dir=str(tmp_path / "batches"))
+    )
+    plans = []
+    orig = LakeTable.write_bucket_data
+
+    def spy(self, df, *a, **k):
+        plans.append(df._jdf.queryExecution().executedPlan().toString())
+        return orig(self, df, *a, **k)
+
+    monkeypatch.setattr(LakeTable, "write_bucket_data", spy)
+    CdcPipeline(str(tmp_path / "lake"), n_buckets=2, compact_every=10**6).run(
+        spark, str(tmp_path / "batches")
+    )
+    assert len(plans) == 3
+    # batches 2 and 3 apply onto a NON-EMPTY table and still only scan csv
+    for plan in plans:
+        assert "FileScan csv" in plan
+        assert "FileScan parquet" not in plan
