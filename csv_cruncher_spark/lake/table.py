@@ -79,6 +79,16 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 class LakeTable:
     """Manifest-Parquet lake table. See module docstring."""
 
+    # Dirty-key split guard for read-time resolution: when the stacked
+    # delta bytes are at or under this, `read` broadcasts the distinct
+    # delta key set and folds ONLY the base rows those keys touch —
+    # untouched base rows stream through shuffle-free. The guard bounds
+    # the broadcast build (the key set is far smaller than the deltas
+    # themselves — urls, not html payloads). Past it, fall back to the
+    # full-table fold (an uncompacted pile that big should be compacted
+    # anyway — CdcPipeline's compact triggers fire long before this).
+    RESOLVE_SPLIT_DELTA_BYTES = 256 * 1024 * 1024
+
     def __init__(self, path: str):
         self.path = path
 
@@ -311,6 +321,12 @@ class LakeTable:
         max-by-version would get this wrong). The replay is a JVM
         ``aggregate`` fold over a per-key sorted event array — one hash
         shuffle on the key, no Python, no window.
+
+        Scale shape: in the steady state (compaction triggers keep delta
+        piles small) the dirty-key split below means the fold shuffle
+        carries only rows whose key appears in a delta — at 100 TB with a
+        0.1%-of-keys batch, ~0.1% of the table shuffles instead of all of
+        it; clean base rows take a broadcast anti-join (shuffle-free).
         """
         snap = snap or self.snapshot()
         files = snap["files"]
@@ -330,6 +346,23 @@ class LakeTable:
         cur_fields = self.current_fields(snap)
         data_cols = [f["name"] for f in cur_fields]
         deltas = self._scan(spark, snap, delta_files, extra_cols=["__op", "__epoch"])
+        key_col = snap["key_col"]
+
+        # Dirty-key split: only keys that HAVE deltas need the fold. When
+        # the stacked deltas are modest (the common steady state — the
+        # compaction triggers bound them), broadcast the distinct delta
+        # key set and let untouched base rows pass through with a
+        # broadcast ANTI join: those rows never shuffle and never enter
+        # the per-key fold, so read cost is O(base scan) + O(dirty keys ·
+        # fold) instead of O(table · fold). Past the byte guard (huge
+        # uncompacted delta piles) fall back to the full fold.
+        base_clean = None
+        if base is not None:
+            delta_bytes = sum(int(f.get("bytes", 0)) for f in delta_files)
+            if delta_bytes <= self.RESOLVE_SPLIT_DELTA_BYTES:
+                dirty_keys = deltas.select(key_col).distinct()
+                base_clean = base.join(F.broadcast(dirty_keys), key_col, "left_anti")
+                base = base.join(F.broadcast(dirty_keys), key_col, "left_semi")
         if base is not None:
             base_ev = base.select(
                 *data_cols,
@@ -365,7 +398,10 @@ class LakeTable:
         resolved = grouped.select(F.expr(fold).alias("__row")).filter(
             F.col("__row").isNotNull()
         )
-        return resolved.select(*[F.col(f"__row.{c}").alias(c) for c in data_cols])
+        out = resolved.select(*[F.col(f"__row.{c}").alias(c) for c in data_cols])
+        if base_clean is not None:
+            out = base_clean.select(*data_cols).unionByName(out)
+        return out
 
     # ---------- write / commit ----------
 

@@ -96,6 +96,48 @@ def test_read_keys_point_lookup(spark, tmp_path):
         assert got[u] == want[u]["lang"]
 
 
+def test_dirty_key_split_matches_full_fold(spark, tmp_path):
+    """Read-time resolution's dirty-key split (broadcast the delta key
+    set, fold only touched base rows, anti-join the rest through) must
+    produce EXACTLY the state of the full-table fold — including keys
+    whose only delta is a delete and keys that exist only in deltas."""
+    paths = _mk_log(tmp_path, n_batches=4, seed=35)
+    p = str(tmp_path / "lake")
+    # compact the first batches into base files, leave the tail as deltas
+    # so the read path has BOTH a base and a delta pile to split over
+    pipe = CdcPipeline(p, n_buckets=4, compact_every=3)
+    pipe.run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    snap = t.snapshot()
+    assert any(f.get("kind") == "delta" for f in snap["files"]), "need live deltas"
+
+    def state(df):
+        return sorted(
+            (r["url"], r["lang"], r["text"]) for r in df.select("url", "lang", "text").collect()
+        )
+
+    split_state = state(t.read(spark))
+    # the split plan passes clean base rows through a broadcast anti-join
+    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+    orig = LakeTable.RESOLVE_SPLIT_DELTA_BYTES
+    try:
+        LakeTable.RESOLVE_SPLIT_DELTA_BYTES = -1  # force the full fold
+        full_df = t.read(spark)
+        full_plan = full_df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" not in full_plan
+        full_state = state(full_df)
+    finally:
+        LakeTable.RESOLVE_SPLIT_DELTA_BYTES = orig
+
+    assert split_state == full_state
+    want = reference_fold(paths)
+    assert {u for (u, _, _) in split_state} == set(want)
+    for url, lang, text in split_state:
+        assert (lang, text) == (want[url]["lang"], want[url]["text"]), url
+
+
 def test_bytes_triggered_bucket_compaction(spark, tmp_path):
     """compact_delta_bytes: a bucket whose stacked deltas exceed the byte
     cap is compacted bucket-pruned, independent of epoch depth (hot-key
