@@ -67,6 +67,18 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _parquet_num_rows(path: str) -> int | None:
+    """Row count from the parquet footer (driver-side, metadata-only read)
+    — recorded per data file so the read path can size its broadcast
+    resolution precisely instead of guessing from byte sizes."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _atomic_write_json(path: str, obj: dict) -> None:
     tmp = path + f".tmp-{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
@@ -79,14 +91,19 @@ def _atomic_write_json(path: str, obj: dict) -> None:
 class LakeTable:
     """Manifest-Parquet lake table. See module docstring."""
 
-    # Dirty-key split guard for read-time resolution: when the stacked
-    # delta bytes are at or under this, `read` broadcasts the distinct
-    # delta key set and folds ONLY the base rows those keys touch —
-    # untouched base rows stream through shuffle-free. The guard bounds
-    # the broadcast build (the key set is far smaller than the deltas
-    # themselves — urls, not html payloads). Past it, fall back to the
-    # full-table fold (an uncompacted pile that big should be compacted
-    # anyway — CdcPipeline's compact triggers fire long before this).
+    # Broadcast-resolution guards for the merge-on-read read path: when
+    # the stacked delta pile is small enough (the steady state the
+    # compaction triggers maintain), `read` broadcasts (a) the distinct
+    # delta key set — clean base rows bypass resolution via an anti-join
+    # — and (b) the folded winner (key, epoch) set — payload rows are
+    # fetched with a broadcast semi-join, so html/text bytes NEVER enter
+    # a shuffle. Both broadcasts scale with the number of dirty KEYS, so
+    # the row guard is primary; the byte guard covers snapshots written
+    # before per-file row counts were recorded. Past the guards the same
+    # narrow fold runs without broadcasts (payloads shuffle once in the
+    # semi-join — still cheaper than the round-1 full-row fold, which
+    # also buffered every version of a key in one aggregation buffer).
+    RESOLVE_SPLIT_DELTA_ROWS = 4_000_000
     RESOLVE_SPLIT_DELTA_BYTES = 256 * 1024 * 1024
 
     def __init__(self, path: str):
@@ -318,15 +335,28 @@ class LakeTable:
         row IN EPOCH ORDER with the same acceptance rule the eager merge
         uses (stale events lose; a delete resets the version floor, so a
         later re-insert with an OLDER version still lands — plain
-        max-by-version would get this wrong). The replay is a JVM
-        ``aggregate`` fold over a per-key sorted event array — one hash
-        shuffle on the key, no Python, no window.
+        max-by-version would get this wrong).
 
-        Scale shape: in the steady state (compaction triggers keep delta
-        piles small) the dirty-key split below means the fold shuffle
-        carries only rows whose key appears in a delta — at 100 TB with a
-        0.1%-of-keys batch, ~0.1% of the table shuffles instead of all of
-        it; clean base rows take a broadcast anti-join (shuffle-free).
+        The replay is a NARROW two-phase plan — payload bytes (html/text)
+        never enter a shuffle:
+
+        1. **Narrow fold**: only ``(key, version, __op, __epoch)`` is
+           folded per key (a JVM ``aggregate`` over a sorted event array
+           — one hash shuffle of ~40-byte rows; parquet column pruning
+           means the fold scan never reads the payload columns). The
+           apply path writes exactly one winner per (key, epoch)
+           (``apply_batch_mor``), so the fold's output ``(key, epoch)``
+           uniquely identifies the surviving physical row.
+        2. **Payload fetch**: a semi-join of the full-width scans against
+           the winner set on ``(key, __epoch)`` — broadcast when the
+           delta pile is within the guards, so the payload rows are
+           filtered in place in their scan tasks.
+
+        Steady-state scale shape (compaction triggers keep delta piles
+        small): clean base rows — the overwhelming majority at 100 TB —
+        bypass resolution entirely through a broadcast anti-join on the
+        dirty-key set; dirty keys pay one narrow shuffle plus an
+        in-place payload filter. Nothing O(table) shuffles.
         """
         snap = snap or self.snapshot()
         files = snap["files"]
@@ -346,59 +376,78 @@ class LakeTable:
         cur_fields = self.current_fields(snap)
         data_cols = [f["name"] for f in cur_fields]
         deltas = self._scan(spark, snap, delta_files, extra_cols=["__op", "__epoch"])
-        key_col = snap["key_col"]
-
-        # Dirty-key split: only keys that HAVE deltas need the fold. When
-        # the stacked deltas are modest (the common steady state — the
-        # compaction triggers bound them), broadcast the distinct delta
-        # key set and let untouched base rows pass through with a
-        # broadcast ANTI join: those rows never shuffle and never enter
-        # the per-key fold, so read cost is O(base scan) + O(dirty keys ·
-        # fold) instead of O(table · fold). Past the byte guard (huge
-        # uncompacted delta piles) fall back to the full fold.
-        base_clean = None
-        if base is not None:
-            delta_bytes = sum(int(f.get("bytes", 0)) for f in delta_files)
-            if delta_bytes <= self.RESOLVE_SPLIT_DELTA_BYTES:
-                dirty_keys = deltas.select(key_col).distinct()
-                base_clean = base.join(F.broadcast(dirty_keys), key_col, "left_anti")
-                base = base.join(F.broadcast(dirty_keys), key_col, "left_semi")
-        if base is not None:
-            base_ev = base.select(
-                *data_cols,
-                F.lit("I").alias("__op"),
-                F.lit(-1).cast("long").alias("__epoch"),
-            )
-            events = base_ev.unionByName(deltas)
-        else:
-            events = deltas
-
         key = snap["key_col"]
         vcol = snap.get("version_col", "warc_ts")
-        row_ddl = T.StructType(
-            [T.StructField(f["name"], spark_type(f["type"])) for f in cur_fields]
-        ).simpleString()
-        ev_struct = F.struct(
-            F.col("__epoch"),
-            F.col("__op"),
-            F.struct(*[F.col(c) for c in data_cols]).alias("r"),
+        vtype = next(
+            (f["type"] for f in cur_fields if f["name"] == vcol), "timestamp"
         )
-        grouped = events.groupBy(key).agg(
+
+        # guards: broadcast resolution only while the dirty-key set is
+        # modest (rows recorded per delta file; byte heuristic for
+        # snapshots that predate row counts)
+        delta_rows = [f.get("rows") for f in delta_files]
+        if all(r is not None for r in delta_rows):
+            small = sum(delta_rows) <= self.RESOLVE_SPLIT_DELTA_ROWS
+        else:
+            delta_bytes = sum(int(f.get("bytes", 0)) for f in delta_files)
+            small = delta_bytes <= self.RESOLVE_SPLIT_DELTA_BYTES
+        maybe_bcast = F.broadcast if small else (lambda df: df)
+
+        # -- phase 0: dirty-key split — untouched base rows skip resolution
+        base_clean = None
+        base_narrow = None
+        if base is not None:
+            base_narrow = base.select(key, vcol)
+            if small:
+                dirty_keys = deltas.select(key).distinct()
+                base_clean = base.join(F.broadcast(dirty_keys), key, "left_anti")
+                base_narrow = base_narrow.join(
+                    F.broadcast(dirty_keys), key, "left_semi"
+                )
+
+        # -- phase 1: narrow fold → winner (key, epoch) per surviving key
+        ev_narrow = deltas.select(
+            key, F.col(vcol).alias("__v"), "__op", "__epoch"
+        )
+        if base_narrow is not None:
+            ev_narrow = base_narrow.select(
+                key,
+                F.col(vcol).alias("__v"),
+                F.lit("I").alias("__op"),
+                F.lit(-1).cast("long").alias("__epoch"),
+            ).unionByName(ev_narrow)
+        acc_ddl = f"STRUCT<v: {spark_type(vtype).simpleString()}, e: BIGINT>"
+        ev_struct = F.struct(F.col("__epoch"), F.col("__op"), F.col("__v"))
+        grouped = ev_narrow.groupBy(key).agg(
             F.sort_array(F.collect_list(ev_struct)).alias("__evs")
         )
         # eager-merge acceptance rule, replayed per key in epoch order:
         # applies ⟺ no current row ∨ current version null ∨ e.version ≥ current
         fold = (
-            f"aggregate(__evs, CAST(NULL AS {row_ddl}), (acc, e) -> "
-            f"CASE WHEN acc IS NULL OR acc.{vcol} IS NULL "
-            f"          OR (e.r.{vcol} IS NOT NULL AND e.r.{vcol} >= acc.{vcol}) "
-            f"     THEN (CASE WHEN e.__op = 'D' THEN CAST(NULL AS {row_ddl}) ELSE e.r END) "
+            f"aggregate(__evs, CAST(NULL AS {acc_ddl}), (acc, e) -> "
+            f"CASE WHEN acc IS NULL OR acc.v IS NULL "
+            f"          OR (e.__v IS NOT NULL AND e.__v >= acc.v) "
+            f"     THEN (CASE WHEN e.__op = 'D' THEN CAST(NULL AS {acc_ddl}) "
+            f"           ELSE named_struct('v', e.__v, 'e', e.__epoch) END) "
             f"     ELSE acc END)"
         )
-        resolved = grouped.select(F.expr(fold).alias("__row")).filter(
-            F.col("__row").isNotNull()
+        winners = (
+            grouped.select(F.col(key), F.expr(fold).alias("__w"))
+            .filter(F.col("__w").isNotNull())
+            .select(key, F.col("__w.e").alias("__epoch"))
         )
-        out = resolved.select(*[F.col(f"__row.{c}").alias(c) for c in data_cols])
+
+        # -- phase 2: payload fetch — winner rows filtered in place
+        payload = deltas.filter(F.col("__op") != F.lit("D")).select(
+            *data_cols, "__epoch"
+        )
+        if base is not None:
+            payload = base.select(
+                *data_cols, F.lit(-1).cast("long").alias("__epoch")
+            ).unionByName(payload)
+        out = payload.join(
+            maybe_bcast(winners), [key, "__epoch"], "left_semi"
+        ).select(*data_cols)
         if base_clean is not None:
             out = base_clean.select(*data_cols).unionByName(out)
         return out
@@ -434,6 +483,7 @@ class LakeTable:
                         "bucket": b,
                         "schema_version": schema_version,
                         "bytes": os.path.getsize(full),
+                        "rows": _parquet_num_rows(full),
                         "kind": kind,
                     }
                     if epoch is not None:

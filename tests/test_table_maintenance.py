@@ -96,11 +96,14 @@ def test_read_keys_point_lookup(spark, tmp_path):
         assert got[u] == want[u]["lang"]
 
 
-def test_dirty_key_split_matches_full_fold(spark, tmp_path):
-    """Read-time resolution's dirty-key split (broadcast the delta key
-    set, fold only touched base rows, anti-join the rest through) must
-    produce EXACTLY the state of the full-table fold — including keys
-    whose only delta is a delete and keys that exist only in deltas."""
+def test_narrow_resolution_matches_fallback_and_never_shuffles_payloads(spark, tmp_path):
+    """Read-time resolution is a narrow two-phase plan: fold (key,
+    version, op, epoch) per key, broadcast-semi-join the winner (key,
+    epoch) set back onto the payload scans, anti-join clean base rows
+    through. It must produce EXACTLY the state of the non-broadcast
+    fallback — including keys whose only delta is a delete and keys that
+    exist only in deltas — and payload columns (html/text) must appear
+    in NO shuffle exchange and no fold buffer."""
     paths = _mk_log(tmp_path, n_batches=4, seed=35)
     p = str(tmp_path / "lake")
     # compact the first batches into base files, leave the tail as deltas
@@ -117,19 +120,27 @@ def test_dirty_key_split_matches_full_fold(spark, tmp_path):
         )
 
     split_state = state(t.read(spark))
-    # the split plan passes clean base rows through a broadcast anti-join
+    # plan shape: clean base rows bypass via broadcast anti-join, and no
+    # shuffle or fold buffer ever carries the payload columns
     plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line or "collect_list" in line:
+            assert "html" not in line and "text" not in line, line
 
-    orig = LakeTable.RESOLVE_SPLIT_DELTA_BYTES
+    orig_rows = LakeTable.RESOLVE_SPLIT_DELTA_ROWS
+    orig_bytes = LakeTable.RESOLVE_SPLIT_DELTA_BYTES
     try:
-        LakeTable.RESOLVE_SPLIT_DELTA_BYTES = -1  # force the full fold
+        # force the non-broadcast fallback (both guards fail)
+        LakeTable.RESOLVE_SPLIT_DELTA_ROWS = -1
+        LakeTable.RESOLVE_SPLIT_DELTA_BYTES = -1
         full_df = t.read(spark)
         full_plan = full_df._jdf.queryExecution().executedPlan().toString()
         assert "LeftAnti" not in full_plan
         full_state = state(full_df)
     finally:
-        LakeTable.RESOLVE_SPLIT_DELTA_BYTES = orig
+        LakeTable.RESOLVE_SPLIT_DELTA_ROWS = orig_rows
+        LakeTable.RESOLVE_SPLIT_DELTA_BYTES = orig_bytes
 
     assert split_state == full_state
     want = reference_fold(paths)
