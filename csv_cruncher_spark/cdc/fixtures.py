@@ -43,10 +43,20 @@ def _url(domain_id: int, page_id: int) -> str:
     return f"https://d{domain_id}.example.com/page/{page_id}"
 
 
-def make_html(url: str, ts_s: int, rng_val: int) -> bytes:
+def make_html(url: str, ts_s: int, rng_val: int, pad_bytes: int = 0) -> bytes:
     """Deterministic pseudo-HTML for (url, ts). Exercises every extraction
-    rule: script/style removal, comments, entities, nested tags, whitespace."""
+    rule: script/style removal, comments, entities, nested tags, whitespace.
+
+    ``pad_bytes`` appends a deterministic word-filler paragraph so studies
+    can size payloads realistically (a Common-Crawl page is ~100 KB; the
+    unpadded fixture is ~400 B). Default 0 keeps every existing byte-parity
+    expectation unchanged."""
     w = [_WORDS[(rng_val + i * 7) % len(_WORDS)] for i in range(12)]
+    pad = ""
+    if pad_bytes > 0:
+        unit = " ".join(_WORDS[(rng_val + i * 13) % len(_WORDS)] for i in range(8))
+        filler = (unit + " ") * (pad_bytes // (len(unit) + 1) + 1)
+        pad = f"<p>{filler[:pad_bytes]}</p>\n"
     body = (
         f"<html>\n<head><title>{w[0]} {w[1]}</title>\n"
         f"<style>body {{ color: red; }}</style></head>\n"
@@ -55,6 +65,7 @@ def make_html(url: str, ts_s: int, rng_val: int) -> bytes:
         f"<h1>{w[2]} &amp; {w[3]}</h1>\n"
         f"<p>  {w[4]}   {w[5]}\t{w[6]} &lt;{w[7]}&gt; &quot;{w[8]}&quot;</p>\n"
         f"<div><span>{w[9]}</span> &#39;{w[10]}&#39; &nbsp; {w[11]}</div>\n"
+        f"{pad}"
         f"<p>url={url} ts={ts_s}</p>\n</body></html>"
     )
     return body.encode("utf-8")
@@ -73,6 +84,7 @@ class ChangeLogSpec:
     p_delete: float = 0.15
     schema_v2_from_batch: int | None = None  # batch idx where fetch_status appears
     schema_v3_from_batch: int | None = None  # batch idx where lang→language renames
+    html_pad_bytes: int = 0  # extra deterministic payload per page (see make_html)
     out_dir: str = field(default="")
 
 
@@ -127,7 +139,9 @@ def generate_change_log(spec: ChangeLogSpec) -> list[str]:
             if op == "D":
                 html_b64, lang = "", ""
             else:
-                html = make_html(url, ts_s, int(rng.randint(0, 1 << 30)))
+                html = make_html(
+                    url, ts_s, int(rng.randint(0, 1 << 30)), spec.html_pad_bytes
+                )
                 html_b64 = base64.b64encode(html).decode("ascii")
                 lang = _LANGS[uid % len(_LANGS)]
             row = {"op": op, "url": url, "warc_ts": ts_str, "html": html_b64, "lang": lang}

@@ -298,14 +298,16 @@ class CdcPipeline:
             raise RuntimeError("injected crash between commit and checkpoint write")
 
         # --- checkpoint manifest (FIXTURES.md §A4) ---
-        per_part = {
-            str(f["bucket"]): {
-                "offset": new_snap["epoch_id"],
-                "rows": None,
-                "bytes": f["bytes"],
-            }
-            for f in new_snap["files"]
-        }
+        per_part: dict[str, dict] = {}
+        for f in new_snap["files"]:
+            slot = per_part.setdefault(
+                str(f["bucket"]),
+                {"offset": new_snap["epoch_id"], "rows": 0, "bytes": 0, "files": 0},
+            )
+            r = f.get("rows")
+            slot["rows"] = None if (r is None or slot["rows"] is None) else slot["rows"] + r
+            slot["bytes"] += int(f.get("bytes", 0))
+            slot["files"] += 1
         ckpt["epoch_id"] = new_snap["epoch_id"]
         ckpt["batches_applied"] = ckpt["batches_applied"] + [batch_id]
         ckpt["per_partition"] = per_part

@@ -106,6 +106,19 @@ class LakeTable:
     RESOLVE_SPLIT_DELTA_ROWS = 4_000_000
     RESOLVE_SPLIT_DELTA_BYTES = 256 * 1024 * 1024
 
+    # Payload-adaptive resolution (measured, experiments/read_split_study.py):
+    # for NARROW rows the single-pass wide fold wins — extra narrow scans
+    # and join stages cost more than shuffling the (tiny) payloads — while
+    # for WIDE rows (web pages are ~100 KB) the narrow two-phase plan wins
+    # because payload bytes never shuffle and never sit in a per-key
+    # aggregation buffer (a hot key's versions × 100 KB in one collect_list
+    # is an OOM, not just a slowdown). The dispatch reads avg bytes/row
+    # from the manifest (bytes and rows are recorded per data file).
+    # "auto" dispatches on NARROW_RESOLVE_MIN_ROW_BYTES; tests force a
+    # mode to assert both paths produce identical state.
+    RESOLVE_MODE = "auto"  # "auto" | "narrow" | "widefold"
+    NARROW_RESOLVE_MIN_ROW_BYTES = 1024
+
     def __init__(self, path: str):
         self.path = path
 
@@ -175,8 +188,10 @@ class LakeTable:
                 bucket_expr(snap["key_col"], n).alias("b")
             ).distinct().collect()
         )
-        df = self.read(spark, snap=snap, buckets=buckets)
-        return df.filter(F.col(snap["key_col"]).isin(keys))
+        # the key predicate is applied BEFORE resolution (pushed into the
+        # parquet scans as an In filter), so the fold replays only the
+        # looked-up keys' events — not every key in the touched buckets
+        return self.read(spark, snap=snap, buckets=buckets, keys=keys)
 
     def snapshot_history(self) -> list[dict]:
         """All retained snapshots, oldest first."""
@@ -327,6 +342,7 @@ class LakeTable:
         snap: dict | None = None,
         buckets: list[int] | None = None,
         resolve: bool = True,
+        keys: list | None = None,
     ) -> DataFrame:
         """Current-snapshot scan projected to the current schema.
 
@@ -337,8 +353,11 @@ class LakeTable:
         later re-insert with an OLDER version still lands — plain
         max-by-version would get this wrong).
 
-        The replay is a NARROW two-phase plan — payload bytes (html/text)
-        never enter a shuffle:
+        Resolution is PAYLOAD-ADAPTIVE (``RESOLVE_MODE`` class attr): for
+        narrow rows a single-pass wide fold wins (``_resolve_widefold``);
+        for wide rows — the web-page target workload — the replay is a
+        NARROW two-phase plan where payload bytes (html/text) never enter
+        a shuffle:
 
         1. **Narrow fold**: only ``(key, version, __op, __epoch)`` is
            folded per key (a JVM ``aggregate`` over a sorted event array
@@ -347,16 +366,22 @@ class LakeTable:
            apply path writes exactly one winner per (key, epoch)
            (``apply_batch_mor``), so the fold's output ``(key, epoch)``
            uniquely identifies the surviving physical row.
-        2. **Payload fetch**: a semi-join of the full-width scans against
-           the winner set on ``(key, __epoch)`` — broadcast when the
-           delta pile is within the guards, so the payload rows are
-           filtered in place in their scan tasks.
+        2. **Payload fetch** (within the guards): the base is scanned
+           full-width exactly ONCE and filtered in place by a broadcast
+           anti-join on the *kill set* — dirty keys whose fold winner is
+           not the base row — while delta payload rows pass a broadcast
+           semi-join on the winner ``(key, __epoch)`` set. Past the
+           guards, one shuffled semi-join of the payload union against
+           the winner set (still narrow-keyed; the round-1 design
+           buffered every full-width version of a key in one
+           ``collect_list`` aggregation buffer).
 
         Steady-state scale shape (compaction triggers keep delta piles
         small): clean base rows — the overwhelming majority at 100 TB —
-        bypass resolution entirely through a broadcast anti-join on the
-        dirty-key set; dirty keys pay one narrow shuffle plus an
-        in-place payload filter. Nothing O(table) shuffles.
+        pass the broadcast anti-join untouched in their scan tasks; dirty
+        keys pay one narrow shuffle plus the same in-place filters.
+        Nothing O(table) shuffles, and the table's payload bytes are read
+        once.
         """
         snap = snap or self.snapshot()
         files = snap["files"]
@@ -366,6 +391,12 @@ class LakeTable:
         base_files = [f for f in files if f.get("kind", "base") == "base"]
         delta_files = [f for f in files if f.get("kind") == "delta"]
         base = self._scan(spark, snap, base_files)
+        if keys is not None and base is not None:
+            # point-lookup pushdown: resolution is per-key independent, so
+            # filtering every scan to the key set (parquet In filter —
+            # row-group min/max pruning) yields identical per-key results
+            # while the fold replays only the looked-up keys
+            base = base.filter(F.col(snap["key_col"]).isin(keys))
         if not resolve:  # base-only view (diagnostics/compaction internals)
             delta_files = []
         if not delta_files:
@@ -376,6 +407,8 @@ class LakeTable:
         cur_fields = self.current_fields(snap)
         data_cols = [f["name"] for f in cur_fields]
         deltas = self._scan(spark, snap, delta_files, extra_cols=["__op", "__epoch"])
+        if keys is not None:
+            deltas = deltas.filter(F.col(snap["key_col"]).isin(keys))
         key = snap["key_col"]
         vcol = snap.get("version_col", "warc_ts")
         vtype = next(
@@ -393,14 +426,35 @@ class LakeTable:
             small = delta_bytes <= self.RESOLVE_SPLIT_DELTA_BYTES
         maybe_bcast = F.broadcast if small else (lambda df: df)
 
+        # payload-adaptive dispatch (see class-attr comment): narrow rows →
+        # single-pass wide fold; wide rows (or unknown row counts) → the
+        # narrow two-phase plan, which never shuffles or buffers payloads
+        mode = self.RESOLVE_MODE
+        if mode == "auto":
+            sized = [
+                (int(f.get("bytes", 0)), f["rows"])
+                for f in base_files + delta_files
+                if f.get("rows")
+            ]
+            tot_b = sum(b for b, _ in sized)
+            tot_r = sum(r for _, r in sized)
+            mode = (
+                "widefold"
+                if tot_r and tot_b / tot_r < self.NARROW_RESOLVE_MIN_ROW_BYTES
+                else "narrow"
+            )
+        if mode == "widefold":
+            return self._resolve_widefold(
+                base, deltas, small, data_cols, key, vcol, cur_fields
+            )
+
         # -- phase 0: dirty-key split — untouched base rows skip resolution
-        base_clean = None
+        dirty_keys = None
         base_narrow = None
         if base is not None:
             base_narrow = base.select(key, vcol)
             if small:
                 dirty_keys = deltas.select(key).distinct()
-                base_clean = base.join(F.broadcast(dirty_keys), key, "left_anti")
                 base_narrow = base_narrow.join(
                     F.broadcast(dirty_keys), key, "left_semi"
                 )
@@ -438,16 +492,89 @@ class LakeTable:
         )
 
         # -- phase 2: payload fetch — winner rows filtered in place
-        payload = deltas.filter(F.col("__op") != F.lit("D")).select(
+        delta_payload = deltas.filter(F.col("__op") != F.lit("D")).select(
             *data_cols, "__epoch"
         )
+        if dirty_keys is not None:
+            # Single full-width base scan: a base row dies iff its key is
+            # dirty AND the fold winner is not the base row itself
+            # (__epoch != -1). kill_keys ⊆ dirty keys, so one broadcast
+            # anti-join filters the base in place — clean rows and
+            # dirty-but-base-won rows both pass, and the base payload
+            # bytes are read exactly ONCE (the earlier two-branch plan
+            # scanned the base full-width twice: clean anti-join + payload
+            # semi-join).
+            base_won = winners.filter(F.col("__epoch") == -1).select(key)
+            kill_keys = dirty_keys.join(base_won, key, "left_anti")
+            out = base.join(F.broadcast(kill_keys), key, "left_anti").select(
+                *data_cols
+            )
+            delta_winners = winners.filter(F.col("__epoch") != -1)
+            out = out.unionByName(
+                delta_payload.join(
+                    F.broadcast(delta_winners), [key, "__epoch"], "left_semi"
+                ).select(*data_cols)
+            )
+            return out
+        # fallback (huge delta pile or no base): one shuffled semi-join of
+        # the payload union against the winner set
+        payload = delta_payload
         if base is not None:
             payload = base.select(
                 *data_cols, F.lit(-1).cast("long").alias("__epoch")
             ).unionByName(payload)
-        out = payload.join(
+        return payload.join(
             maybe_bcast(winners), [key, "__epoch"], "left_semi"
         ).select(*data_cols)
+
+    def _resolve_widefold(
+        self, base, deltas, small, data_cols, key, vcol, cur_fields
+    ) -> DataFrame:
+        """Single-pass resolution for NARROW rows: full rows ride through
+        the per-key sort+fold (one shuffle, one pass over the data files).
+        Measured faster than the two-phase plan when payloads are small —
+        the extra narrow scans and join stages cost more than shuffling
+        tiny payloads (experiments/read_split_study.py). The dirty-key
+        split still applies: clean base rows bypass via broadcast
+        anti-join. Never chosen for wide rows (web-page payloads), where
+        the per-key collect_list buffer is an OOM risk."""
+        base_clean = None
+        if base is not None and small:
+            dirty_keys = deltas.select(key).distinct()
+            base_clean = base.join(F.broadcast(dirty_keys), key, "left_anti")
+            base = base.join(F.broadcast(dirty_keys), key, "left_semi")
+        ev_cols = [*data_cols, "__op", "__epoch"]
+        if base is not None:
+            events = base.select(
+                *data_cols,
+                F.lit("I").alias("__op"),
+                F.lit(-1).cast("long").alias("__epoch"),
+            ).unionByName(deltas.select(*ev_cols))
+        else:
+            events = deltas.select(*ev_cols)
+        row_ddl = T.StructType(
+            [T.StructField(f["name"], spark_type(f["type"])) for f in cur_fields]
+        ).simpleString()
+        ev_struct = F.struct(
+            F.col("__epoch"),
+            F.col("__op"),
+            F.struct(*[F.col(c) for c in data_cols]).alias("r"),
+        )
+        grouped = events.groupBy(key).agg(
+            F.sort_array(F.collect_list(ev_struct)).alias("__evs")
+        )
+        # same acceptance rule as the narrow fold, over full rows
+        fold = (
+            f"aggregate(__evs, CAST(NULL AS {row_ddl}), (acc, e) -> "
+            f"CASE WHEN acc IS NULL OR acc.{vcol} IS NULL "
+            f"          OR (e.r.{vcol} IS NOT NULL AND e.r.{vcol} >= acc.{vcol}) "
+            f"     THEN (CASE WHEN e.__op = 'D' THEN CAST(NULL AS {row_ddl}) ELSE e.r END) "
+            f"     ELSE acc END)"
+        )
+        resolved = grouped.select(F.expr(fold).alias("__row")).filter(
+            F.col("__row").isNotNull()
+        )
+        out = resolved.select(*[F.col(f"__row.{c}").alias(c) for c in data_cols])
         if base_clean is not None:
             out = base_clean.select(*data_cols).unionByName(out)
         return out

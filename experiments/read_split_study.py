@@ -30,21 +30,30 @@ from csv_cruncher_spark.lake.table import LakeTable
 from csv_cruncher_spark.session import get_spark
 
 
-def build_lake(spark, work: str, base_events: int, delta_events: int, n_urls: int) -> str:
+def build_lake(
+    spark,
+    work: str,
+    base_events: int,
+    delta_events: int,
+    n_urls: int,
+    html_pad_bytes: int = 0,
+) -> str:
     """Base batch (compacted into base parquet) + one delta batch left
-    uncompacted — the steady-state shape between compaction triggers."""
+    uncompacted — the steady-state shape between compaction triggers.
+    ``html_pad_bytes`` sizes payloads realistically (Common-Crawl pages
+    are ~100 KB; the unpadded fixture is ~400 B)."""
     base_dir = os.path.join(work, "base_batches")
     generate_change_log(
         ChangeLogSpec(
             n_urls=n_urls, n_batches=1, events_per_batch=base_events,
-            seed=42, out_dir=base_dir,
+            seed=42, out_dir=base_dir, html_pad_bytes=html_pad_bytes,
         )
     )
     delta_dir = os.path.join(work, "delta_batches")
     generate_change_log(
         ChangeLogSpec(
             n_urls=n_urls, n_batches=1, events_per_batch=delta_events,
-            seed=43, out_dir=delta_dir,
+            seed=43, out_dir=delta_dir, html_pad_bytes=html_pad_bytes,
         )
     )
     # rename the delta batch so it sorts AFTER the base batch in one dir
@@ -87,6 +96,7 @@ def main() -> None:
     base_events = int(os.environ.get("SPLIT_STUDY_BASE", 4_000_000))
     delta_events = int(os.environ.get("SPLIT_STUDY_DELTA", 100_000))
     n_urls = int(os.environ.get("SPLIT_STUDY_URLS", 1_000_000))
+    pad = int(os.environ.get("SPLIT_STUDY_PAD", 0))
     tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     work = tempfile.mkdtemp(prefix="read_split_", dir=tmp_base)
     local_dir = tempfile.mkdtemp(prefix="spark_local_", dir=tmp_base)
@@ -99,30 +109,40 @@ def main() -> None:
                 "spark.local.dir": local_dir,
             },
         )
-        lake = build_lake(spark, work, base_events, delta_events, n_urls)
+        lake = build_lake(spark, work, base_events, delta_events, n_urls, pad)
         t = LakeTable.load(lake)
         rows = t.read(spark).count()  # warm page cache + JIT
         dirty = sum(1 for f in t.snapshot()["files"] if f.get("kind") == "delta")
 
         split_s = timed_read(spark, lake)
-        orig = LakeTable.RESOLVE_SPLIT_DELTA_BYTES
+        orig_rows = LakeTable.RESOLVE_SPLIT_DELTA_ROWS
+        orig_bytes = LakeTable.RESOLVE_SPLIT_DELTA_BYTES
         try:
+            # force the non-broadcast fallback (both guards fail)
+            LakeTable.RESOLVE_SPLIT_DELTA_ROWS = -1
             LakeTable.RESOLVE_SPLIT_DELTA_BYTES = -1
             full_s = timed_read(spark, lake)
         finally:
-            LakeTable.RESOLVE_SPLIT_DELTA_BYTES = orig
+            LakeTable.RESOLVE_SPLIT_DELTA_ROWS = orig_rows
+            LakeTable.RESOLVE_SPLIT_DELTA_BYTES = orig_bytes
 
-        print(json.dumps({
+        result = json.dumps({
             "base_events": base_events,
             "delta_events": delta_events,
             "n_urls": n_urls,
+            "html_pad_bytes": pad,
             "table_rows": rows,
             "delta_files": dirty,
             "read_split_seconds": round(split_s, 3),
             "read_fullfold_seconds": round(full_s, 3),
             "speedup": round(full_s / split_s, 2) if split_s else None,
             "master": spark.sparkContext.master,
-        }))
+        })
+        print("\n" + result)
+        out = os.environ.get("SPLIT_STUDY_OUT")
+        if out:  # progress bars share stdout lines; a file survives filters
+            with open(out, "w") as f:
+                f.write(result + "\n")
     finally:
         shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(local_dir, ignore_errors=True)

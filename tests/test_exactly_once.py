@@ -101,3 +101,15 @@ def test_resume_mid_log(spark, change_log):
     ckpt2 = CdcPipeline(table, n_buckets=4).load_checkpoint()
     assert ckpt2["epoch_id"] == len(paths) - 1
     assert [e["batch"] for e in ckpt2["lineage"]] == [os.path.basename(p) for p in paths]
+    # per-partition metrics (FIXTURES.md §A4): every bucket slot carries
+    # the committed offset plus aggregated row/byte/file counts — rows come
+    # from the parquet footers recorded in the manifest, so the sum across
+    # buckets must equal the resolved table's physical row superset
+    # (base + delta winners, before read-time MOR resolution)
+    parts = ckpt2["per_partition"]
+    assert parts, "checkpoint has no per-partition metrics"
+    for slot in parts.values():
+        assert slot["offset"] == ckpt2["epoch_id"]
+        assert slot["rows"] is not None and slot["rows"] > 0
+        assert slot["bytes"] > 0 and slot["files"] >= 1
+    assert sum(s["rows"] for s in parts.values()) >= len(reference_fold(paths))

@@ -94,16 +94,28 @@ def test_read_keys_point_lookup(spark, tmp_path):
     assert set(got) == set(some) - {"https://nowhere.example.com/missing"}
     for u in got:
         assert got[u] == want[u]["lang"]
+    # the key predicate reaches the parquet scans (PushedFilters In),
+    # so resolution folds only the looked-up keys, not whole buckets
+    plan = t.read_keys(spark, some)._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "In(url" in plan, plan
 
 
-def test_narrow_resolution_matches_fallback_and_never_shuffles_payloads(spark, tmp_path):
-    """Read-time resolution is a narrow two-phase plan: fold (key,
-    version, op, epoch) per key, broadcast-semi-join the winner (key,
-    epoch) set back onto the payload scans, anti-join clean base rows
-    through. It must produce EXACTLY the state of the non-broadcast
-    fallback — including keys whose only delta is a delete and keys that
-    exist only in deltas — and payload columns (html/text) must appear
-    in NO shuffle exchange and no fold buffer."""
+def test_resolution_modes_agree_and_narrow_plan_never_shuffles_payloads(spark, tmp_path):
+    """Read-time resolution is payload-adaptive (LakeTable.RESOLVE_MODE):
+
+    - narrow two-phase: fold (key, version, op, epoch) per key, broadcast
+      anti-join the base against the kill-key set (dirty keys whose winner
+      is not the base row), broadcast-semi-join delta payloads against the
+      delta winners. Payload columns (html/text) must appear in NO shuffle
+      exchange and no fold buffer, and each side's payload bytes are
+      scanned exactly ONCE.
+    - widefold single-pass: full rows through the per-key sort+fold (the
+      fast path for narrow rows).
+    - fallback: guards failed — no broadcasts, shuffled semi-join.
+
+    All three must produce EXACTLY the same state — including keys whose
+    only delta is a delete and keys that exist only in deltas — and the
+    tiny fixture payloads must make "auto" pick the widefold."""
     paths = _mk_log(tmp_path, n_batches=4, seed=35)
     p = str(tmp_path / "lake")
     # compact the first batches into base files, leave the tail as deltas
@@ -119,19 +131,37 @@ def test_narrow_resolution_matches_fallback_and_never_shuffles_payloads(spark, t
             (r["url"], r["lang"], r["text"]) for r in df.select("url", "lang", "text").collect()
         )
 
-    split_state = state(t.read(spark))
-    # plan shape: clean base rows bypass via broadcast anti-join, and no
-    # shuffle or fold buffer ever carries the payload columns
-    plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning" in line or "collect_list" in line:
-            assert "html" not in line and "text" not in line, line
-
+    orig_mode = LakeTable.RESOLVE_MODE
     orig_rows = LakeTable.RESOLVE_SPLIT_DELTA_ROWS
     orig_bytes = LakeTable.RESOLVE_SPLIT_DELTA_BYTES
     try:
+        # ~400 B fixture rows → auto must dispatch to the widefold
+        auto_plan = t.read(spark)._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" in auto_plan and "LeftAnti" in auto_plan
+        auto_state = state(t.read(spark))
+
+        LakeTable.RESOLVE_MODE = "narrow"
+        narrow_df = t.read(spark)
+        plan = narrow_df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+        for line in plan.splitlines():
+            if "Exchange hashpartitioning" in line or "collect_list" in line:
+                assert "html" not in line and "text" not in line, line
+        # exactly two full-width scans: base payload once, delta payload once
+        wide_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "Scan parquet" in ln or "FileScan parquet" in ln
+            if "html" in ln
+        ]
+        assert len(wide_scans) == 2, plan
+        narrow_state = state(narrow_df)
+
+        LakeTable.RESOLVE_MODE = "widefold"
+        wide_state = state(t.read(spark))
+
         # force the non-broadcast fallback (both guards fail)
+        LakeTable.RESOLVE_MODE = "narrow"
         LakeTable.RESOLVE_SPLIT_DELTA_ROWS = -1
         LakeTable.RESOLVE_SPLIT_DELTA_BYTES = -1
         full_df = t.read(spark)
@@ -139,13 +169,14 @@ def test_narrow_resolution_matches_fallback_and_never_shuffles_payloads(spark, t
         assert "LeftAnti" not in full_plan
         full_state = state(full_df)
     finally:
+        LakeTable.RESOLVE_MODE = orig_mode
         LakeTable.RESOLVE_SPLIT_DELTA_ROWS = orig_rows
         LakeTable.RESOLVE_SPLIT_DELTA_BYTES = orig_bytes
 
-    assert split_state == full_state
+    assert narrow_state == full_state == wide_state == auto_state
     want = reference_fold(paths)
-    assert {u for (u, _, _) in split_state} == set(want)
-    for url, lang, text in split_state:
+    assert {u for (u, _, _) in narrow_state} == set(want)
+    for url, lang, text in narrow_state:
         assert (lang, text) == (want[url]["lang"], want[url]["text"]), url
 
 
