@@ -193,6 +193,102 @@ class LakeTable:
         # looked-up keys' events — not every key in the touched buckets
         return self.read(spark, snap=snap, buckets=buckets, keys=keys)
 
+    def changes_between(
+        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Incremental change feed (the Iceberg incremental-scan / Delta
+        CDF shape): the NET per-key change committed in epochs
+        ``(from_epoch, to_epoch]``. Emits one row per key whose resolved
+        state differs between the two epochs, with ``__op``:
+
+        - ``I`` — key absent at from_epoch, present at to_epoch
+        - ``U`` — present at both with different content
+        - ``D`` — present at from_epoch, absent at to_epoch (data columns
+          other than the key are null)
+
+        Keys touched in the range but net-unchanged (stale events that
+        lost LWW, delete+re-insert of identical content, within-range
+        insert+delete) are NOT emitted. ``from_epoch=-1`` means "before
+        any commit" — the feed is then the full state as inserts.
+
+        Scale shape: the touched-key set is derived from ONLY the range's
+        delta files (batch-sized, found across retained snapshots even
+        after compaction rewrote the current file list), and both
+        endpoint reads are keyed reads — every scan is filtered to the
+        touched keys by a broadcast semi-join before resolution, so cost
+        is O(changed keys), never O(table). Raises if the range's delta
+        files or the from-snapshot have been expired (``expire_snapshots``
+        bounds the feed's retention window, exactly like Iceberg's).
+        """
+        snap_now = self.snapshot()
+        if to_epoch is None:
+            to_epoch = snap_now["epoch_id"]
+        if not (-1 <= from_epoch <= to_epoch <= snap_now["epoch_id"]):
+            raise ValueError(
+                f"invalid epoch range ({from_epoch}, {to_epoch}] for a table "
+                f"at epoch {snap_now['epoch_id']}"
+            )
+        key = snap_now["key_col"]
+        snap_to = (
+            snap_now if to_epoch == snap_now["epoch_id"] else self.snapshot_at(to_epoch)
+        )
+        data_cols = [f["name"] for f in self.current_fields(snap_to)]
+        change_schema = T.StructType(
+            [T.StructField("__op", T.StringType())]
+            + self.spark_schema(snap_to).fields
+        )
+        if from_epoch == to_epoch:
+            return spark.createDataFrame([], change_schema)
+
+        # locate the range's delta files across retained snapshots (newest
+        # snapshots first lists compacted-away epochs too, since replaced
+        # files stay on disk until expire_snapshots)
+        need = set(range(from_epoch + 1, to_epoch + 1))
+        found: dict[tuple, dict] = {}  # (epoch, bucket) → file: deltas are per-bucket
+        for s in reversed(self.snapshot_history()):
+            for f in s["files"]:
+                e = f.get("epoch")
+                fk = (e, f.get("bucket"))
+                if f.get("kind") == "delta" and e in need and fk not in found:
+                    found[fk] = f
+        missing = sorted(need - {e for e, _ in found})
+        if missing:
+            raise ValueError(
+                f"change feed for epochs {missing} is gone — their delta "
+                f"files were compacted and expired (expire_snapshots bounds "
+                f"the feed's retention window)"
+            )
+        touched = (
+            self._scan(spark, snap_to, list(found.values())).select(key).distinct()
+        )
+
+        post = self.read(spark, snap=snap_to, keys=touched).select(*data_cols)
+        if from_epoch >= 0:
+            pre = self.read(spark, snap=self.snapshot_at(from_epoch), keys=touched)
+        else:
+            pre = spark.createDataFrame([], self.spark_schema(snap_to))
+        # content hash over all data columns (null-safe): suppresses
+        # touched-but-net-unchanged keys
+        pre_f = pre.select(
+            F.col(key).alias("__pk"),
+            F.xxhash64(F.struct(*[F.col(c) for c in data_cols])).alias("__h_old"),
+        )
+        post_f = post.withColumn(
+            "__h_new", F.xxhash64(F.struct(*[F.col(c) for c in data_cols]))
+        )
+        j = post_f.join(pre_f, post_f[key] == pre_f["__pk"], "full_outer")
+        op = (
+            F.when(F.col("__pk").isNull(), F.lit("I"))
+            .when(F.col(key).isNull(), F.lit("D"))
+            .when(F.col("__h_new") != F.col("__h_old"), F.lit("U"))
+        )
+        out = j.withColumn("__op", op).filter(F.col("__op").isNotNull())
+        keyed = [
+            F.coalesce(F.col(c), F.col("__pk")).alias(c) if c == key else F.col(c)
+            for c in data_cols
+        ]
+        return out.select("__op", *keyed)
+
     def snapshot_history(self) -> list[dict]:
         """All retained snapshots, oldest first."""
         sdir = os.path.join(self.path, "snapshots")
@@ -391,12 +487,23 @@ class LakeTable:
         base_files = [f for f in files if f.get("kind", "base") == "base"]
         delta_files = [f for f in files if f.get("kind") == "delta"]
         base = self._scan(spark, snap, base_files)
-        if keys is not None and base is not None:
-            # point-lookup pushdown: resolution is per-key independent, so
-            # filtering every scan to the key set (parquet In filter —
-            # row-group min/max pruning) yields identical per-key results
-            # while the fold replays only the looked-up keys
-            base = base.filter(F.col(snap["key_col"]).isin(keys))
+
+        # keyed-read pushdown: resolution is per-key independent, so
+        # filtering every scan to the key set yields identical per-key
+        # results while the fold replays only the looked-up keys. A list
+        # becomes a parquet In filter (row-group min/max pruning); a
+        # DataFrame (one column named like the key — batch-sized sets,
+        # e.g. a change feed's touched keys) becomes a broadcast semi-join
+        # applied in place in the scan tasks.
+        def _keyed(df):
+            if df is None or keys is None:
+                return df
+            if isinstance(keys, DataFrame):
+                kdf = keys.select(F.col(keys.columns[0]).alias(snap["key_col"]))
+                return df.join(F.broadcast(kdf.distinct()), snap["key_col"], "left_semi")
+            return df.filter(F.col(snap["key_col"]).isin(keys))
+
+        base = _keyed(base)
         if not resolve:  # base-only view (diagnostics/compaction internals)
             delta_files = []
         if not delta_files:
@@ -406,9 +513,9 @@ class LakeTable:
 
         cur_fields = self.current_fields(snap)
         data_cols = [f["name"] for f in cur_fields]
-        deltas = self._scan(spark, snap, delta_files, extra_cols=["__op", "__epoch"])
-        if keys is not None:
-            deltas = deltas.filter(F.col(snap["key_col"]).isin(keys))
+        deltas = _keyed(
+            self._scan(spark, snap, delta_files, extra_cols=["__op", "__epoch"])
+        )
         key = snap["key_col"]
         vcol = snap.get("version_col", "warc_ts")
         vtype = next(

@@ -1,16 +1,21 @@
 #!/usr/bin/env python
-"""Controlled study of the MOR read-path dirty-key split (lake/table.py
-LakeTable.read): a large compacted base + a small uncompacted delta pile
-is the steady state the compaction triggers maintain, and it is exactly
-where read-time resolution cost matters. Compare:
+"""Controlled study of the MOR read path (lake/table.py LakeTable.read):
+a large compacted base + a small uncompacted delta pile is the steady
+state the compaction triggers maintain, and it is exactly where
+read-time resolution cost matters. Two legs per run:
 
-  split ON  (default)  — clean base rows bypass the fold via a broadcast
-                          anti-join on the distinct delta key set;
-  split OFF (forced)   — every base row enters the per-key sort+fold
-                          shuffle (the round-1 read path).
+  guards ON  (default) — broadcast resolution (dirty-key split / kill-key
+                          anti-join, winner semi-join);
+  guards OFF (forced)  — the non-broadcast fallback of the same mode.
 
-Prints one JSON line per configuration. Run:
-  taskset -c 0-7 python experiments/read_split_study.py
+Resolution is payload-adaptive (LakeTable.RESOLVE_MODE); set
+SPLIT_STUDY_MODE=narrow|widefold to pin the plan family, and
+SPLIT_STUDY_PAD to size payloads (bytes of deterministic filler per
+page — Common-Crawl pages are ~100 KB, the raw fixture is ~400 B).
+Numbers and the crossover analysis: BASELINE.md "MOR read path".
+
+Prints one JSON line (also to $SPLIT_STUDY_OUT if set). Run:
+  SPLIT_STUDY_PAD=8192 taskset -c 0-7 python experiments/read_split_study.py
 """
 
 from __future__ import annotations
@@ -114,6 +119,12 @@ def main() -> None:
         rows = t.read(spark).count()  # warm page cache + JIT
         dirty = sum(1 for f in t.snapshot()["files"] if f.get("kind") == "delta")
 
+        # resolution is payload-adaptive; pin a mode so both legs compare
+        # the SAME plan family (default: whatever "auto" picks for this pad)
+        mode = os.environ.get("SPLIT_STUDY_MODE")
+        if mode:
+            LakeTable.RESOLVE_MODE = mode
+
         split_s = timed_read(spark, lake)
         orig_rows = LakeTable.RESOLVE_SPLIT_DELTA_ROWS
         orig_bytes = LakeTable.RESOLVE_SPLIT_DELTA_BYTES
@@ -133,6 +144,7 @@ def main() -> None:
             "html_pad_bytes": pad,
             "table_rows": rows,
             "delta_files": dirty,
+            "resolve_mode": mode or LakeTable.RESOLVE_MODE,
             "read_split_seconds": round(split_s, 3),
             "read_fullfold_seconds": round(full_s, 3),
             "speedup": round(full_s / split_s, 2) if split_s else None,

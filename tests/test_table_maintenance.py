@@ -215,3 +215,60 @@ def test_bytes_triggered_bucket_compaction(spark, tmp_path):
         r["url"]: r["text"] for r in t2.read(spark).select("url", "text").collect()
     }
     assert got2 == got
+
+
+def test_changes_between_matches_sequential_diff(spark, tmp_path):
+    """Incremental change feed: changes_between(a, b) must equal the diff
+    of two sequential reference folds — net I/U/D per key, suppressing
+    touched-but-net-unchanged keys — including after compaction rewrote
+    the current snapshot (range delta files located via history)."""
+    paths = _mk_log(tmp_path, n_batches=4, seed=36)
+    p = str(tmp_path / "lake")
+    # compact_every=3 → a compaction lands inside the feed range
+    CdcPipeline(p, n_buckets=4, compact_every=3).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+
+    def ref_diff(k_from, k_to):
+        a = reference_fold(paths[:k_from]) if k_from > 0 else {}
+        b = reference_fold(paths[:k_to])
+        out = {}
+        for u in set(a) | set(b):
+            if u not in a:
+                out[u] = ("I", b[u]["lang"], b[u]["text"])
+            elif u not in b:
+                out[u] = ("D", None, None)
+            elif a[u] != b[u]:
+                out[u] = ("U", b[u]["lang"], b[u]["text"])
+        return out
+
+    for k_from, k_to in [(1, 4), (0, 4), (2, 3), (1, 3)]:
+        feed = {
+            r["url"]: (r["__op"], r["lang"], r["text"])
+            for r in t.changes_between(
+                spark, from_epoch=k_from - 1, to_epoch=k_to - 1
+            ).collect()
+        }
+        assert feed == ref_diff(k_from, k_to), (k_from, k_to)
+
+    # empty range → empty feed with the change schema
+    assert t.changes_between(spark, 2, 2).count() == 0
+    # out-of-range epochs rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        t.changes_between(spark, -2)
+    with _pytest.raises(ValueError):
+        t.changes_between(spark, 1, 99)
+
+
+def test_changes_between_keyed_reads_prune_scans(spark, tmp_path):
+    """The feed's endpoint reads are keyed: every scan is filtered by a
+    broadcast semi-join on the touched-key set BEFORE resolution, so the
+    plan never folds untouched keys."""
+    paths = _mk_log(tmp_path, n_batches=3, seed=37)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=4, compact_every=10**6).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    df = t.changes_between(spark, from_epoch=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
