@@ -695,15 +695,25 @@ class LakeTable:
         files partitioned by bucket; returns file entries (uncommitted).
         One shuffle: repartition by bucket so each bucket lands in few files.
         ``kind='delta'`` entries also record their epoch (merge-on-read).
-        """
+
+        Rows are sorted by key WITHIN each partition (local sort after the
+        bucket shuffle — spill-safe, no extra exchange) so parquet
+        row-group min/max statistics are tight on the key: keyed reads'
+        pushed ``In`` filters then skip whole row groups instead of
+        scanning the full bucket, and the read-time fold's per-key groups
+        arrive clustered."""
         rel_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, rel_dir)
-        n_buckets = self.snapshot()["n_buckets"]
-        (
-            df.repartition(min(n_buckets, max(1, df.sparkSession.sparkContext.defaultParallelism)), "bucket")
-            .write.partitionBy("bucket")
-            .parquet(out_dir)
+        snap = self.snapshot()
+        n_buckets = snap["n_buckets"]
+        key_col = snap.get("key_col", "url")
+        part = df.repartition(
+            min(n_buckets, max(1, df.sparkSession.sparkContext.defaultParallelism)),
+            "bucket",
         )
+        if key_col in df.columns:
+            part = part.sortWithinPartitions("bucket", key_col)
+        part.write.partitionBy("bucket").parquet(out_dir)
         entries: list[dict] = []
         for bucket_dir in sorted(os.listdir(out_dir)):
             if not bucket_dir.startswith("bucket="):

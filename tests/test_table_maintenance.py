@@ -272,3 +272,21 @@ def test_changes_between_keyed_reads_prune_scans(spark, tmp_path):
     df = t.changes_between(spark, from_epoch=1)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_bucket_files_are_key_sorted(spark, tmp_path):
+    """Data files are written sorted by key within each bucket file, so
+    parquet row-group min/max stats are tight on the key and keyed reads'
+    pushed In filters can skip row groups (order is irrelevant to
+    correctness: the read fold orders events per key explicitly)."""
+    import pyarrow.parquet as pq
+
+    paths = _mk_log(tmp_path, seed=38)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=4, compact_every=2).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    files = t.snapshot()["files"]
+    assert files
+    for f in files:
+        urls = pq.read_table(os.path.join(p, f["path"]), columns=["url"])["url"].to_pylist()
+        assert urls == sorted(urls), f["path"]
