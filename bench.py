@@ -109,6 +109,40 @@ def run_cdc_bench(
         final.write.format("noop").mode("overwrite").save()
         read_s = time.perf_counter() - t0
         n_rows = LakeTable.load(last_lake).read(spark).count()
+        # change-feed metric: apply one SMALL tail batch (5% of events —
+        # the steady-state shape where touched keys << table keys), then
+        # time the incremental read of just that epoch. Feed cost is
+        # O(changed keys) plus a fixed few-job overhead; at bench scale
+        # the fixed part dominates (≈ the full read), while at production
+        # scale the O(changed keys) term keeps the feed flat as the
+        # table grows.
+        from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec as _Spec
+        from csv_cruncher_spark.cdc.fixtures import generate_change_log as _gen
+
+        tail_dir = os.path.join(work, "tail_batch")
+        _gen(
+            _Spec(
+                n_urls=n_urls,
+                n_batches=1,
+                events_per_batch=max(1000, total_events // 20),
+                seed=43,
+                out_dir=tail_dir,
+            )
+        )
+        # batch ids are filenames — the tail must not collide with applied ones
+        for fn in os.listdir(tail_dir):
+            os.rename(
+                os.path.join(tail_dir, fn), os.path.join(tail_dir, "zz-tail-" + fn)
+            )
+        t = LakeTable.load(last_lake)
+        pre_epoch = t.snapshot()["epoch_id"]
+        CdcPipeline(last_lake, n_buckets=n_buckets).run(spark, tail_dir)
+        t = LakeTable.load(last_lake)
+        t0 = time.perf_counter()
+        feed = t.changes_between(spark, from_epoch=pre_epoch)
+        feed.write.format("noop").mode("overwrite").save()
+        feed_s = time.perf_counter() - t0
+        feed_rows = t.changes_between(spark, from_epoch=pre_epoch).count()
         shutil.rmtree(last_lake, ignore_errors=True)
         return {
             "cdc_events": total_events,
@@ -117,6 +151,8 @@ def run_cdc_bench(
             "cdc_read_seconds": round(read_s, 3),
             "cdc_read_rows": n_rows,
             "cdc_read_rows_per_sec": round(n_rows / read_s, 1) if read_s else None,
+            "cdc_feed_seconds": round(feed_s, 3),
+            "cdc_feed_rows": feed_rows,
             "cdc_warmup_runs": warmup,
         }
     finally:

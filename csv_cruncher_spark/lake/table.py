@@ -264,7 +264,19 @@ class LakeTable:
 
         post = self.read(spark, snap=snap_to, keys=touched).select(*data_cols)
         if from_epoch >= 0:
-            pre = self.read(spark, snap=self.snapshot_at(from_epoch), keys=touched)
+            # the from-snapshot may predate schema evolution in the range:
+            # project its read onto the CURRENT schema by field id
+            # (renamed columns map across, added columns become nulls)
+            snap_from = self.snapshot_at(from_epoch)
+            old_by_id = {f["id"]: f["name"] for f in self.current_fields(snap_from)}
+            pre = self.read(spark, snap=snap_from, keys=touched).select(
+                *[
+                    F.col(old_by_id[f["id"]]).alias(f["name"])
+                    if f["id"] in old_by_id
+                    else F.lit(None).cast(spark_type(f["type"])).alias(f["name"])
+                    for f in self.current_fields(snap_to)
+                ]
+            )
         else:
             pre = spark.createDataFrame([], self.spark_schema(snap_to))
         # content hash over all data columns (null-safe): suppresses

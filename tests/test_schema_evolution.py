@@ -87,3 +87,35 @@ def test_schema_epoch_split_never_concatenates_across_header_change(tmp_path):
 
     single = split_schema_epochs("grp", ["a.csv", "b.csv"], headers.get)
     assert [e.name for e in single] == ["grp"]
+
+
+def test_changes_between_spans_schema_evolution(spark, evolving_log):
+    """A change feed whose range crosses additive AND rename schema
+    boundaries emits rows in the CURRENT schema (old epochs' delta files
+    projected by field id), matching the sequential reference-fold diff."""
+    tmp, paths = evolving_log
+    table_path = str(tmp / "lake_feed")
+    CdcPipeline(table_path, n_buckets=4).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(table_path)
+
+    # range (0, 5]: epoch 1 is pre-fetch_status, epochs 2-3 add it,
+    # epochs 4-5 are post-rename — one feed spans all three schemas
+    a = reference_fold(paths[:1])
+    b = reference_fold(paths)
+    want = {}
+    for u in set(a) | set(b):
+        if u not in a:
+            want[u] = ("I", b[u]["lang"], b[u]["fetch_status"])
+        elif u not in b:
+            want[u] = ("D", None, None)
+        elif a[u] != b[u]:
+            want[u] = ("U", b[u]["lang"], b[u]["fetch_status"])
+
+    feed_df = t.changes_between(spark, from_epoch=0)
+    assert "language" in feed_df.columns and "lang" not in feed_df.columns
+    assert "fetch_status" in feed_df.columns
+    feed = {
+        r["url"]: (r["__op"], r["language"], r["fetch_status"])
+        for r in feed_df.collect()
+    }
+    assert feed == want
