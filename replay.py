@@ -13,7 +13,10 @@ Local:
 
 Resumable: re-running continues from the checkpoint manifest; committed
 batches are no-ops (exactly-once). ``--tail`` keeps polling for new
-batches instead of exiting at the end of the log.
+batches instead of exiting at the end of the log. ``--feed-from N``
+additionally prints (to ``--feed-out``, default stdout as JSONL) the net
+per-key change feed of epochs (N, current] after the replay — the
+incremental-consumer handoff.
 """
 
 from __future__ import annotations
@@ -39,6 +42,10 @@ def main() -> int:
     ap.add_argument("--max-batches", type=int, default=None)
     ap.add_argument("--tail", action="store_true", help="keep polling for new batches")
     ap.add_argument("--poll-interval", type=float, default=5.0)
+    ap.add_argument("--feed-from", type=int, default=None, metavar="EPOCH",
+                    help="after the replay, emit the net change feed of epochs (EPOCH, current]")
+    ap.add_argument("--feed-out", default=None,
+                    help="write the feed as JSON lines here instead of stdout")
     args = ap.parse_args()
 
     from csv_cruncher_spark.session import get_spark
@@ -82,12 +89,35 @@ def main() -> int:
         )
         applied = len([b for b in ckpt["batches_applied"] if b not in before])
 
+    feed_rows = None
+    if args.feed_from is not None:
+        from csv_cruncher_spark.lake.table import LakeTable
+
+        t = LakeTable.load(args.table)
+        feed = t.changes_between(spark, from_epoch=args.feed_from)
+        # stream through the driver without collecting the whole feed
+        # (toLocalIterator pulls one partition at a time); html is binary —
+        # emit its length, not the bytes
+        out = open(args.feed_out, "w") if args.feed_out else sys.stdout
+        feed_rows = 0
+        cols = [c for c in feed.columns if c != "html"]
+        for r in feed.toLocalIterator():
+            d = {c: r[c] for c in cols}
+            d["html_bytes"] = len(r["html"]) if r["html"] is not None else None
+            if hasattr(d.get("warc_ts"), "isoformat"):
+                d["warc_ts"] = d["warc_ts"].isoformat()
+            out.write(json.dumps(d) + "\n")
+            feed_rows += 1
+        if args.feed_out:
+            out.close()
+
     print(
         json.dumps(
             {
                 "applied_batches": applied,
                 "epoch_id": ckpt["epoch_id"],
                 "total_batches": len(ckpt["batches_applied"]),
+                "feed_rows": feed_rows,
                 "seconds": round(time.time() - t0, 2),
             }
         )
