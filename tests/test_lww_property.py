@@ -115,3 +115,47 @@ def test_three_strategies_agree_with_python_fold(spark, batches):
             assert ghtml == html, (url, batches)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(batches=batches_st)
+def test_change_feed_matches_python_prefix_diff(spark, batches):
+    """Property: for EVERY split epoch e, changes_between(e) equals the
+    diff of the sequential fold at the prefix vs the full log — net
+    I/U/D only, touched-but-net-unchanged keys suppressed (stale events,
+    identical re-applies, within-range insert+delete)."""
+    work = tempfile.mkdtemp(prefix="feed_prop_")
+    try:
+        bdir = os.path.join(work, "batches")
+        os.makedirs(bdir)
+        _write_batches(bdir, batches)
+        p = os.path.join(work, "lake")
+        CdcPipeline(p, n_buckets=2).run(spark, bdir)
+        t = LakeTable.load(p)
+        full = _python_fold(batches)
+        from pyspark.sql import functions as F
+
+        for e in range(-1, len(batches) - 1):
+            pre = _python_fold(batches[: e + 1]) if e >= 0 else {}
+            want = {}
+            for u in set(pre) | set(full):
+                if u not in pre:
+                    want[u] = ("I", full[u][0], full[u][1])
+                elif u not in full:
+                    want[u] = ("D", None, None)
+                elif pre[u] != full[u]:
+                    want[u] = ("U", full[u][0], full[u][1])
+            feed = t.changes_between(spark, from_epoch=e).withColumn(
+                "warc_ts", F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss")
+            )
+            got = {
+                r["url"]: (r["__op"], r["warc_ts"], r["lang"])
+                for r in feed.collect()
+            }
+            assert got == want, (e, batches)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
