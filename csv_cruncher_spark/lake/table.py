@@ -119,6 +119,15 @@ class LakeTable:
     RESOLVE_MODE = "auto"  # "auto" | "narrow" | "widefold"
     NARROW_RESOLVE_MIN_ROW_BYTES = 1024
 
+    # changes_between: when the touched-key set is at or under this, the
+    # keys are collected driver-side and the endpoint reads take the
+    # LIST path — bucket pruning plus a parquet In/range pushdown that
+    # skips row groups (files are key-sorted), so scan I/O shrinks with
+    # the key set. Past it, the DataFrame path keeps keys distributed
+    # (broadcast semi-join filters rows in place; scans still open every
+    # table file).
+    FEED_COLLECT_KEYS_LIMIT = 100_000
+
     def __init__(self, path: str):
         self.path = path
 
@@ -214,11 +223,16 @@ class LakeTable:
         Scale shape: the touched-key set is derived from ONLY the range's
         delta files (batch-sized, found across retained snapshots even
         after compaction rewrote the current file list), and both
-        endpoint reads are keyed reads — every scan is filtered to the
-        touched keys by a broadcast semi-join before resolution, so cost
-        is O(changed keys), never O(table). Raises if the range's delta
-        files or the from-snapshot have been expired (``expire_snapshots``
-        bounds the feed's retention window, exactly like Iceberg's).
+        endpoint reads are keyed reads. At or under
+        ``FEED_COLLECT_KEYS_LIMIT`` touched keys, the keys are collected
+        and the reads prune buckets driver-side and push a parquet
+        In/range filter into the scans (files are key-sorted, so row
+        groups skip) — scan I/O shrinks with the key set. Above it, a
+        broadcast semi-join filters rows in place in the scan tasks —
+        shuffle stays O(changed keys), scans still open every table
+        file. Raises if the range's delta files or the from-snapshot
+        have been expired (``expire_snapshots`` bounds the feed's
+        retention window, exactly like Iceberg's).
         """
         snap_now = self.snapshot()
         if to_epoch is None:
@@ -261,15 +275,34 @@ class LakeTable:
         touched = (
             self._scan(spark, snap_to, list(found.values())).select(key).distinct()
         )
+        buckets_arg = None
+        if touched.count() <= self.FEED_COLLECT_KEYS_LIMIT:
+            # list path: parquet In/range pushdown prunes row groups
+            # (files are key-sorted) and the touched buckets are derived
+            # driver-side — scan I/O shrinks with the key set
+            touched = [r[0] for r in touched.collect()]
+            kdf = spark.createDataFrame([(k,) for k in touched], f"{key}: string")
+            buckets_arg = sorted(
+                r["b"]
+                for r in kdf.select(
+                    bucket_expr(key, snap_to["n_buckets"]).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
 
-        post = self.read(spark, snap=snap_to, keys=touched).select(*data_cols)
+        post = self.read(
+            spark, snap=snap_to, buckets=buckets_arg, keys=touched
+        ).select(*data_cols)
         if from_epoch >= 0:
             # the from-snapshot may predate schema evolution in the range:
             # project its read onto the CURRENT schema by field id
             # (renamed columns map across, added columns become nulls)
             snap_from = self.snapshot_at(from_epoch)
             old_by_id = {f["id"]: f["name"] for f in self.current_fields(snap_from)}
-            pre = self.read(spark, snap=snap_from, keys=touched).select(
+            pre = self.read(
+                spark, snap=snap_from, buckets=buckets_arg, keys=touched
+            ).select(
                 *[
                     F.col(old_by_id[f["id"]]).alias(f["name"])
                     if f["id"] in old_by_id

@@ -262,16 +262,30 @@ def test_changes_between_matches_sequential_diff(spark, tmp_path):
 
 
 def test_changes_between_keyed_reads_prune_scans(spark, tmp_path):
-    """The feed's endpoint reads are keyed: every scan is filtered by a
-    broadcast semi-join on the touched-key set BEFORE resolution, so the
-    plan never folds untouched keys."""
+    """The feed's endpoint reads are keyed BEFORE resolution, so the plan
+    never folds untouched keys. Small touched sets take the LIST path
+    (keys pushed into the parquet scans as an In filter — row-group
+    pruning on the key-sorted files); large sets keep keys distributed
+    and filter every scan with a broadcast semi-join."""
     paths = _mk_log(tmp_path, n_batches=3, seed=37)
     p = str(tmp_path / "lake")
     CdcPipeline(p, n_buckets=4, compact_every=10**6).run(spark, os.path.dirname(paths[0]))
     t = LakeTable.load(p)
+    # list path (touched << FEED_COLLECT_KEYS_LIMIT)
     df = t.changes_between(spark, from_epoch=1)
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+    lplan = df._jdf.queryExecution().toString()
+    assert "PushedFilters" in lplan and "In(url" in lplan, lplan
+    small_state = sorted(map(tuple, df.collect()))
+    # DataFrame path (limit forced to -1)
+    orig = LakeTable.FEED_COLLECT_KEYS_LIMIT
+    try:
+        LakeTable.FEED_COLLECT_KEYS_LIMIT = -1
+        df2 = t.changes_between(spark, from_epoch=1)
+        plan = df2._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan and "BroadcastHashJoin" in plan, plan
+        assert sorted(map(tuple, df2.collect())) == small_state
+    finally:
+        LakeTable.FEED_COLLECT_KEYS_LIMIT = orig
 
 
 def test_bucket_files_are_key_sorted(spark, tmp_path):
