@@ -123,10 +123,15 @@ class LakeTable:
     # keys are collected driver-side and the endpoint reads take the
     # LIST path — bucket pruning plus a parquet In/range pushdown that
     # skips row groups (files are key-sorted), so scan I/O shrinks with
-    # the key set. Past it, the DataFrame path keeps keys distributed
-    # (broadcast semi-join filters rows in place; scans still open every
-    # table file).
-    FEED_COLLECT_KEYS_LIMIT = 100_000
+    # the key set. MEASURED (experiments, 2026-08-17): the list path is
+    # ~50× faster in principle per-row-group skipped, but an isin with
+    # tens of thousands of literals explodes Catalyst analysis — 128 s
+    # per feed at 40k keys vs 2.6 s on the semi-join path — so the limit
+    # stays point-lookup-sized. Past it, the DataFrame path keeps keys
+    # distributed (broadcast semi-join filters rows in place in the scan
+    # tasks; scans still open every table file, shuffle stays O(changed
+    # keys)).
+    FEED_COLLECT_KEYS_LIMIT = 1_000
 
     def __init__(self, path: str):
         self.path = path
