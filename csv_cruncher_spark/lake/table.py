@@ -42,6 +42,11 @@ from pyspark.sql import types as T
 
 MANIFEST = "manifest.json"
 
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer advanced the manifest between staging and publish.
+    Re-stage against the new tip and retry (optimistic concurrency)."""
+
 _TYPE_MAP: dict[str, T.DataType] = {
     "string": T.StringType(),
     "binary": T.BinaryType(),
@@ -854,7 +859,16 @@ class LakeTable:
     ) -> dict:
         """Publish a new snapshot: keep files of untouched buckets, swap in
         ``new_files`` for ``replaced_buckets``. Idempotent: if ``batch_id``
-        is already in lineage, the commit is a no-op (epoch fence)."""
+        is already in lineage, the commit is a no-op (epoch fence).
+
+        Concurrency: publication is a compare-and-swap — under an
+        exclusive lock the manifest is re-read and must still point at
+        the snapshot this commit staged against, else
+        ``ConcurrentCommitError`` (the caller re-stages against the new
+        tip and retries; the local flock is the single-FS analogue of
+        Iceberg's atomic catalog pointer swap). A racer that already
+        committed the SAME batch turns this commit into the fenced no-op
+        instead — exactly-once survives the race."""
         snap = staged_snapshot or self.snapshot()
         if batch_id is not None and any(e["batch"] == batch_id for e in snap["lineage"]):
             return snap  # fenced: this batch's effects are already committed
@@ -873,5 +887,21 @@ class LakeTable:
         )
         if metrics:
             new_snap["metrics"] = metrics
-        self._write_snapshot(new_snap)
+
+        import fcntl
+
+        with open(os.path.join(self.path, ".commit.lock"), "w") as lf:
+            fcntl.flock(lf, fcntl.LOCK_EX)
+            cur = self.snapshot()
+            if batch_id is not None and any(
+                e["batch"] == batch_id for e in cur["lineage"]
+            ):
+                return cur  # a racer committed this very batch first
+            if cur["snapshot_id"] != snap["snapshot_id"]:
+                raise ConcurrentCommitError(
+                    f"manifest moved from snapshot {snap['snapshot_id']} to "
+                    f"{cur['snapshot_id']} since this commit was staged — "
+                    "re-stage against the new tip and retry"
+                )
+            self._write_snapshot(new_snap)
         return new_snap

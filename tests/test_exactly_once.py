@@ -113,3 +113,44 @@ def test_resume_mid_log(spark, change_log):
         assert slot["rows"] is not None and slot["rows"] > 0
         assert slot["bytes"] > 0 and slot["files"] >= 1
     assert sum(s["rows"] for s in parts.values()) >= len(reference_fold(paths))
+
+
+def test_stale_commit_raises_and_same_batch_race_is_noop(spark, change_log):
+    """Optimistic concurrency at the commit point: a commit staged
+    against a snapshot the manifest has moved past must raise
+    ConcurrentCommitError (lost-update prevention), while a racer that
+    already committed the SAME batch turns the commit into the fenced
+    no-op — exactly-once survives the race."""
+    from csv_cruncher_spark.lake.table import ConcurrentCommitError
+
+    tmp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    table = str(tmp / "lake_cc")
+    CdcPipeline(table, n_buckets=4).run(spark, bdir, max_batches=1)
+    t = LakeTable.load(table)
+
+    stale = t.snapshot()  # stage against the current tip...
+    CdcPipeline(table, n_buckets=4).run(spark, bdir)  # ...then the tip moves
+    import pytest as _pytest
+
+    with _pytest.raises(ConcurrentCommitError):
+        t.commit(
+            new_files=[],
+            replaced_buckets=[],
+            epoch_id=stale["epoch_id"] + 1,
+            batch_id="zz-racer",
+            staged_snapshot=stale,
+        )
+
+    # same-batch race: committing an already-lineaged batch from a stale
+    # snapshot is the fenced no-op, not an error
+    cur = t.snapshot()
+    done_batch = cur["lineage"][-1]["batch"]
+    got = t.commit(
+        new_files=[],
+        replaced_buckets=[],
+        epoch_id=cur["epoch_id"],
+        batch_id=done_batch,
+        staged_snapshot=stale,
+    )
+    assert got["snapshot_id"] == cur["snapshot_id"]
