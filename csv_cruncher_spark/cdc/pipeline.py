@@ -225,7 +225,21 @@ class CdcPipeline:
                 continue
             if max_batches is not None and done >= max_batches:
                 break
-            self._apply_one(spark, table, path, batch_id, ckpt)
+            # optimistic-concurrency retry: if another writer advanced the
+            # manifest between staging and publish, reprocess the batch
+            # against the new tip — identical machinery to crash-resume,
+            # and the commit fence makes a racer's SAME-batch commit turn
+            # the retry into a no-op. Failed attempts leave orphan data
+            # files, like crashes (harmless, never referenced).
+            from ..lake.table import ConcurrentCommitError
+
+            for attempt in range(3):
+                try:
+                    self._apply_one(spark, table, path, batch_id, ckpt)
+                    break
+                except ConcurrentCommitError:
+                    if attempt == 2:
+                        raise
             applied.add(batch_id)
             done += 1
         return ckpt

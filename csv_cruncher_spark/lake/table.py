@@ -200,17 +200,27 @@ class LakeTable:
         buckets a 10-url lookup reads ≤10/4096 of the table, deltas
         included, before the usual read-time resolution."""
         snap = snap or self.snapshot()
-        n = snap["n_buckets"]
-        kdf = spark.createDataFrame([(k,) for k in keys], f"{snap['key_col']}: string")
-        buckets = sorted(
-            r["b"] for r in kdf.select(
-                bucket_expr(snap["key_col"], n).alias("b")
-            ).distinct().collect()
-        )
         # the key predicate is applied BEFORE resolution (pushed into the
         # parquet scans as an In filter), so the fold replays only the
         # looked-up keys' events — not every key in the touched buckets
-        return self.read(spark, snap=snap, buckets=buckets, keys=keys)
+        return self.read(
+            spark,
+            snap=snap,
+            buckets=self._buckets_for_keys(spark, snap, keys),
+            keys=keys,
+        )
+
+    def _buckets_for_keys(self, spark: SparkSession, snap: dict, keys: list) -> list[int]:
+        """Bucket ids a key list hashes into, derived driver-side with the
+        same JVM xxhash the writer used — prunes the scan to those
+        buckets' files."""
+        kdf = spark.createDataFrame([(k,) for k in keys], f"{snap['key_col']}: string")
+        return sorted(
+            r["b"]
+            for r in kdf.select(bucket_expr(snap["key_col"], snap["n_buckets"]).alias("b"))
+            .distinct()
+            .collect()
+        )
 
     def changes_between(
         self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
@@ -263,43 +273,65 @@ class LakeTable:
         )
         if from_epoch == to_epoch:
             return spark.createDataFrame([], change_schema)
+        if from_epoch == -1:
+            # bootstrap: no pre-state exists, so the feed is exactly the
+            # resolved state as inserts — no delta discovery needed (and
+            # none required: this works even after full expiry)
+            cur = self.read(spark, snap=snap_to)
+            return cur.select(F.lit("I").alias("__op"), *data_cols)
 
-        # locate the range's delta files across retained snapshots (newest
-        # snapshots first lists compacted-away epochs too, since replaced
-        # files stay on disk until expire_snapshots)
+        # Locate each needed epoch's COMMITTING snapshot (the lineage entry
+        # written at its batch commit): that snapshot lists the epoch's
+        # COMPLETE delta file set, so a partially-compacted-then-expired
+        # epoch cannot silently lose a bucket's file — if the committing
+        # snapshot is retained, every file it references is retained too
+        # (expire_snapshots keeps referenced files); if it was expired,
+        # the feed window is gone and we must refuse.
         need = set(range(from_epoch + 1, to_epoch + 1))
-        found: dict[tuple, dict] = {}  # (epoch, bucket) → file: deltas are per-bucket
-        for s in reversed(self.snapshot_history()):
-            for f in s["files"]:
-                e = f.get("epoch")
-                fk = (e, f.get("bucket"))
-                if f.get("kind") == "delta" and e in need and fk not in found:
-                    found[fk] = f
-        missing = sorted(need - {e for e, _ in found})
-        if missing:
-            raise ValueError(
-                f"change feed for epochs {missing} is gone — their delta "
-                f"files were compacted and expired (expire_snapshots bounds "
-                f"the feed's retention window)"
-            )
+        by_sid = {s["snapshot_id"]: s for s in self.snapshot_history()}
+        commit_sid = {e["epoch"]: e["snapshot"] for e in snap_to["lineage"]}
+        range_files: list[dict] = []
+        for e in sorted(need):
+            sid = commit_sid.get(e)
+            s = by_sid.get(sid) if sid is not None else None
+            if s is None:
+                raise ValueError(
+                    f"change feed for epoch {e} is gone — its committing "
+                    f"snapshot was expired (expire_snapshots bounds the "
+                    f"feed's retention window)"
+                )
+            efiles = [
+                f
+                for f in s["files"]
+                if f.get("kind") == "delta" and f.get("epoch") == e
+            ]
+            if efiles:
+                range_files += efiles
+                continue
+            # committed with no delta files: an empty batch contributes no
+            # changes; a copy-on-write apply rewrote base files instead, so
+            # its changes are not delta-coded and the feed cannot see them
+            strategy = (s.get("metrics") or {}).get("last_batch_strategy")
+            if strategy is not None and strategy != "mor-delta":
+                raise ValueError(
+                    f"epoch {e} was applied {strategy} (copy-on-write): its "
+                    "changes are not delta-coded, so an incremental feed "
+                    "over it is unavailable — use a snapshot diff instead"
+                )
+        if not range_files:
+            return spark.createDataFrame([], change_schema)
         touched = (
-            self._scan(spark, snap_to, list(found.values())).select(key).distinct()
+            self._scan(spark, snap_to, range_files).select(key).distinct()
         )
         buckets_arg = None
-        if touched.count() <= self.FEED_COLLECT_KEYS_LIMIT:
+        # one job decides the path: fetch limit+1 rows, keep them if small
+        head = touched.limit(self.FEED_COLLECT_KEYS_LIMIT + 1).collect()
+        if len(head) <= self.FEED_COLLECT_KEYS_LIMIT:
             # list path: parquet In/range pushdown prunes row groups
             # (files are key-sorted) and the touched buckets are derived
             # driver-side — scan I/O shrinks with the key set
-            touched = [r[0] for r in touched.collect()]
-            kdf = spark.createDataFrame([(k,) for k in touched], f"{key}: string")
-            buckets_arg = sorted(
-                r["b"]
-                for r in kdf.select(
-                    bucket_expr(key, snap_to["n_buckets"]).alias("b")
-                )
-                .distinct()
-                .collect()
-            )
+            touched = [r[0] for r in head]
+            buckets_arg = self._buckets_for_keys(spark, snap_to, touched)
 
         post = self.read(
             spark, snap=snap_to, buckets=buckets_arg, keys=touched
@@ -549,7 +581,19 @@ class LakeTable:
         # becomes a parquet In filter (row-group min/max pruning); a
         # DataFrame (one column named like the key — batch-sized sets,
         # e.g. a change feed's touched keys) becomes a broadcast semi-join
-        # applied in place in the scan tasks.
+        # applied in place in the scan tasks. Lists past the collect limit
+        # are silently promoted to the DataFrame path — a many-thousand
+        # literal isin costs minutes of Catalyst ANALYSIS (measured:
+        # 128 s at 40k literals), not execution.
+        if (
+            keys is not None
+            and not isinstance(keys, DataFrame)
+            and len(keys) > self.FEED_COLLECT_KEYS_LIMIT
+        ):
+            keys = spark.createDataFrame(
+                [(k,) for k in keys], f"{snap['key_col']}: string"
+            )
+
         def _keyed(df):
             if df is None or keys is None:
                 return df

@@ -154,3 +154,28 @@ def test_stale_commit_raises_and_same_batch_race_is_noop(spark, change_log):
         staged_snapshot=stale,
     )
     assert got["snapshot_id"] == cur["snapshot_id"]
+
+
+def test_concurrent_commit_retry_reprocesses_batch(spark, change_log, monkeypatch):
+    """When publish loses the CAS race, the pipeline reprocesses the
+    batch against the new tip (same machinery as crash-resume) instead
+    of aborting the replay; final state is unaffected."""
+    from csv_cruncher_spark.lake.table import ConcurrentCommitError
+
+    tmp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    table = str(tmp / "lake_retry")
+    real = LakeTable.commit
+    fails = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        if fails["n"] == 0:
+            fails["n"] += 1
+            raise ConcurrentCommitError("simulated racer advanced the tip")
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "commit", flaky)
+    CdcPipeline(table, n_buckets=4).run(spark, bdir)
+    assert fails["n"] == 1  # one lost race, one successful reprocess
+    want = {(u, v["text"]) for u, v in reference_fold(paths).items()}
+    assert _state(spark, table) == want
