@@ -304,3 +304,19 @@ def test_bucket_files_are_key_sorted(spark, tmp_path):
     for f in files:
         urls = pq.read_table(os.path.join(p, f["path"]), columns=["url"])["url"].to_pylist()
         assert urls == sorted(urls), f["path"]
+
+
+def test_changes_between_rejects_cow_epochs(spark, tmp_path):
+    """Copy-on-write applies rewrite base files — their changes are not
+    delta-coded, so the feed must refuse with a specific error instead of
+    silently emitting an empty/wrong feed."""
+    import pytest as _pytest
+
+    paths = _mk_log(tmp_path, n_batches=2, seed=39)
+    p = str(tmp_path / "lake_cow")
+    CdcPipeline(p, n_buckets=4, mode="cow").run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    with _pytest.raises(ValueError, match="not delta-coded"):
+        t.changes_between(spark, from_epoch=0)
+    # bootstrap (-1) still works: it needs no deltas
+    assert t.changes_between(spark, from_epoch=-1).count() == t.read(spark).count()
