@@ -79,6 +79,11 @@ def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
     # kill the replay); a null-version event loses LWW to any non-null
     # existing row — identical rule in all three merge strategies
     df = df.withColumn("warc_ts", F.try_to_timestamp("warc_ts"))
+    # a keyless event is undeliverable: it can't hash to a bucket and
+    # can't match any row — drop it with the same malformed-input
+    # tolerance as try_to_timestamp (Spark reads an empty CSV field as
+    # null; FAILFAST only checks token counts)
+    df = df.filter(F.col("url").isNotNull())
     df = df.withColumn("html", F.unbase64(F.col("html")))
     for c in cols:
         if c in ("op", "url", "warc_ts", "html"):

@@ -73,10 +73,18 @@ def lww_winners(batch_df: DataFrame, key_col: str = "url") -> DataFrame:
 BROADCAST_WINNER_LIMIT = 2_000_000
 
 
-def _winner_upsert_rows(winners_applied: DataFrame, key: str, cur_fields: list[dict]) -> DataFrame:
-    """Project applied I/U winner events onto the current table schema:
-    batch-borne columns pass through, table columns the batch doesn't carry
-    become typed nulls, text is re-extracted from html."""
+def _winner_upsert_rows(
+    winners_applied: DataFrame,
+    key: str,
+    cur_fields: list[dict],
+    keep_op: bool = False,
+) -> DataFrame:
+    """Project winner events onto the current table schema: batch-borne
+    columns pass through, table columns the batch doesn't carry become
+    typed nulls, text is re-extracted from html (applied rows only —
+    Arrow-batched pandas UDF). ``keep_op`` carries the op code through as
+    ``__op`` (the MOR delta encoding); COW callers drop it. Shared by
+    both merge families so the projection rules cannot diverge."""
     from .table import spark_type
 
     data_cols = [f["name"] for f in cur_fields]
@@ -90,10 +98,12 @@ def _winner_upsert_rows(winners_applied: DataFrame, key: str, cur_fields: list[d
             sel.append(F.col(c))
         else:
             sel.append(F.lit(None).cast(spark_type(type_by_name[c])).alias(c))
-    out = winners_applied.select(*sel, "bucket")
-    # extraction only on applied rows (Arrow-batched pandas UDF)
-    out = out.withColumn("text", extract_text_udf(F.col("html")))
-    return out.select(*data_cols, "bucket")
+    extra = [F.col("op").alias("__op")] if keep_op else []
+    out = winners_applied.select(*sel, "bucket", *extra)
+    if "text" in data_cols:
+        out = out.withColumn("text", extract_text_udf(F.col("html")))
+    tail = ["bucket", "__op"] if keep_op else ["bucket"]
+    return out.select(*data_cols, *tail)
 
 
 def _merge_broadcast(
@@ -202,27 +212,11 @@ def apply_batch_mor(
     n_buckets = snap["n_buckets"]
     schema_version = snap["schema_version"]
     cur_fields = snap["schemas"][str(schema_version)]
-    data_cols = [f["name"] for f in cur_fields]
 
     winners = lww_winners(batch_df, key).withColumn("bucket", bucket_expr(key, n_buckets))
-    from .table import spark_type
-
-    type_by_name = {f["name"]: f["type"] for f in cur_fields}
-    have = set(winners.columns)
-    sel = [F.col(key)]
-    for c in data_cols:
-        if c == key or c == "text":
-            continue
-        if c in have and c not in ("op", "row_idx"):
-            sel.append(F.col(c))
-        else:
-            sel.append(F.lit(None).cast(spark_type(type_by_name[c])).alias(c))
-    delta = winners.select(*sel, "bucket", F.col("op").alias("__op"))
-    # extraction on winner rows only (Arrow-batched; D tombstones carry
-    # null html → null text, extract_text is None-preserving)
-    if "text" in data_cols:
-        delta = delta.withColumn("text", extract_text_udf(F.col("html")))
-    delta = delta.select(*data_cols, "bucket", "__op").withColumn(
+    # shared projection (keep_op: deltas carry the op code; D tombstones
+    # carry null html → null text, extract_text is None-preserving)
+    delta = _winner_upsert_rows(winners, key, cur_fields, keep_op=True).withColumn(
         "__epoch", F.lit(epoch_id).cast("long")
     )
 
@@ -280,7 +274,16 @@ def apply_batch(
         affected = sorted(r["bucket"] for r in bucket_counts)
         n_winners = sum(r["count"] for r in bucket_counts)
         if not affected:
-            return table.commit([], [], epoch_id, batch_id, staged_snapshot=snap)
+            # record the strategy explicitly: without it the PREVIOUS
+            # batch's strategy (e.g. "broadcast") rides along on this
+            # epoch's committing snapshot and changes_between would
+            # misclassify a zero-change epoch as copy-on-write
+            metrics = dict(snap.get("metrics", {}))
+            metrics["last_batch_files"] = 0
+            metrics["last_batch_strategy"] = "empty"
+            return table.commit(
+                [], [], epoch_id, batch_id, staged_snapshot=snap, metrics=metrics
+            )
 
         old = table.read(spark, snap=snap, buckets=affected).withColumn(
             "bucket", bucket_expr(key, n_buckets)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -91,6 +92,16 @@ def _atomic_write_json(path: str, obj: dict) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    # fsync the parent directory too: without it a power loss can roll
+    # back the rename (dirent not durable) AFTER a later write (e.g. the
+    # checkpoint) survives — the manifest would point at the old snapshot
+    # while the checkpoint lists the batch as applied, silently skipping
+    # it forever on resume
+    dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 class LakeTable:
@@ -312,7 +323,7 @@ class LakeTable:
             # changes; a copy-on-write apply rewrote base files instead, so
             # its changes are not delta-coded and the feed cannot see them
             strategy = (s.get("metrics") or {}).get("last_batch_strategy")
-            if strategy is not None and strategy != "mor-delta":
+            if strategy not in (None, "mor-delta", "empty"):
                 raise ValueError(
                     f"epoch {e} was applied {strategy} (copy-on-write): its "
                     "changes are not delta-coded, so an incremental feed "
@@ -324,7 +335,12 @@ class LakeTable:
             self._scan(spark, snap_to, range_files).select(key).distinct()
         )
         buckets_arg = None
-        # one job decides the path: fetch limit+1 rows, keep them if small
+        # one job decides the path: fetch limit+1 rows, keep them if small.
+        # On the large-key DataFrame path the touched subtree (range delta
+        # scan + distinct) is recomputed per endpoint read; deliberately
+        # NOT persist()ed — the returned DataFrame is lazy, so there is no
+        # sound place to unpersist, and the recomputed subtree scans only
+        # the range's (batch-sized) delta files
         head = touched.limit(self.FEED_COLLECT_KEYS_LIMIT + 1).collect()
         if len(head) <= self.FEED_COLLECT_KEYS_LIMIT:
             # list path: parquet In/range pushdown prunes row groups
@@ -336,24 +352,22 @@ class LakeTable:
         post = self.read(
             spark, snap=snap_to, buckets=buckets_arg, keys=touched
         ).select(*data_cols)
-        if from_epoch >= 0:
-            # the from-snapshot may predate schema evolution in the range:
-            # project its read onto the CURRENT schema by field id
-            # (renamed columns map across, added columns become nulls)
-            snap_from = self.snapshot_at(from_epoch)
-            old_by_id = {f["id"]: f["name"] for f in self.current_fields(snap_from)}
-            pre = self.read(
-                spark, snap=snap_from, buckets=buckets_arg, keys=touched
-            ).select(
-                *[
-                    F.col(old_by_id[f["id"]]).alias(f["name"])
-                    if f["id"] in old_by_id
-                    else F.lit(None).cast(spark_type(f["type"])).alias(f["name"])
-                    for f in self.current_fields(snap_to)
-                ]
-            )
-        else:
-            pre = spark.createDataFrame([], self.spark_schema(snap_to))
+        # from_epoch >= 0 here (the -1 bootstrap returned above). The
+        # from-snapshot may predate schema evolution in the range: project
+        # its read onto the CURRENT schema by field id (renamed columns
+        # map across, added columns become nulls)
+        snap_from = self.snapshot_at(from_epoch)
+        old_by_id = {f["id"]: f["name"] for f in self.current_fields(snap_from)}
+        pre = self.read(
+            spark, snap=snap_from, buckets=buckets_arg, keys=touched
+        ).select(
+            *[
+                F.col(old_by_id[f["id"]]).alias(f["name"])
+                if f["id"] in old_by_id
+                else F.lit(None).cast(spark_type(f["type"])).alias(f["name"])
+                for f in self.current_fields(snap_to)
+            ]
+        )
         # content hash over all data columns (null-safe): suppresses
         # touched-but-net-unchanged keys
         pre_f = pre.select(
@@ -433,6 +447,43 @@ class LakeTable:
             )
         return {"snapshots_removed": len(drop), "files_removed": removed_files}
 
+    def remove_orphans(self, older_than_s: float = 86400) -> dict:
+        """Delete files under ``data/`` that NO retained snapshot
+        references — the residue of crashed writes and lost-CAS retries,
+        which ``expire_snapshots`` cannot see (it only walks dropped
+        snapshots' file lists). Age-gated like Iceberg's
+        remove_orphan_files: only files with mtime older than
+        ``older_than_s`` are eligible, so an in-flight writer's
+        not-yet-committed files are never swept. Returns
+        ``{"files_removed": n}``."""
+        referenced = {
+            f["path"] for s in self.snapshot_history() for f in s["files"]
+        }
+        data_root = os.path.join(self.path, "data")
+        removed = 0
+        now = time.time()
+        for dirpath, _dirs, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, self.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < older_than_s:
+                        continue
+                    os.remove(full)
+                    removed += 1
+                except FileNotFoundError:
+                    pass  # concurrent sweep/expire — already gone
+        # drop directories the sweep emptied
+        for dirpath, dirs, files in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not dirs and not files:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {"files_removed": removed}
+
     def _write_snapshot(self, snap: dict) -> None:
         name = f"snap-{snap['snapshot_id']:08d}.json"
         _atomic_write_json(os.path.join(self.path, "snapshots", name), snap)
@@ -462,11 +513,29 @@ class LakeTable:
         fields = [dict(f) for f in self.current_fields(snap)]
         changed = False
         if renames:
+            # the key and version columns are engine identity: the merge
+            # acceptance rule, bucketing, and the batch wire format are
+            # keyed on them, so renaming silently bricks every later
+            # read/merge — refuse loudly instead. Rename-to-existing
+            # would create duplicate field names (ambiguous columns).
+            reserved = {snap["key_col"], snap.get("version_col", "warc_ts")}
             by_name = {f["name"]: f for f in fields}
             for old, new in renames.items():
-                if old in by_name:
-                    by_name[old]["name"] = new
-                    changed = True
+                if old not in by_name:
+                    continue
+                if old in reserved:
+                    raise ValueError(
+                        f"cannot rename engine identity column {old!r} "
+                        f"(key_col/version_col) — merge semantics and the "
+                        "change-batch wire format are keyed on it"
+                    )
+                if new in by_name and new != old:
+                    raise ValueError(
+                        f"cannot rename {old!r} to {new!r}: a column with "
+                        "that name already exists"
+                    )
+                by_name[old]["name"] = new
+                changed = True
         if add_columns:
             existing = {f["name"] for f in fields}
             for name, typ in add_columns:
@@ -817,7 +886,17 @@ class LakeTable:
         for bucket_dir in sorted(os.listdir(out_dir)):
             if not bucket_dir.startswith("bucket="):
                 continue
-            b = int(bucket_dir.split("=")[1])
+            raw_bucket = bucket_dir.split("=")[1]
+            if not raw_bucket.lstrip("-").isdigit():
+                # bucket=__HIVE_DEFAULT_PARTITION__ = null bucket = null key;
+                # ingest filters keyless events, so this is a caller bug —
+                # fail with the cause, not a bare int() ValueError
+                raise ValueError(
+                    f"data write produced a null-bucket partition ({bucket_dir}): "
+                    "rows with a null bucket/key must be filtered before "
+                    "write_bucket_data"
+                )
+            b = int(raw_bucket)
             for fn in sorted(os.listdir(os.path.join(out_dir, bucket_dir))):
                 if fn.endswith(".parquet"):
                     full = os.path.join(out_dir, bucket_dir, fn)

@@ -75,9 +75,19 @@ def lww_state_changes(
             cur_ts, cur_lang, cur_present = state.get
         else:
             cur_ts, cur_lang, cur_present = None, None, False
-        changed = False
+        # emit iff the VISIBLE state (absent, or (ts, lang)) differs after
+        # the whole micro-batch — matching the batch change feed's
+        # net-change semantics: a D for a never-present key, an identical
+        # re-apply, and an insert+delete within one trigger all emit
+        # nothing
+        init_visible = (cur_ts, cur_lang) if cur_present else None
         for pdf in pdfs:
-            # replay in (warc_ts, arrival) order — the batch LWW tiebreak.
+            # replay FILE-AT-A-TIME in filename order (= batch replay
+            # order), each file in (warc_ts, arrival) order — with
+            # maxFilesPerTrigger > 1 a trigger carries several files, and
+            # merging their events into one ts-sort would diverge from
+            # sequential per-file application (a file-1 delete must reset
+            # the version floor BEFORE file-2's older re-insert lands).
             # float64 (not object) so null timestamps sort as NaN instead
             # of raising on None<int comparisons; micros (~1.7e15) are
             # exactly representable in a double (< 2^53)
@@ -85,7 +95,7 @@ def lww_state_changes(
                 __ts=pdf["warc_ts"].map(_ts_us).astype("float64")
             )
             pdf = pdf.sort_values(
-                ["__ts", "__arrival"], na_position="first", kind="stable"
+                ["__file", "__ts", "__arrival"], na_position="first", kind="stable"
             )
             for ts, op, lang in zip(pdf["__ts"], pdf["op"], pdf["lang"]):
                 ts = None if ts is None or pd.isna(ts) else int(ts)
@@ -96,7 +106,6 @@ def lww_state_changes(
                 )
                 if not applies:
                     continue
-                changed = True
                 if op == "D":
                     cur_ts, cur_lang, cur_present = ts, None, False
                 else:
@@ -104,7 +113,8 @@ def lww_state_changes(
         state.update((cur_ts, cur_lang, cur_present))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)
-        if not changed:
+        final_visible = (cur_ts, cur_lang) if cur_present else None
+        if final_visible == init_visible:
             return iter(())
         return iter(
             (
@@ -129,11 +139,19 @@ def lww_state_changes(
     # state function, so this adds no new Python boundary class.
     import numpy as np
 
+    # __file (basename) rides along so a multi-file trigger can replay
+    # file-at-a-time in FILENAME order — the batch engine's replay order
     meta = events.select(
-        *events.columns, F.col("_metadata.file_block_start").alias("__block")
+        *events.columns,
+        F.col("_metadata.file_block_start").alias("__block"),
+        F.col("_metadata.file_name").alias("__file"),
     )
     out_schema = T.StructType(
-        list(events.schema.fields) + [T.StructField("__arrival", T.LongType())]
+        list(events.schema.fields)
+        + [
+            T.StructField("__arrival", T.LongType()),
+            T.StructField("__file", T.StringType()),
+        ]
     )
 
     def add_arrival(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -179,3 +179,49 @@ def test_concurrent_commit_retry_reprocesses_batch(spark, change_log, monkeypatc
     assert fails["n"] == 1  # one lost race, one successful reprocess
     want = {(u, v["text"]) for u, v in reference_fold(paths).items()}
     assert _state(spark, table) == want
+
+
+def test_null_key_events_dropped_at_ingest(spark, tmp_path):
+    """An event with an empty url is undeliverable (no bucket, no match);
+    ingest drops it with the same tolerance as malformed timestamps
+    instead of crashing the replay on a null partition directory."""
+    import base64 as _b64
+
+    bdir = tmp_path / "b"
+    bdir.mkdir()
+    h = _b64.b64encode(b"<p>x</p>").decode()
+    (bdir / "batch-00000.csv").write_text(
+        "op,url,warc_ts,html,lang\n"
+        f"I,https://ok.example.com/a,2024-01-01 00:00:00,{h},en\n"
+        f"I,,2024-01-01 00:00:01,{h},en\n"  # empty url → null key
+        f"I,https://ok.example.com/b,2024-01-01 00:00:02,{h},de\n"
+    )
+    table = str(tmp_path / "lake_nullkey")
+    CdcPipeline(table, n_buckets=2).run(spark, str(bdir))
+    urls = {r["url"] for r in LakeTable.load(table).read(spark).collect()}
+    assert urls == {"https://ok.example.com/a", "https://ok.example.com/b"}
+
+
+def test_remove_orphans_sweeps_unreferenced_files_only(spark, change_log):
+    """Orphan data files (crashed writes, lost-CAS retries) are invisible
+    to expire_snapshots; remove_orphans deletes exactly the unreferenced
+    files past the age gate and never touches referenced ones."""
+    tmp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    table = str(tmp / "lake_orphan")
+    pipe = CdcPipeline(table, n_buckets=4)
+    # crash after data write, before commit → orphan w-* files on disk
+    pipe.fail_after_data_write_on = {os.path.basename(paths[1])}
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.run(spark, bdir)
+    CdcPipeline(table, n_buckets=4).run(spark, bdir)
+
+    t = LakeTable.load(table)
+    before = {(r["url"], r["text"]) for r in t.read(spark).collect()}
+    # age gate: a fresh orphan is NOT swept
+    assert t.remove_orphans(older_than_s=3600)["files_removed"] == 0
+    stats = t.remove_orphans(older_than_s=0)
+    assert stats["files_removed"] > 0
+    # referenced data intact, table unchanged; second sweep is a no-op
+    assert {(r["url"], r["text"]) for r in t.read(spark).collect()} == before
+    assert t.remove_orphans(older_than_s=0)["files_removed"] == 0

@@ -119,3 +119,21 @@ def test_changes_between_spans_schema_evolution(spark, evolving_log):
         for r in feed_df.collect()
     }
     assert feed == want
+
+
+def test_identity_column_rename_rejected(spark, tmp_path):
+    """Renaming the key or version column would brick every later
+    read/merge (the acceptance rule and bucketing are keyed on them) —
+    evolve_schema must refuse loudly, as must rename-to-existing."""
+    spec = ChangeLogSpec(n_urls=30, n_batches=1, events_per_batch=40,
+                         seed=71, out_dir=str(tmp_path / "b"))
+    paths = generate_change_log(spec)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=2).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    with pytest.raises(ValueError, match="identity column"):
+        t.evolve_schema(renames={"url": "page_url"})
+    with pytest.raises(ValueError, match="identity column"):
+        t.evolve_schema(renames={"warc_ts": "fetched_at"})
+    with pytest.raises(ValueError, match="already exists"):
+        t.evolve_schema(renames={"lang": "text"})
