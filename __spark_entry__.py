@@ -763,9 +763,11 @@ def oracle_sql() -> dict[str, str]:
                      ))) AS shingle
               FROM documents
             ),
-            sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
             keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
             f AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            -- sizes over the FILTERED vocabulary, matching the engine:
+            -- Jaccard numerator and denominator use the same shingle space
+            sizes AS (SELECT id, count(*) AS n FROM f GROUP BY id),
             common AS (
               SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
               FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id

@@ -147,6 +147,11 @@ class Cruncher:
 
     def _read_csv_group(self, spark: SparkSession, spec: ImportSpec, files: list[str]) -> DataFrame:
         header = parse_csv_header(files[0])
+        headerless = spec.ignore_first_lines == 0
+        if headerless:
+            # the first line is DATA, not a header: synthesize positional
+            # names (the parsed first row only supplies the column count)
+            header = [f"c{i + 1}" for i in range(len(header or []))] or ["c1"]
         needs_line_filter = (
             spec.ignore_line_regex is not None or spec.ignore_first_lines > 1
         )
@@ -161,7 +166,9 @@ class Cruncher:
             "ignoreTrailingWhiteSpace": True,
         }
         if not needs_line_filter:
-            raw_header = header and not _first_line(files[0]).startswith("#")
+            raw_header = (
+                not headerless and header and not _first_line(files[0]).startswith("#")
+            )
             if raw_header:
                 df = (
                     spark.read.options(**base_opts)
@@ -201,6 +208,10 @@ class Cruncher:
             kept = txt.withColumn("__ln", F.row_number().over(w)).filter(
                 F.col("__ln") > spec.ignore_first_lines
             )
+            # parity with the base reader's comment option: '#'-prefixed
+            # lines are comments, not data (a quoted field starting with
+            # '#' begins with the quote char, so it still passes)
+            kept = kept.filter(~F.col("line").startswith("#"))
             if spec.ignore_line_regex:
                 kept = kept.filter(~F.col("line").rlike(spec.ignore_line_regex))
             df = kept.orderBy("__f", "__ord").select(
@@ -250,9 +261,20 @@ class Cruncher:
                     else discovery.CombineMode.PER_INPUT_DIR,
                 )
                 groups = []
+                multi_group = len(grouped) > 1
                 for _gkey, gfiles in sorted(grouped.items()):
+                    # with several groups (perDir over multiple subdirs),
+                    # a single base name would collide on the second group
+                    # — qualify by the group's directory name
+                    gbase = (
+                        normalize_table_name(
+                            f"{base}_{os.path.basename(os.path.normpath(_gkey))}"
+                        )
+                        if multi_group
+                        else base
+                    )
                     epochs = discovery.split_schema_epochs(
-                        base, gfiles, parse_csv_header
+                        gbase, gfiles, parse_csv_header
                     )
                     for ep in epochs:
                         groups.append(
@@ -293,7 +315,9 @@ class Cruncher:
 
     def _with_counter(self, df: DataFrame) -> DataFrame:
         rn = self.options.row_numbers
-        if rn is None:
+        if rn is None or rn is False:
+            # False is a natural "off" for the int|bool|None field — only
+            # True (timestamp seed) and ints (explicit seed) enable it
             return df
         initial = (
             rn
@@ -475,7 +499,12 @@ def _backup_existing(path: str, overwrite: bool) -> None:
     if not os.path.exists(path):
         return
     if overwrite:
-        os.remove(path)
+        # multi-part exports write a DIRECTORY at path; os.remove on it
+        # raises IsADirectoryError
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
         return
     n = 1
     while os.path.exists(f"{path}.backup.{n}"):

@@ -89,7 +89,9 @@ def infer_column_types(
         return {}
     aggs: list[F.Column] = []
     for c in cols:
-        col = F.col(c)
+        # df[c] resolves by EXACT name — F.col(c) would parse a dotted
+        # header like "first.name" as nested-field access and crash
+        col = df[c]
         aggs.append(
             F.sum(F.when(col.isNotNull(), 1).otherwise(0)).alias(f"__nn__{c}")
         )
@@ -123,7 +125,7 @@ def infer_and_cast(df: DataFrame, columns: list[str] | None = None) -> DataFrame
         name = decided.get(f.name)
         cand = _BY_NAME.get(name) if name else None
         if cand is not None and cand.spark_type is not None:
-            sel.append(F.col(f.name).cast(cand.spark_type).alias(f.name))
+            sel.append(df[f.name].cast(cand.spark_type).alias(f.name))
         else:
-            sel.append(F.col(f.name))
+            sel.append(df[f.name])
     return df.select(*sel)

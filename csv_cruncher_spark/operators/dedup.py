@@ -274,9 +274,15 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
     ).persist()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
     filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
+    # sizes from the FILTERED shingle space: Jaccard is computed over the
+    # post-stop-shingle vocabulary on BOTH sides of the fraction — mixing
+    # pre-filter sizes with post-filter intersections systematically
+    # underestimates similarity for docs sharing frequent shingles (two
+    # identical docs whose shingles are mostly stop-shingles would score
+    # far below 1.0 and be silently dropped)
+    sizes = filtered.groupBy("id").agg(F.count("*").alias("n_shingles"))
     l, r = filtered.alias("l"), filtered.alias("r")
     common = (
         l.join(

@@ -53,6 +53,11 @@ def asof_join(
     # strict mode orders left first instead
     r_tag, l_tag = (0, 1) if not strict else (1, 0)
 
+    # a null-time right row can never satisfy l.ts >= r.ts, but Spark's
+    # nulls-first ascending sort would place it BEFORE every real row and
+    # last(ignorenulls) would carry it as a bogus "earliest" match —
+    # exclude it up front (DuckDB ASOF does the same)
+    right = right.filter(F.col(rtime).isNotNull())
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(rtime).alias("__t"),

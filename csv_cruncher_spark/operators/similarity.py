@@ -31,10 +31,14 @@ def norm_expr(a: str) -> F.Column:
 
 
 def cosine_to_query(df: DataFrame, vec_col: str, query: list[float], out_col: str = "cosine") -> DataFrame:
-    """Cosine similarity of every row's vector to a constant query vector."""
+    """Cosine similarity of every row's vector to a constant query vector.
+    A zero-norm (or null) vector has no defined direction → null cosine,
+    NOT NaN: Spark orders NaN above every double, so a NaN would top every
+    ranking and pass every >= threshold filter."""
     qlit = "array(" + ", ".join(f"cast({v!r} AS double)" for v in query) + ")"
     df2 = df.withColumn("_q", F.expr(qlit))
-    sim = dot_expr(vec_col, "_q") / (norm_expr(vec_col) * norm_expr("_q"))
+    denom = norm_expr(vec_col) * norm_expr("_q")
+    sim = F.when(denom > 0, dot_expr(vec_col, "_q") / denom)
     return df2.withColumn(out_col, sim).drop("_q")
 
 
@@ -118,21 +122,22 @@ def pairwise_topk_within_buckets(
     pairs = l.join(
         r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id"))
     )
-    sim = F.expr(
+    dot = F.expr(
         "aggregate(zip_with(l.v, r.v, (x, y) -> cast(x AS double) * cast(y AS double)),"
         " cast(0.0 AS double), (acc, v) -> acc + v)"
-    ) / (
-        F.sqrt(
-            F.expr(
-                "aggregate(transform(l.v, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
-            )
+    )
+    denom = F.sqrt(
+        F.expr(
+            "aggregate(transform(l.v, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
         )
-        * F.sqrt(
-            F.expr(
-                "aggregate(transform(r.v, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
-            )
+    ) * F.sqrt(
+        F.expr(
+            "aggregate(transform(r.v, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
         )
     )
+    # zero-norm guard: 0/0 = NaN and Spark's NaN >= threshold is TRUE, so
+    # zero vectors would pass as near-dups of everything in their bucket
+    sim = F.when(denom > 0, dot / denom)
     return (
         pairs.select(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), sim.alias("cosine")
@@ -248,11 +253,17 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame) -
     pos = F.expr(
         _ARGMIN_FOLD.format(arr=_centroid_d2s_expr("_v", cvecs))
     )
-    # map positional argmin back to centroid_id (identity when ids are 0..k-1)
+    # map positional argmin back to centroid_id (identity when ids are
+    # 0..k-1). A null or dimension-mismatched vector yields null distances
+    # → the fold's best stays -1; emit a null centroid_id instead of
+    # letting element_at(-1+1) raise INVALID_INDEX_OF_ZERO for the row
     id_arr = F.array(*[F.lit(i) for i in ids])
     return (
         df.withColumn("_v", F.col(vec_col).cast("array<double>"))
-        .withColumn("centroid_id", F.element_at(id_arr, pos + F.lit(1)))
+        .withColumn(
+            "centroid_id",
+            F.when(pos >= 0, F.element_at(id_arr, pos + F.lit(1))),
+        )
         .drop("_v")
     )
 

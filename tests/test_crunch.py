@@ -608,3 +608,98 @@ def test_format_sniff_from_content(tmp_path):
     e.write_text('{"looks": "like json"}\n')
     fmt, prov = detect_format(str(e))
     assert fmt == DataFormat.CSV and prov == FormatFrom.EXTENSION  # extension wins
+
+
+def test_headerless_import_ignore_first_lines_zero(spark, tmp_path):
+    """ignore_first_lines=0 means the first line is DATA: no row may be
+    consumed as a header; columns get positional names c1..cn."""
+    d = tmp_path / "hl"
+    d.mkdir()
+    (d / "data.csv").write_text("a,1\nb,2\nc,3\n")
+    out = str(tmp_path / "hl.csv")
+    opts = Options(
+        imports=[ImportSpec(path=str(d), alias="t", ignore_first_lines=0)],
+        exports=[ExportSpec(path=out)],
+        sql="SELECT c1, c2 FROM t ORDER BY c1",
+    )
+    Cruncher(opts).run(spark)
+    with open(out) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    assert lines == ["c1,c2", "a,1", "b,2", "c,3"]  # all 3 data rows kept
+
+
+def test_perdir_combine_two_directories(spark, tmp_path):
+    """CombineMode.PER_DIR over two subdirectories must yield two
+    distinct tables (dir-qualified names), not a name collision."""
+    root = tmp_path / "multi"
+    for sub, rows in [("east", ["x,1"]), ("west", ["y,2", "z,3"])]:
+        (root / sub).mkdir(parents=True)
+        (root / sub / "data.csv").write_text("name,n\n" + "\n".join(rows) + "\n")
+    out = str(tmp_path / "per.csv")
+    opts = Options(
+        imports=[ImportSpec(path=str(root), alias="m")],
+        exports=[ExportSpec(path=out)],
+        sql="SELECT count(*) AS n FROM $table",
+        combine=CombineMode.PER_DIR,
+        query_per_input_subpart=True,
+    )
+    outs = Cruncher(opts).run(spark)
+    assert len(outs) == 2  # one result per directory-table
+
+
+def test_comment_lines_skipped_in_line_filter_path(spark, tmp_path):
+    """The ignoreFirstLines>1 path must skip '#'-comment lines like the
+    base reader's comment option — they are not data rows."""
+    d = tmp_path / "cmt"
+    d.mkdir()
+    (d / "data.csv").write_text(
+        "### banner\nname,n\na,1\n# mid-file comment\nb,2\n"
+    )
+    out = str(tmp_path / "cmt.csv")
+    opts = Options(
+        imports=[ImportSpec(path=str(d), alias="t", ignore_first_lines=2)],
+        exports=[ExportSpec(path=out)],
+        sql="SELECT count(*) AS n FROM t",
+    )
+    Cruncher(opts).run(spark)
+    with open(out) as f:
+        lines = [l.strip() for l in f if l.strip()]
+    assert lines == ["n", "2"]  # a and b; the comment line is not a row
+
+
+def test_row_numbers_false_is_off(spark, tmp_path):
+    """row_numbers=False must disable the crunchCounter (only True /
+    explicit int seeds enable it)."""
+    d = tmp_path / "rn"
+    d.mkdir()
+    (d / "data.csv").write_text("name,n\na,1\n")
+    out = str(tmp_path / "rn.csv")
+    opts = Options(
+        imports=[ImportSpec(path=str(d), alias="t")],
+        exports=[ExportSpec(path=out)],
+        sql="SELECT * FROM t",
+        row_numbers=False,
+    )
+    Cruncher(opts).run(spark)
+    with open(out) as f:
+        header = f.readline().strip()
+    assert "crunchCounter" not in header
+
+
+def test_overwrite_directory_output(spark, tmp_path):
+    """overwrite=True must replace a previous multi-part DIRECTORY output
+    (os.remove on a directory raised IsADirectoryError)."""
+    d = tmp_path / "ow"
+    d.mkdir()
+    (d / "data.csv").write_text("name,n\na,1\nb,2\n")
+    out = str(tmp_path / "outdir")
+    opts = Options(
+        imports=[ImportSpec(path=str(d), alias="t")],
+        exports=[ExportSpec(path=out, single_file=False)],
+        sql="SELECT * FROM t",
+        overwrite=True,
+    )
+    Cruncher(opts).run(spark)
+    assert os.path.isdir(out)
+    Cruncher(opts).run(spark)  # second run overwrites the directory
+    assert os.path.isdir(out)

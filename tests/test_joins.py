@@ -62,3 +62,21 @@ def test_asof_single_shuffle(spark):
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_null_time_right_rows_never_match(spark):
+    """A right row with a null time can never satisfy l.ts >= r.ts; it
+    must not be carried as a bogus 'earliest' match (Spark's nulls-first
+    sort would otherwise attach it to every left row before the first
+    real right row)."""
+    left = spark.createDataFrame(
+        [("a", 5, "p0"), ("a", 20, "p2")], "k: string, t: long, pid: string"
+    )
+    right = spark.createDataFrame(
+        [("a", None, "vnull"), ("a", 10, "v10")], "k: string, t: long, vid: string"
+    )
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(left, right, on="k", left_time="t").collect()
+    }
+    assert got == {"p0": None, "p2": "v10"}

@@ -281,3 +281,33 @@ def test_ivf_partial_probe_recall(spark):
         ).collect()
     }
     assert len(ivf_ids & exact_ids) >= 8  # ≥0.8 recall on well-clustered data
+
+
+def test_zero_norm_and_null_vectors_are_guarded(spark):
+    """Zero-norm vectors have NaN cosine, which Spark ranks above every
+    double and passes through >= filters; null vectors crash a bare
+    element_at argmin. Both must degrade to null, not pollute results."""
+    from csv_cruncher_spark.operators import similarity as sim
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),  # zero norm
+            (4, None),        # null vector
+        ],
+        "vec_id: int, embedding: array<double>",
+    )
+    top = sim.brute_force_topk(df, "vec_id", "embedding", [1.0, 0.0], k=4).collect()
+    ids = [r["vec_id"] for r in top]
+    # zero/null vectors sort LAST (null cosine), never first
+    assert ids[0] == 1 and set(ids[:2]) == {1, 2}
+    assert all(r["cosine"] is None for r in top if r["vec_id"] in (3, 4))
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "centroid_id: int, centroid: array<double>"
+    )
+    assigned = {r["vec_id"]: r["centroid_id"]
+                for r in sim.ivf_assign(df, "vec_id", "embedding", cents).collect()}
+    assert assigned[1] == 0 and assigned[2] == 0
+    assert assigned[4] is None  # null vector → null assignment, no crash
