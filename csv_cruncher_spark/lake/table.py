@@ -234,7 +234,11 @@ class LakeTable:
         )
 
     def changes_between(
-        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+        self,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        allow_snapshot_diff: bool = False,
     ) -> DataFrame:
         """Incremental change feed (the Iceberg incremental-scan / Delta
         CDF shape): the NET per-key change committed in epochs
@@ -264,6 +268,13 @@ class LakeTable:
         file. Raises if the range's delta files or the from-snapshot
         have been expired (``expire_snapshots`` bounds the feed's
         retention window, exactly like Iceberg's).
+
+        ``allow_snapshot_diff=True`` opts into the O(2 full reads)
+        fallback when the range is not delta-codeable (copy-on-write
+        epochs, expired committing snapshots): both endpoint states are
+        resolved in full and diffed. Same output, table-scan cost — an
+        explicit opt-in so a cheap incremental read can't silently turn
+        into two table scans.
         """
         snap_now = self.snapshot()
         if to_epoch is None:
@@ -301,15 +312,19 @@ class LakeTable:
         need = set(range(from_epoch + 1, to_epoch + 1))
         by_sid = {s["snapshot_id"]: s for s in self.snapshot_history()}
         commit_sid = {e["epoch"]: e["snapshot"] for e in snap_to["lineage"]}
-        range_files: list[dict] = []
+        range_files: list[dict] | None = []
         for e in sorted(need):
             sid = commit_sid.get(e)
             s = by_sid.get(sid) if sid is not None else None
             if s is None:
+                if allow_snapshot_diff:
+                    range_files = None  # fall back to the full diff
+                    break
                 raise ValueError(
                     f"change feed for epoch {e} is gone — its committing "
                     f"snapshot was expired (expire_snapshots bounds the "
-                    f"feed's retention window)"
+                    f"feed's retention window; pass allow_snapshot_diff="
+                    f"True for the O(2 full reads) fallback)"
                 )
             efiles = [
                 f
@@ -324,30 +339,37 @@ class LakeTable:
             # its changes are not delta-coded and the feed cannot see them
             strategy = (s.get("metrics") or {}).get("last_batch_strategy")
             if strategy not in (None, "mor-delta", "empty"):
+                if allow_snapshot_diff:
+                    range_files = None  # fall back to the full diff
+                    break
                 raise ValueError(
                     f"epoch {e} was applied {strategy} (copy-on-write): its "
                     "changes are not delta-coded, so an incremental feed "
-                    "over it is unavailable — use a snapshot diff instead"
+                    "over it is unavailable — pass allow_snapshot_diff=True "
+                    "for the O(2 full reads) fallback"
                 )
-        if not range_files:
+        if range_files is not None and not range_files:
             return spark.createDataFrame([], change_schema)
-        touched = (
-            self._scan(spark, snap_to, range_files).select(key).distinct()
-        )
+        touched = None
         buckets_arg = None
-        # one job decides the path: fetch limit+1 rows, keep them if small.
-        # On the large-key DataFrame path the touched subtree (range delta
-        # scan + distinct) is recomputed per endpoint read; deliberately
-        # NOT persist()ed — the returned DataFrame is lazy, so there is no
-        # sound place to unpersist, and the recomputed subtree scans only
-        # the range's (batch-sized) delta files
-        head = touched.limit(self.FEED_COLLECT_KEYS_LIMIT + 1).collect()
-        if len(head) <= self.FEED_COLLECT_KEYS_LIMIT:
-            # list path: parquet In/range pushdown prunes row groups
-            # (files are key-sorted) and the touched buckets are derived
-            # driver-side — scan I/O shrinks with the key set
-            touched = [r[0] for r in head]
-            buckets_arg = self._buckets_for_keys(spark, snap_to, touched)
+        if range_files is not None:
+            touched = (
+                self._scan(spark, snap_to, range_files).select(key).distinct()
+            )
+            # one job decides the path: fetch limit+1 rows, keep them if
+            # small. On the large-key DataFrame path the touched subtree
+            # (range delta scan + distinct) is recomputed per endpoint
+            # read; deliberately NOT persist()ed — the returned DataFrame
+            # is lazy, so there is no sound place to unpersist, and the
+            # recomputed subtree scans only the range's (batch-sized)
+            # delta files
+            head = touched.limit(self.FEED_COLLECT_KEYS_LIMIT + 1).collect()
+            if len(head) <= self.FEED_COLLECT_KEYS_LIMIT:
+                # list path: parquet In/range pushdown prunes row groups
+                # (files are key-sorted) and the touched buckets are
+                # derived driver-side — scan I/O shrinks with the key set
+                touched = [r[0] for r in head]
+                buckets_arg = self._buckets_for_keys(spark, snap_to, touched)
 
         post = self.read(
             spark, snap=snap_to, buckets=buckets_arg, keys=touched

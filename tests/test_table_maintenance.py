@@ -320,3 +320,22 @@ def test_changes_between_rejects_cow_epochs(spark, tmp_path):
         t.changes_between(spark, from_epoch=0)
     # bootstrap (-1) still works: it needs no deltas
     assert t.changes_between(spark, from_epoch=-1).count() == t.read(spark).count()
+    # explicit opt-in: the O(2 full reads) snapshot diff matches the
+    # sequential reference diff even though the range is COW-applied
+    a = reference_fold(paths[:1])
+    b = reference_fold(paths)
+    want = {}
+    for u in set(a) | set(b):
+        if u not in a:
+            want[u] = ("I", b[u]["lang"])
+        elif u not in b:
+            want[u] = ("D", None)
+        elif a[u] != b[u]:
+            want[u] = ("U", b[u]["lang"])
+    feed = {
+        r["url"]: (r["__op"], r["lang"])
+        for r in t.changes_between(
+            spark, from_epoch=0, allow_snapshot_diff=True
+        ).collect()
+    }
+    assert feed == want
