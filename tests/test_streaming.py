@@ -177,3 +177,83 @@ def test_stateful_lww_null_ts_event_loses(spark, tmp_path):
     assert got[u][1] == "en" and got[u][2] is True  # null-ts update lost
     # null-ts insert on a fresh key applied, with null version
     assert got["https://s.example.com/page/2"] == (None, "fr", True)
+
+
+def test_stateful_lww_multi_file_trigger_matches_reference_fold(spark, tmp_path):
+    """With maxFilesPerTrigger > 1, a micro-batch carries SEVERAL change
+    files; the state function must replay them file-at-a-time in filename
+    order (merging their events into one ts-sort diverges from sequential
+    application around delete-floor resets). Final state must still equal
+    the sequential reference fold."""
+    import pandas as pd
+
+    from csv_cruncher_spark.cdc.fixtures import (
+        ChangeLogSpec,
+        generate_change_log,
+        reference_fold,
+    )
+    from csv_cruncher_spark.streaming.rollup import read_change_stream
+    from csv_cruncher_spark.streaming.stateful import lww_state_changes
+
+    paths = generate_change_log(
+        ChangeLogSpec(
+            n_urls=60, n_batches=4, events_per_batch=100, seed=19,
+            out_dir=str(tmp_path / "batches"),
+        )
+    )
+    # all four files land in (at most) two triggers
+    stream = read_change_stream(spark, str(tmp_path / "batches"), max_files_per_trigger=2)
+    feed = lww_state_changes(stream)
+
+    got: dict = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[r["url"]] = (r["warc_ts_us"], r["lang"], r["present"])
+
+    q = feed.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    want = reference_fold(paths)
+    present = {u: (ts, lang) for u, (ts, lang, p) in got.items() if p}
+    assert set(present) == set(want)
+    for url, w in want.items():
+        ts_us, lang = present[url]
+        assert lang == w["lang"], url
+        assert ts_us == pd.Timestamp(w["warc_ts"]).value // 1000, url
+
+
+def test_stateful_lww_delete_of_absent_key_emits_nothing(spark, tmp_path):
+    """A D tombstone for a never-present key must not emit a spurious
+    delete change record (the batch change feed suppresses it too)."""
+    import base64 as _b64
+
+    from csv_cruncher_spark.streaming.rollup import read_change_stream
+    from csv_cruncher_spark.streaming.stateful import lww_state_changes
+
+    bdir = tmp_path / "b"
+    bdir.mkdir()
+    h = _b64.b64encode(b"<p>x</p>").decode()
+    (bdir / "batch-00000.csv").write_text(
+        "op,url,warc_ts,html,lang\n"
+        "D,https://never.example.com/x,2024-01-01 00:00:00,,\n"
+        f"I,https://real.example.com/y,2024-01-01 00:00:01,{h},en\n"
+    )
+    stream = read_change_stream(spark, str(bdir), max_files_per_trigger=1)
+    feed = lww_state_changes(stream)
+    rows = []
+
+    def sink(df, _bid):
+        rows.extend(df.collect())
+
+    q = feed.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    urls = {r["url"] for r in rows}
+    assert urls == {"https://real.example.com/y"}
