@@ -258,6 +258,16 @@ def run_scaling_probe(
             key=lambda p: p["efficiency"],
             default=None,
         )
+        # Noise-robust summary: ambient load on the SHARED host hits one
+        # leg of a pair at a time (a slow 2-core leg inflates that pair's
+        # efficiency past 1.0; a slow 8-core leg deflates it). The ratio
+        # of each level's BEST observed throughput across all pairs gives
+        # both levels their least-noisy measurement.
+        n_best = max((p["n"]["events_per_sec"] for p in pairs), default=0)
+        fn_best = max((p["four_n"]["events_per_sec"] for p in pairs), default=0)
+        best_leg_ratio = (
+            round(fn_best / (n_best * (hi / lo)), 3) if n_best else None
+        )
         return {
             "scaling_n_cores": lo,
             "scaling_4n_cores": hi,
@@ -265,6 +275,7 @@ def run_scaling_probe(
             "scaling_4n_events_per_sec": best_pair["four_n"]["events_per_sec"] if best_pair else None,
             "scaling_efficiency": best,
             "scaling_efficiency_median": median,
+            "scaling_best_leg_ratio": best_leg_ratio,
             "scaling_pairs": pairs,
             "scaling_events": events,
             "scaling_core_pinned": have_taskset,
