@@ -64,11 +64,41 @@ def _spread(df: DataFrame) -> DataFrame:
     a single task (measured at sf0.1, best-of-2: minhash pair pipeline
     3.56 s → 2.46 s, n-gram Jaccard 3.52 s → 2.01 s). A well-split input
     (the 100-TB case) passes through untouched — repartitioning it would
-    shuffle the whole corpus for nothing."""
+    shuffle the whole corpus for nothing.
+
+    Split probing is `.rdd`-free (round-2 verdict: `df.rdd` forces a full
+    plan-to-RDD conversion on the driver just to count partitions):
+    `inputFiles()` is a metadata-only call. File count is a proxy, not the
+    exact split count (maxPartitionBytes splits big files further — only
+    ADDS parallelism; small-file packing merges splits — but a corpus of
+    many small files is exactly the under-parallel case the repartition
+    serves). A non-file-backed frame (inputFiles empty — in-memory test
+    fixtures, shuffle outputs of unknown width) gets repartitioned: the
+    shuffle is cheap at fixture size and harmless correctness-wise."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+    if len(df.inputFiles()) >= sc.defaultParallelism:
         return df
     return df.repartition(sc.defaultParallelism)
+
+
+def _pin(intermediate: DataFrame, out: DataFrame) -> DataFrame:
+    """Persist ``intermediate`` (it feeds multiple branches of ``out``'s
+    plan) and register it on the returned frame so the cache has a
+    reachable release point (round-2 advice: bare ``.persist()`` with no
+    unpersist pins executor memory for the life of the session). Callers
+    release with :func:`release` after their consuming action; frames
+    derived from ``out`` keep working afterwards (they just recompute)."""
+    intermediate.persist()
+    out._ccs_pinned = getattr(out, "_ccs_pinned", []) + [intermediate]
+    return out
+
+
+def release(df: DataFrame) -> None:
+    """Unpersist every intermediate pinned on ``df`` by the sketch
+    pipelines (see :func:`_pin`). Safe to call on any frame; idempotent."""
+    for p in getattr(df, "_ccs_pinned", []):
+        p.unpersist()
+    df._ccs_pinned = []
 
 
 def exact_dedup(df: DataFrame, id_col: str, fingerprint: F.Column) -> DataFrame:
@@ -109,16 +139,32 @@ def _cap_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None) -> 
     signal worth k² work — drop them BEFORE the join (the band-join
     analogue of ngram_jaccard_pairs' max_df stop-shingle cutoff). One
     extra hash-agg on the band keys (map-side combined), no extra scan of
-    the documents."""
+    the documents.
+
+    Returns ``(kept, dropped)`` where ``dropped`` is a LAZY frame of the
+    over-cap bucket keys with their sizes (round-2 advice: the cap changed
+    recall silently; callers attach this as ``_ccs_dropped_buckets`` on
+    their output so users can see what the cap truncated — see
+    :func:`dropped_buckets`). ``dropped`` is None when no cap is set."""
     if max_bucket is None:
-        return banded
-    ok = (
-        banded.groupBy(*keys)
-        .agg(F.count("*").alias("__bsz"))
-        .filter(F.col("__bsz") <= max_bucket)
-        .select(*keys)
-    )
-    return banded.join(ok, keys, "left_semi")
+        return banded, None
+    counts = banded.groupBy(*keys).agg(F.count("*").alias("bucket_size"))
+    ok = counts.filter(F.col("bucket_size") <= max_bucket).select(*keys)
+    dropped = counts.filter(F.col("bucket_size") > max_bucket)
+    return banded.join(ok, keys, "left_semi"), dropped
+
+
+def dropped_buckets(df: DataFrame) -> DataFrame | None:
+    """The lazy frame of LSH/simhash band buckets the ``max_bucket`` cap
+    excluded from ``df``'s candidate join (band keys + sizes), or None if
+    the producing pipeline had no cap. Trigger it only when you need the
+    audit — it re-runs the banding stage."""
+    return getattr(df, "_ccs_dropped_buckets", None)
+
+
+def _with_dropped(out: DataFrame, dropped: DataFrame | None) -> DataFrame:
+    out._ccs_dropped_buckets = dropped
+    return out
 
 
 def lsh_candidate_pairs(
@@ -151,7 +197,7 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_hash"),
     )
-    banded = _cap_buckets(banded, ["band", "band_hash"], max_bucket)
+    banded, dropped = _cap_buckets(banded, ["band", "band_hash"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -164,7 +210,7 @@ def lsh_candidate_pairs(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    return pairs
+    return _with_dropped(pairs, dropped)
 
 
 def minhash_dedup_pairs(
@@ -184,16 +230,17 @@ def minhash_dedup_pairs(
     per action, not three times. Duplicate groups larger than
     ``max_bucket`` are the exact-dedup operator's job (run exact_dedup
     first); their band buckets are dropped here to bound the self-join."""
-    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).persist()
+    sig = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     pairs = lsh_candidate_pairs(sig, id_col, n_hashes, bands, max_bucket)
     a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     est = F.expr(
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) / size(sig_a)"
     )
-    return (
+    out = (
         pairs.join(a, "id_a").join(b, "id_b").select("id_a", "id_b", est.alias("est_jaccard"))
     )
+    return _pin(sig, _with_dropped(out, dropped_buckets(pairs)))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
@@ -243,9 +290,9 @@ def simhash_candidates(
             )
         ).alias("band", "band_val"),
     )
-    banded = _cap_buckets(banded, ["band", "band_val"], max_bucket)
+    banded, dropped = _cap_buckets(banded, ["band", "band_val"], max_bucket)
     l, r = banded.alias("l"), banded.alias("r")
-    return (
+    out = (
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -255,6 +302,7 @@ def simhash_candidates(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
+    return _with_dropped(out, dropped)
 
 
 def ngram_jaccard_pairs(
@@ -268,12 +316,13 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over candidate pairs from an inverted-index
     join. Stop-shingles (document frequency > max_df) are dropped before
     the pair join — they would otherwise create quadratic hot buckets."""
-    # persisted: the exploded shingle frame feeds three branches (sizes,
-    # document frequency, the filtered pair join) — one explode per action
+    # persisted (with a release point — see _pin on the returned frame):
+    # the exploded shingle frame feeds three branches (sizes, document
+    # frequency, the filtered pair join) — one explode per action
     sh = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
-    ).persist()
+    )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
     filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
     # sizes from the FILTERED shingle space: Jaccard is computed over the
@@ -304,4 +353,4 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+    return _pin(sh, out)

@@ -205,19 +205,33 @@ def _hyperplane_bucket(v: list[float], planes) -> int:
 def embedding_near_dup_pairs(
     vecs: dict[int, list[float]],
     min_cosine: float = 0.5,
-    n_planes: int = 8,
+    bands: int = 8,
+    bits_per_band: int = 16,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
+    max_bucket: int | None = 500,
 ) -> dict[tuple[int, int], float]:
     """Twin of similarity.pairwise_topk_within_buckets: same seeded
-    hyperplanes, exact cosine within shared buckets only."""
+    hyperplanes, same banded keys (MSB-first acc*2+bit fold), same
+    over-``max_bucket`` drop, exact cosine on candidate pairs only."""
     import numpy as np
 
+    if dim is None:
+        dim = next(len(v) for v in vecs.values() if v)
     rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_planes, dim))
-    buckets: dict[int, list[int]] = {}
+    planes = rng.normal(size=(bands * bits_per_band, dim))
+    # numpy matmul like the Arrow UDF (a sign flip vs any other summation
+    # order needs |v·p| ~ 1e-13 — measure-zero for Gaussian planes);
+    # wrong-dim / empty vectors get no buckets, mirroring the UDF's nulls
+    shifts = np.arange(bits_per_band - 1, -1, -1, dtype=np.int64)
+    buckets: dict[tuple[int, int], list[int]] = {}
     for vid, v in vecs.items():
-        buckets.setdefault(_hyperplane_bucket(v, planes), []).append(vid)
+        if v is None or len(v) != dim:
+            continue
+        signs = (np.asarray(v, dtype=np.float64) @ planes.T) > 0
+        keys = (signs.reshape(bands, bits_per_band).astype(np.int64) << shifts).sum(axis=1)
+        for b in range(bands):
+            buckets.setdefault((b, int(keys[b])), []).append(vid)
 
     def cos(a, b):
         dot = na = nb = 0.0
@@ -229,14 +243,18 @@ def embedding_near_dup_pairs(
             nb += float(y) * float(y)
         return dot / (na**0.5 * nb**0.5)
 
-    out: dict[tuple[int, int], float] = {}
+    cand: set[tuple[int, int]] = set()
     for ids in buckets.values():
+        if max_bucket is not None and len(ids) > max_bucket:
+            continue
         for i, x in enumerate(ids):
             for y in ids[i + 1 :]:
-                a, b = (x, y) if x < y else (y, x)
-                c = cos(vecs[a], vecs[b])
-                if c >= min_cosine:
-                    out[(a, b)] = c
+                cand.add((x, y) if x < y else (y, x))
+    out: dict[tuple[int, int], float] = {}
+    for a, b in cand:
+        c = cos(vecs[a], vecs[b])
+        if c >= min_cosine:
+            out[(a, b)] = c
     return out
 
 

@@ -158,3 +158,100 @@ def test_degenerate_bucket_cap_bounds_identical_docs(spark):
     sim = dedup.simhash_candidates(df, "doc_id", "text", max_bucket=500)
     got2 = {(r["id_a"], r["id_b"]) for r in sim.collect()}
     assert got2 == {(2001, 2002)}
+
+
+def test_embedding_bucket_cap_bounds_identical_vectors(spark):
+    """1000 identical embeddings share every band key — without the cap the
+    band self-join is 1000² per band. With the cap those buckets are
+    dropped (exact dedup owns identical vectors) and only the small
+    distinct near-dup group survives."""
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.gauss(0, 1) for _ in range(16)]
+    near = [x + 1e-6 for x in base]
+    far = [-x for x in base]
+    rows = [(i, [1.0] * 16) for i in range(1000)] + [
+        (2001, base),
+        (2002, near),
+        (2003, far),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    pairs = similarity.pairwise_topk_within_buckets(
+        df, "vec_id", "embedding", min_cosine=0.9, max_bucket=500
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert got == {(2001, 2002)}
+
+
+def test_embedding_dim_inferred_not_assumed(spark):
+    """dim is read from the data (round-2 verdict: silent dim=64 default
+    bucketed 128-dim vectors wrong with no error); empty input raises."""
+    df = spark.createDataFrame([(1, [])], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="cannot infer"):
+        similarity.pairwise_topk_within_buckets(df, "vec_id", "embedding")
+
+
+def test_sketch_pipelines_release_pinned_caches(spark, docs):
+    """The pair pipelines persist their sketch frame but register it on the
+    output so callers have a release point (round-2 advice: the bare
+    persist leaked until LRU eviction in long-lived sessions)."""
+    df, _ = docs
+    pairs = dedup.minhash_dedup_pairs(df, "doc_id", "text")
+    pairs.count()
+    pinned = pairs._ccs_pinned
+    assert pinned and all(p.is_cached for p in pinned)
+    dedup.release(pairs)
+    assert not any(p.is_cached for p in pinned)
+    dedup.release(pairs)  # idempotent
+
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", "text")
+    jac.count()
+    assert jac._ccs_pinned and all(p.is_cached for p in jac._ccs_pinned)
+    held = jac._ccs_pinned
+    dedup.release(jac)
+    assert not any(p.is_cached for p in held)
+
+
+def test_dropped_buckets_visible(spark):
+    """The max_bucket cap reports what it truncated instead of silently
+    changing recall: the dropped-bucket audit frame lists the over-cap
+    band keys with sizes."""
+    df = spark.createDataFrame(
+        [(i, "same exact text repeated for everyone") for i in range(30)]
+        + [(101, "a unique document about spark joins here"),
+           (102, "a unique document about spark joins here")],
+        "doc_id: long, text: string",
+    )
+    pairs = dedup.minhash_dedup_pairs(df, "doc_id", "text", max_bucket=10)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(101, 102)}
+    audit = dedup.dropped_buckets(pairs)
+    rows = audit.collect()
+    assert rows and all(r["bucket_size"] == 30 for r in rows)
+    # no cap → no audit frame
+    uncapped = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(df, "doc_id", "text"), "doc_id", max_bucket=None
+    )
+    assert dedup.dropped_buckets(uncapped) is None
+
+
+def test_banded_keys_udf_matches_jvm_expr(spark):
+    """The Arrow-matmul banding UDF and the pure-JVM sequential-fold
+    expression must produce identical band keys on real data (pins that
+    BLAS summation order never flips a sign bit here)."""
+    import numpy as np
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    dim = similarity._infer_dim(emb, "embedding")
+    planes = similarity._hyperplanes(dim, 4 * 16, seed=42)
+    got = (
+        emb.select(
+            "vec_id",
+            similarity.banded_plane_keys_udf("embedding", planes, 4, 16).alias("u"),
+            similarity.banded_plane_keys_expr("embedding", planes, 4, 16).alias("e"),
+        )
+        .collect()
+    )
+    assert got
+    for r in got:
+        assert list(r["u"]) == list(r["e"]), r["vec_id"]
