@@ -425,6 +425,65 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (round-2 verdict item #4): each purchase paired
+    with the user's EARLIEST view at-or-after the purchase time. Same
+    one-shuffle union-and-carry plan with the window flipped to
+    first-over-[current, following]; DuckDB ASOF with a <= condition is
+    the oracle."""
+    from csv_cruncher_spark.operators import joins
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = joins.asof_join(purchases, views, on="user_id", left_time="ts", direction="forward")
+    return j.select(
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.col("r_view_id").alias("view_id"),
+        F.unix_micros(F.col("r_ts").cast("timestamp_ltz")).alias("view_epoch_us"),
+    ).orderBy("event_id")
+
+
+def asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window as-of join: attribution only counts views within 30
+    minutes before the purchase; a nearest match farther away is nulled
+    (pandas merge_asof tolerance semantics — exact, because the as-of
+    match is already the nearest qualifying row). Oracle: DuckDB ASOF +
+    post-hoc interval filter."""
+    from csv_cruncher_spark.operators import joins
+
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = joins.asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="ts",
+        tolerance=F.expr("INTERVAL '30' MINUTE"),
+    )
+    return j.select(
+        "event_id",
+        F.col("r_view_id").alias("view_id"),
+        F.unix_micros(F.col("r_ts").cast("timestamp_ltz")).alias("view_epoch_us"),
+    ).orderBy("event_id")
+
+
 def events_type_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ROLLUP (grouping sets) — multi-level aggregates in one
     pass (Spark expands grouping sets in a single shuffle)."""
@@ -542,6 +601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": simhash_near_dups,
         "dual_constant_select": dual_constant_select,
         "asof_purchase_attribution": asof_purchase_attribution,
+        "asof_forward_next_view": asof_forward_next_view,
+        "asof_tolerance_attribution": asof_tolerance_attribution,
         "events_type_hour_rollup": events_type_hour_rollup,
     }
 
@@ -737,6 +798,38 @@ def oracle_sql() -> dict[str, str]:
                    epoch_us(v.ts) AS view_epoch_us
             FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
             ORDER BY p.event_id
+        """,
+        "asof_forward_next_view": """
+            WITH v AS (
+              SELECT user_id, ts, max(event_id) AS view_id
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ),
+            p AS (
+              SELECT user_id, ts, event_id, value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT p.event_id, round(p.value, 2) AS value, v.view_id,
+                   epoch_us(v.ts) AS view_epoch_us
+            FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+            ORDER BY p.event_id
+        """,
+        "asof_tolerance_attribution": """
+            WITH v AS (
+              SELECT user_id, ts, max(event_id) AS view_id
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ),
+            p AS (
+              SELECT user_id, ts, event_id, value
+              FROM events WHERE event_type = 'purchase'
+            ),
+            m AS (
+              SELECT p.event_id, v.view_id, v.ts AS vts, p.ts AS pts
+              FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+            )
+            SELECT event_id,
+                   CASE WHEN pts - vts <= INTERVAL 30 MINUTE THEN view_id END AS view_id,
+                   CASE WHEN pts - vts <= INTERVAL 30 MINUTE THEN epoch_us(vts) END AS view_epoch_us
+            FROM m ORDER BY event_id
         """,
         "events_type_hour_rollup": """
             SELECT coalesce(event_type, 'ALL') AS event_type,

@@ -145,6 +145,7 @@ class CdcPipeline:
         compact_every: int = 16,
         compact_delta_bytes: int = 4 << 30,
         keep_snapshots: int | None = None,
+        catalog=None,
     ):
         """``mode='mor'`` (default): O(batch) delta appends with read-time
         LWW resolution, auto-compacted every ``compact_every`` stacked
@@ -154,7 +155,10 @@ class CdcPipeline:
         ``mode='cow'``: eager copy-on-write merge per batch (the
         compaction/bulk-load path). ``keep_snapshots``: if set, expire
         older snapshots (and their orphaned files) after each compaction
-        — bounds on-disk history for long replays."""
+        — bounds on-disk history for long replays. ``catalog``: a
+        :class:`~csv_cruncher_spark.lake.catalog.SnapshotCatalog` for the
+        table's snapshot-pointer storage (default: local-FS flock+rename;
+        pass a conditional-write catalog on object stores)."""
         from ..lake.merge import BROADCAST_WINNER_LIMIT
 
         if mode not in ("mor", "cow"):
@@ -166,6 +170,7 @@ class CdcPipeline:
         self.compact_every = compact_every
         self.compact_delta_bytes = compact_delta_bytes
         self.keep_snapshots = keep_snapshots
+        self.catalog = catalog
         self.broadcast_winner_limit = (
             BROADCAST_WINNER_LIMIT if broadcast_winner_limit is None else broadcast_winner_limit
         )
@@ -193,10 +198,15 @@ class CdcPipeline:
     # ---------- table ----------
 
     def ensure_table(self) -> LakeTable:
-        if os.path.exists(os.path.join(self.table_path, "manifest.json")):
-            return LakeTable.load(self.table_path)
+        t = LakeTable(self.table_path, self.catalog)
+        if t.catalog.load_pointer() is not None:
+            return t
         return LakeTable.create(
-            self.table_path, PAGES_FIELDS, key_col="url", n_buckets=self.n_buckets
+            self.table_path,
+            PAGES_FIELDS,
+            key_col="url",
+            n_buckets=self.n_buckets,
+            catalog=self.catalog,
         )
 
     # ---------- replay ----------

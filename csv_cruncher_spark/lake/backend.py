@@ -1,0 +1,131 @@
+"""TableBackend — the thin batch-level facade SURVEY.md §7.1 promises,
+with the manifest lake as the always-available implementation and
+:class:`~csv_cruncher_spark.lake.iceberg.IcebergBackend` as the production
+implementation (capability-probed; real SQL, skipped-not-absent in the
+jarless sandbox).
+
+The facade is deliberately batch-level — exactly the operations the CDC
+engine needs from a table store, nothing more:
+
+- idempotent op-coded LWW upsert of one change batch (``apply_batch``),
+- applied-batch lineage for the exactly-once fence (``applied_batches``),
+- additive/rename schema evolution in lockstep with the stream,
+- snapshot-consistent read.
+
+Everything else (compaction cadence, checkpointing, discovery, ordering)
+belongs to the pipeline, not the store — mirroring how the reference
+delegates storage entirely to its embedded engine
+(/root/reference/src/main/kotlin/cz/dynawest/csvcruncher/Cruncher.kt:59).
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .table import LakeTable
+
+
+class TableBackend(ABC):
+    """Batch-level table-store contract. Implementations must make
+    ``apply_batch`` idempotent per ``batch_id`` (re-applying an applied
+    batch is a no-op) and LWW-consistent (in-batch dedup on max
+    ``(version, row_idx)``; an event applies iff its version >= the
+    current row's; ``D`` deletes, ``I``/``U`` upsert)."""
+
+    key_col: str
+    version_col: str
+
+    @abstractmethod
+    def exists(self) -> bool: ...
+
+    @abstractmethod
+    def create(self, fields: list[tuple[str, str]], n_buckets: int = 16) -> None: ...
+
+    @abstractmethod
+    def column_names(self) -> list[str]: ...
+
+    @abstractmethod
+    def evolve(
+        self,
+        add_columns: list[tuple[str, str]] | None = None,
+        renames: dict[str, str] | None = None,
+    ) -> None: ...
+
+    @abstractmethod
+    def applied_batches(self) -> list[str]: ...
+
+    @abstractmethod
+    def apply_batch(
+        self, spark: SparkSession, events: DataFrame, batch_id: str, epoch_id: int
+    ) -> dict: ...
+
+    @abstractmethod
+    def read(self, spark: SparkSession) -> DataFrame: ...
+
+
+class ManifestBackend(TableBackend):
+    """The manifest-parquet lake behind the facade: delegates to
+    :class:`LakeTable` + the MOR merge path (the engine's default store —
+    all correctness machinery lives there and is tested directly; this
+    wrapper only adapts the call shape so contract tests can run
+    byte-identical scenarios against both backends)."""
+
+    def __init__(self, path: str, key_col: str = "url", version_col: str = "warc_ts", catalog=None):
+        self.path = path
+        self.key_col = key_col
+        self.version_col = version_col
+        self._catalog = catalog
+
+    def _table(self) -> LakeTable:
+        return LakeTable(self.path, self._catalog)
+
+    def exists(self) -> bool:
+        return self._table().catalog.load_pointer() is not None
+
+    def create(self, fields: list[tuple[str, str]], n_buckets: int = 16) -> None:
+        LakeTable.create(
+            self.path,
+            fields,
+            key_col=self.key_col,
+            n_buckets=n_buckets,
+            version_col=self.version_col,
+            catalog=self._catalog,
+        )
+
+    def column_names(self) -> list[str]:
+        t = self._table()
+        return [f["name"] for f in t.current_fields()]
+
+    def evolve(self, add_columns=None, renames=None) -> None:
+        t = self._table()
+        staged = t.evolve_schema(add_columns=add_columns, renames=renames)
+        snap = t.snapshot()
+        t.commit(
+            new_files=[],
+            replaced_buckets=[],
+            epoch_id=snap["epoch_id"],
+            batch_id=None,
+            staged_snapshot=staged,
+        )
+
+    def applied_batches(self) -> list[str]:
+        return [e["batch"] for e in self._table().snapshot()["lineage"]]
+
+    def apply_batch(
+        self, spark: SparkSession, events: DataFrame, batch_id: str, epoch_id: int
+    ) -> dict:
+        from .merge import apply_batch_mor
+
+        t = self._table()
+        snap = t.snapshot()
+        if batch_id in {e["batch"] for e in snap["lineage"]}:
+            return {"applied": False, "reason": "already-in-lineage"}
+        apply_batch_mor(
+            spark, t, events, epoch_id=epoch_id, batch_id=batch_id, staged_snapshot=snap
+        )
+        return {"applied": True}
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return self._table().read(spark)

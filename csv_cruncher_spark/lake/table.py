@@ -6,9 +6,15 @@ below is functionally equivalent for every correctness property the north
 rule tests:
 
 - **Snapshot isolation + atomic commit**: a snapshot JSON lists every data
-  file; ``manifest.json`` is a one-line pointer to the current snapshot,
-  published with ``os.replace`` (atomic on POSIX). Readers either see the
-  old snapshot or the new one, never a mix.
+  file; ``manifest.json`` is a one-line pointer to the current snapshot.
+  Publication is an atomic compare-and-swap of that pointer, delegated to a
+  pluggable :class:`~csv_cruncher_spark.lake.catalog.SnapshotCatalog` — the
+  default :class:`LocalFsCatalog` uses ``os.replace``+``flock`` (POSIX
+  ONLY; it refuses object-store URIs), while an object-store deployment
+  supplies a conditional-write catalog (the CAS contract is the only thing
+  a backend must provide — proven by running the exactly-once suite
+  against :class:`ConditionalPutCatalog`). Readers either see the old
+  snapshot or the new one, never a mix.
 - **Epoch fencing / exactly-once**: each snapshot records ``epoch_id`` and
   ``batch_id``; committing an epoch ≤ the current one for an already-applied
   batch is a no-op (idempotent re-commit after crash/retry).
@@ -41,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MANIFEST = "manifest.json"
+from .catalog import MANIFEST, LocalFsCatalog, SnapshotCatalog, _atomic_write_json  # noqa: F401  (re-exported: pipeline checkpoints use _atomic_write_json)
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -73,6 +79,18 @@ def bucket_expr(key_col: str, n_buckets: int):
     return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
 
 
+def _snapshot_name(snapshot_id: int) -> str:
+    """Unique name per commit ATTEMPT (uuid suffix): two racers staging
+    snapshot N+1 must not overwrite each other's staged object before the
+    pointer CAS picks the winner — with a deterministic name the loser's
+    stage could clobber the winner's content AFTER the winner's swap (a
+    lost update the old in-lock write never had). The loser's object stays
+    unreferenced (swept by remove_orphans). Names sort by id for human
+    listing; the history chain follows ``parent_name``, never directory
+    order."""
+    return f"snap-{snapshot_id:08d}-{uuid.uuid4().hex[:8]}.json"
+
+
 def _parquet_num_rows(path: str) -> int | None:
     """Row count from the parquet footer (driver-side, metadata-only read)
     — recorded per data file so the read path can size its broadcast
@@ -83,25 +101,6 @@ def _parquet_num_rows(path: str) -> int | None:
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return None
-
-
-def _atomic_write_json(path: str, obj: dict) -> None:
-    tmp = path + f".tmp-{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        json.dump(obj, f, indent=1)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
-    # fsync the parent directory too: without it a power loss can roll
-    # back the rename (dirent not durable) AFTER a later write (e.g. the
-    # checkpoint) survives — the manifest would point at the old snapshot
-    # while the checkpoint lists the batch as applied, silently skipping
-    # it forever on resume
-    dfd = os.open(os.path.dirname(os.path.abspath(path)) or ".", os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
 
 
 class LakeTable:
@@ -149,8 +148,9 @@ class LakeTable:
     # keys)).
     FEED_COLLECT_KEYS_LIMIT = 1_000
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, catalog: SnapshotCatalog | None = None):
         self.path = path
+        self.catalog = catalog if catalog is not None else LocalFsCatalog(path)
 
     # ---------- creation / loading ----------
 
@@ -162,11 +162,11 @@ class LakeTable:
         key_col: str = "url",
         n_buckets: int = 16,
         version_col: str = "warc_ts",
+        catalog: SnapshotCatalog | None = None,
     ) -> "LakeTable":
         """fields: [(name, type_str)] — initial schema version 1.
         ``version_col`` is the LWW version column used by merge-on-read
         resolution (the CDC engine's ``warc_ts``)."""
-        os.makedirs(os.path.join(path, "snapshots"), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
         schema = [
             {"id": i + 1, "name": n, "type": t} for i, (n, t) in enumerate(fields)
@@ -174,6 +174,7 @@ class LakeTable:
         snap = {
             "snapshot_id": 0,
             "parent": None,
+            "parent_name": None,
             "epoch_id": -1,
             "batch_id": None,
             "key_col": key_col,
@@ -186,21 +187,23 @@ class LakeTable:
             "lineage": [],
             "metrics": {"rows": 0, "bytes": 0},
         }
-        t = cls(path)
-        t._write_snapshot(snap)
+        t = cls(path, catalog)
+        name = _snapshot_name(0)
+        t.catalog.stage_snapshot(name, snap)
+        t.catalog.set_pointer(name)
         return t
 
     @classmethod
-    def load(cls, path: str) -> "LakeTable":
-        t = cls(path)
+    def load(cls, path: str, catalog: SnapshotCatalog | None = None) -> "LakeTable":
+        t = cls(path, catalog)
         t.snapshot()  # raises if missing
         return t
 
     def snapshot(self) -> dict:
-        with open(os.path.join(self.path, MANIFEST)) as f:
-            ptr = json.load(f)
-        with open(os.path.join(self.path, "snapshots", ptr["snapshot"])) as f:
-            return json.load(f)
+        ptr = self.catalog.load_pointer()
+        if ptr is None:
+            raise FileNotFoundError(f"no table manifest at {self.path}")
+        return self.catalog.load_snapshot(ptr)
 
     def read_keys(
         self, spark: SparkSession, keys: list[str], snap: dict | None = None
@@ -412,15 +415,37 @@ class LakeTable:
         ]
         return out.select("__op", *keyed)
 
+    def _history_with_names(self) -> list[tuple[str, dict]]:
+        """Retained (name, snapshot) ancestry, oldest first, by walking
+        ``parent_name`` links from the current pointer. Chain-walk, not
+        directory listing: a lost-CAS racer's staged snapshot shares the
+        winner's snapshot_id, so listing would make time travel ambiguous;
+        the parent chain is unambiguous by construction. Snapshots written
+        before parent_name existed (rounds 1-2) fall back to the exact
+        legacy name ``snap-<parent_id>.json``. The walk stops at the first
+        expired ancestor — retention keeps a contiguous suffix."""
+        out: list[tuple[str, dict]] = []
+        name = self.catalog.load_pointer()
+        seen: set[str] = set()
+        while name and name not in seen:
+            seen.add(name)
+            try:
+                s = self.catalog.load_snapshot(name)
+            except FileNotFoundError:
+                break
+            out.append((name, s))
+            if s.get("parent_name"):
+                name = s["parent_name"]
+            elif s.get("parent") is not None and "parent_name" not in s:
+                name = f"snap-{s['parent']:08d}.json"  # legacy layout
+            else:
+                name = None
+        out.reverse()
+        return out
+
     def snapshot_history(self) -> list[dict]:
         """All retained snapshots, oldest first."""
-        sdir = os.path.join(self.path, "snapshots")
-        out = []
-        for fn in sorted(os.listdir(sdir)):
-            if fn.startswith("snap-") and fn.endswith(".json"):
-                with open(os.path.join(sdir, fn)) as f:
-                    out.append(json.load(f))
-        return out
+        return [s for _, s in self._history_with_names()]
 
     def snapshot_at(self, epoch_id: int) -> dict:
         """Time travel: the snapshot state as of a committed epoch
@@ -439,11 +464,13 @@ class LakeTable:
         COW merges leave replaced files on disk for time travel until
         expired — the Iceberg expire_snapshots/remove_orphans shape).
         Returns {"snapshots_removed": n, "files_removed": n}."""
-        history = self.snapshot_history()
+        named = self._history_with_names()
+        history = [s for _, s in named]
         if len(history) <= keep_last:
             return {"snapshots_removed": 0, "files_removed": 0}
         keep = history[-keep_last:]
         drop = history[:-keep_last]
+        drop_names = [n for n, _ in named[:-keep_last]]
         current = self.snapshot()
         # hard error, not assert: under `python -O` a stripped assert would
         # let a keep window that excludes the live manifest's snapshot
@@ -456,7 +483,7 @@ class LakeTable:
             )
         referenced = {f["path"] for s in keep for f in s["files"]}
         removed_files = 0
-        for s in drop:
+        for name, s in zip(drop_names, drop):
             for f in s["files"]:
                 if f["path"] not in referenced:
                     full = os.path.join(self.path, f["path"])
@@ -464,9 +491,7 @@ class LakeTable:
                         os.remove(full)
                         removed_files += 1
                     referenced.add(f["path"])  # count each orphan once
-            os.remove(
-                os.path.join(self.path, "snapshots", f"snap-{s['snapshot_id']:08d}.json")
-            )
+            self.catalog.delete_snapshot(name)
         return {"snapshots_removed": len(drop), "files_removed": removed_files}
 
     def remove_orphans(self, older_than_s: float = 86400) -> dict:
@@ -476,11 +501,26 @@ class LakeTable:
         snapshots' file lists). Age-gated like Iceberg's
         remove_orphan_files: only files with mtime older than
         ``older_than_s`` are eligible, so an in-flight writer's
-        not-yet-committed files are never swept. Returns
-        ``{"files_removed": n}``."""
-        referenced = {
-            f["path"] for s in self.snapshot_history() for f in s["files"]
-        }
+        not-yet-committed files are never swept. Also sweeps orphan
+        SNAPSHOT objects — the uniquely named staged metadata of a
+        lost-CAS or crashed commit, which the history chain never
+        references. Returns ``{"files_removed": n}``."""
+        named = self._history_with_names()
+        chain_names = {n for n, _ in named}
+        referenced = {f["path"] for _, s in named for f in s["files"]}
+        # orphan snapshot metadata: staged-but-never-published attempts.
+        # The age gate keeps an in-flight commit's staged object safe for
+        # the stage→swap window (microseconds; the gate is hours).
+        for name in self.catalog.list_snapshot_names():
+            if name in chain_names:
+                continue
+            spath = os.path.join(self.path, "snapshots", name)
+            try:
+                if os.path.exists(spath) and time.time() - os.path.getmtime(spath) < older_than_s:
+                    continue
+            except OSError:
+                pass
+            self.catalog.delete_snapshot(name)
         data_root = os.path.join(self.path, "data")
         removed = 0
         now = time.time()
@@ -505,11 +545,6 @@ class LakeTable:
                 except OSError:
                     pass
         return {"files_removed": removed}
-
-    def _write_snapshot(self, snap: dict) -> None:
-        name = f"snap-{snap['snapshot_id']:08d}.json"
-        _atomic_write_json(os.path.join(self.path, "snapshots", name), snap)
-        _atomic_write_json(os.path.join(self.path, MANIFEST), {"snapshot": name})
 
     # ---------- schema ----------
 
@@ -1006,14 +1041,15 @@ class LakeTable:
         ``new_files`` for ``replaced_buckets``. Idempotent: if ``batch_id``
         is already in lineage, the commit is a no-op (epoch fence).
 
-        Concurrency: publication is a compare-and-swap — under an
-        exclusive lock the manifest is re-read and must still point at
-        the snapshot this commit staged against, else
-        ``ConcurrentCommitError`` (the caller re-stages against the new
-        tip and retries; the local flock is the single-FS analogue of
-        Iceberg's atomic catalog pointer swap). A racer that already
-        committed the SAME batch turns this commit into the fenced no-op
-        instead — exactly-once survives the race."""
+        Concurrency: publication is the catalog's atomic pointer
+        compare-and-swap (Iceberg's catalog model — see lake/catalog.py).
+        The new snapshot is STAGED under a uniquely named object, then the
+        pointer is CAS'd from the name this commit staged against. A lost
+        CAS means another writer advanced the tip: if that racer committed
+        the SAME batch the commit degrades to the fenced no-op (exactly-
+        once survives the race), otherwise ``ConcurrentCommitError`` (the
+        caller re-stages against the new tip and retries). The loser's
+        staged object is unreferenced garbage, swept by remove_orphans."""
         snap = staged_snapshot or self.snapshot()
         if batch_id is not None and any(e["batch"] == batch_id for e in snap["lineage"]):
             return snap  # fenced: this batch's effects are already committed
@@ -1033,20 +1069,28 @@ class LakeTable:
         if metrics:
             new_snap["metrics"] = metrics
 
-        import fcntl
-
-        with open(os.path.join(self.path, ".commit.lock"), "w") as lf:
-            fcntl.flock(lf, fcntl.LOCK_EX)
-            cur = self.snapshot()
+        def _fence_or_raise(cur: dict) -> dict:
             if batch_id is not None and any(
                 e["batch"] == batch_id for e in cur["lineage"]
             ):
                 return cur  # a racer committed this very batch first
-            if cur["snapshot_id"] != snap["snapshot_id"]:
-                raise ConcurrentCommitError(
-                    f"manifest moved from snapshot {snap['snapshot_id']} to "
-                    f"{cur['snapshot_id']} since this commit was staged — "
-                    "re-stage against the new tip and retry"
-                )
-            self._write_snapshot(new_snap)
-        return new_snap
+            raise ConcurrentCommitError(
+                f"manifest moved from snapshot {snap['snapshot_id']} to "
+                f"{cur['snapshot_id']} since this commit was staged — "
+                "re-stage against the new tip and retry"
+            )
+
+        # pre-flight: cheap rejection before staging any metadata. The
+        # CAS below is what actually closes the race window.
+        tip_name = self.catalog.load_pointer()
+        cur = self.catalog.load_snapshot(tip_name)
+        if cur["snapshot_id"] != snap["snapshot_id"]:
+            return _fence_or_raise(cur)
+
+        new_name = _snapshot_name(new_snap["snapshot_id"])
+        new_snap["parent_name"] = tip_name
+        self.catalog.stage_snapshot(new_name, new_snap)
+        winner = self.catalog.swap_pointer(tip_name, new_name)
+        if winner == new_name:
+            return new_snap
+        return _fence_or_raise(self.catalog.load_snapshot(winner))

@@ -2,22 +2,31 @@
 
 The scalable shape (and the one used here) is the UNION-AND-CARRY plan,
 not a range join: tag both sides, shuffle ONCE on the key, sort each key's
-rows by (time, side-tag), and carry the latest right-side row forward with
-a running ``last(..., ignorenulls=True)`` window. Cost is one shuffle +
-one per-partition sort — same class as a regular join — and it inherits
-AQE skew handling; a naive range-condition join would be O(|L|·|R|) per
-key and is exactly the 100-TB trap this avoids.
+rows by (time, side-tag), and carry the nearest right-side row across with
+a running ``last``/``first(..., ignorenulls=True)`` window. Cost is one
+shuffle + one per-partition sort — same class as a regular join — and a
+naive range-condition join would be O(|L|·|R|) per key and is exactly the
+100-TB trap this avoids.
+
+Skew caveat (carried from the round-2 verdict): the running window
+concentrates each key in one task and windows get no AQE skew split — a
+single pathological key (e.g. a null-ish sentinel url carrying 1% of all
+events) serializes in one task. That is inherent to per-key as-of order;
+mitigate upstream by filtering sentinel keys or pre-bucketing time ranges
+per hot key.
 
 Reference parity: csv-cruncher/HSQLDB has no as-of join; this is
 new-engine surface for event-time workloads (e.g. purchase→view
 attribution over the CDC event stream). DuckDB's native ASOF JOIN
-provides the correctness oracle.
+provides the correctness oracle (backward; the forward and tolerance
+variants are oracled with ordinary window SQL).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -29,35 +38,67 @@ def asof_join(
     right_time: str | None = None,
     right_prefix: str = "r_",
     strict: bool = False,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
-    """For each left row, attach the LATEST right row of the same key with
-    ``right.time <= left.time`` (backward as-of; ``strict=True`` makes it
-    ``<``). Left rows with no prior right row keep nulls — LEFT as-of.
+    """For each left row, attach the nearest right row of the same key:
 
-    Right columns come back prefixed with ``right_prefix`` (key/time cols
-    included, so the matched right timestamp is visible).
+    - ``direction="backward"`` (default): the LATEST right row with
+      ``right.time <= left.time`` (``<`` when ``strict=True``).
+    - ``direction="forward"``: the EARLIEST right row with
+      ``right.time >= left.time`` (``>`` when ``strict=True``).
 
-    Determinism: if several right rows share a key and timestamp, the one
-    greatest under the struct ordering of the remaining right columns
-    wins — callers wanting a specific tiebreak should pre-dedup the right
-    side (one row per key+time), which also matches DuckDB ASOF JOIN
-    semantics used as this operator's oracle.
+    Left rows with no qualifying right row keep nulls — LEFT as-of.
+
+    ``tolerance``: optional maximum distance between the two timestamps
+    (a Column/SQL-literal interval for timestamps, a number for numeric
+    time columns). A nearest match farther than the tolerance is nulled
+    out — and since the as-of match IS the nearest qualifying row, no
+    other row could qualify, so nulling is exact (pandas
+    ``merge_asof(tolerance=...)`` semantics).
+
+    NULL keys never match (SQL join semantics; DuckDB ASOF agrees):
+    right rows with any null key are dropped, so left rows with null
+    keys carry null matches. Null right timestamps are likewise dropped
+    — under Spark's nulls-first sort they would otherwise be carried as
+    a bogus "earliest" match.
+
+    Right payload columns must be ORDERABLE (no map type): at equal
+    (key, time) the greatest payload under struct ordering wins the
+    tiebreak deterministically. Map-typed payloads raise up front —
+    drop or re-encode them, or pre-dedup the right side to one row per
+    (key, time), which also matches the DuckDB oracle's semantics.
+
+    Right columns come back prefixed with ``right_prefix`` (key/time
+    cols included, so the matched right timestamp is visible).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rtime = right_time or left_time
 
     r_payload = [c for c in right.columns if c not in keys]
+    for c in r_payload:
+        if isinstance(right.schema[c].dataType, T.MapType):
+            raise TypeError(
+                f"right column {c!r} is map-typed and not orderable — the "
+                "equal-timestamp tiebreak sorts the right payload struct; "
+                "drop/re-encode the column or pre-dedup the right side"
+            )
     r_struct = F.struct(*[F.col(c) for c in r_payload])
-    # side tag orders right rows BEFORE left rows at equal timestamps, so
-    # an equal-time right row is visible to the left row (<= semantics);
-    # strict mode orders left first instead
-    r_tag, l_tag = (0, 1) if not strict else (1, 0)
 
-    # a null-time right row can never satisfy l.ts >= r.ts, but Spark's
-    # nulls-first ascending sort would place it BEFORE every real row and
-    # last(ignorenulls) would carry it as a bogus "earliest" match —
-    # exclude it up front (DuckDB ASOF does the same)
-    right = right.filter(F.col(rtime).isNotNull())
+    # side tag at EQUAL timestamps: non-strict backward and strict forward
+    # need the right row ordered before the left row (visible to <=, hidden
+    # from >); the other two modes order left first
+    right_first = (direction == "backward") != strict
+    r_tag, l_tag = (0, 1) if right_first else (1, 0)
+
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    right = right.filter(F.col(rtime).isNotNull() & ~null_key)
+
     r_tagged = right.select(
         *[F.col(k) for k in keys],
         F.col(rtime).alias("__t"),
@@ -75,12 +116,29 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    w = Window.partitionBy(*keys).orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
+    if direction == "backward":
+        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = F.last("__r", ignorenulls=True)
+    else:
+        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = F.first("__r", ignorenulls=True)
+    match = carry.over(w)
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.expr(str(tolerance))
+        mt = F.col("__match")[rtime] if rtime in r_payload else None
+        if mt is None:
+            raise ValueError(
+                "tolerance requires the right time column in the right frame"
+            )
+        dist = (
+            (F.col("__t") - mt) if direction == "backward" else (mt - F.col("__t"))
+        )
+        carried = unioned.withColumn("__match", match).withColumn(
+            "__match", F.when(dist <= tol, F.col("__match"))
+        )
+    else:
+        carried = unioned.withColumn("__match", match)
 
     out_left = [F.col(c) for c in left.columns if c not in keys]
     out_right = [

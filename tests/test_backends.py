@@ -1,0 +1,122 @@
+"""TableBackend contract tests — ONE scenario suite, parametrized over the
+manifest lake and the Iceberg backend (SURVEY.md §7.1's two-backend
+promise). The Iceberg leg is SKIPPED (not absent) when no Iceberg runtime
+jar is on the classpath — this sandbox ships none, so these tests document
+and pin the contract the production backend must meet, while the manifest
+leg proves the scenarios are real."""
+
+import datetime as dt
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from csv_cruncher_spark.cdc.extract import extract_text  # noqa: E402
+from csv_cruncher_spark.lake.backend import ManifestBackend  # noqa: E402
+
+FIELDS = [
+    ("url", "string"),
+    ("warc_ts", "timestamp"),
+    ("html", "binary"),
+    ("text", "string"),
+    ("lang", "string"),
+]
+
+EVENT_SCHEMA = "op: string, row_idx: long, url: string, warc_ts: timestamp, html: binary, lang: string"
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def _backend(kind, spark, tmp_path):
+    if kind == "manifest":
+        return ManifestBackend(str(tmp_path / "lake"))
+    from csv_cruncher_spark.lake.iceberg import IcebergBackend, iceberg_available
+
+    if not iceberg_available(spark):
+        pytest.skip("no Iceberg runtime jar on the classpath (sandbox)")
+    return IcebergBackend(spark, f"local.db.t_{abs(hash(str(tmp_path))) % 10**8}")
+
+
+def _events(spark, rows):
+    # rows: (op, row_idx, url, ts_second, html_bytes, lang)
+    return spark.createDataFrame(
+        [(op, i, u, _ts(s), h, lg) for (op, i, u, s, h, lg) in rows], EVENT_SCHEMA
+    )
+
+
+def _state(spark, be):
+    return {
+        (r["url"], r["warc_ts"], r["text"], r["lang"])
+        for r in be.read(spark).collect()
+    }
+
+
+@pytest.fixture(params=["manifest", "iceberg"])
+def be(request, spark, tmp_path):
+    b = _backend(request.param, spark, tmp_path)
+    b.create(FIELDS, n_buckets=4)
+    return b
+
+
+def test_lww_upsert_delete_and_stale_rules(spark, be):
+    """The full LWW contract in one replay: in-batch dedup on max
+    (version, row_idx), cross-batch version guard (equal version → the
+    incoming event wins), D deletes, stale events lose."""
+    b0 = _events(spark, [
+        ("I", 0, "u/a", 10, b"<p>a1</p>", "en"),
+        ("I", 1, "u/a", 12, b"<p>a2</p>", "en"),   # in-batch winner (later ts)
+        ("I", 2, "u/b", 10, b"<p>b1</p>", "de"),
+        ("I", 3, "u/c", 10, b"<p>c1</p>", "cs"),
+    ])
+    assert be.apply_batch(spark, b0, "batch-0", 0)["applied"]
+    b1 = _events(spark, [
+        ("U", 0, "u/a", 11, b"<p>a-stale</p>", "en"),  # stale: 11 < 12 → loses
+        ("U", 1, "u/b", 10, b"<p>b2</p>", "de"),       # equal ts → incoming wins
+        ("D", 2, "u/c", 11, b"", "cs"),                # delete
+        ("I", 3, "u/d", 10, b"<p>d1</p>", "fr"),
+    ])
+    assert be.apply_batch(spark, b1, "batch-1", 1)["applied"]
+    assert _state(spark, be) == {
+        ("u/a", _ts(12), extract_text(b"<p>a2</p>"), "en"),
+        ("u/b", _ts(10), extract_text(b"<p>b2</p>"), "de"),
+        ("u/d", _ts(10), extract_text(b"<p>d1</p>"), "fr"),
+    }
+
+
+def test_reapply_is_fenced_noop(spark, be):
+    b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
+    assert be.apply_batch(spark, b0, "batch-0", 0)["applied"]
+    before = _state(spark, be)
+    got = be.apply_batch(spark, b0, "batch-0", 0)
+    assert got["applied"] is False
+    assert be.applied_batches() == ["batch-0"]
+    assert _state(spark, be) == before
+
+
+def test_additive_evolution_then_apply(spark, be):
+    b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
+    be.apply_batch(spark, b0, "batch-0", 0)
+    be.evolve(add_columns=[("status", "int")])
+    assert "status" in be.column_names()
+    b1 = spark.createDataFrame(
+        [("I", 0, "u/b", _ts(10), b"<p>b</p>", "de", 200)],
+        EVENT_SCHEMA + ", status: int",
+    )
+    be.apply_batch(spark, b1, "batch-1", 1)
+    rows = {r["url"]: r["status"] for r in be.read(spark).collect()}
+    assert rows == {"u/a": None, "u/b": 200}
+
+
+def test_rename_is_metadata_only_and_identity_guarded(spark, be):
+    b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
+    be.apply_batch(spark, b0, "batch-0", 0)
+    be.evolve(renames={"lang": "language"})
+    cols = be.column_names()
+    assert "language" in cols and "lang" not in cols
+    assert {r["language"] for r in be.read(spark).collect()} == {"en"}
+    with pytest.raises(Exception, match="identity|key"):
+        be.evolve(renames={"url": "page_url"})

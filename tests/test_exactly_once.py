@@ -10,6 +10,32 @@ from csv_cruncher_spark.cdc.pipeline import CdcPipeline
 from csv_cruncher_spark.lake.table import LakeTable
 
 
+@pytest.fixture(params=["localfs", "condput"], autouse=True)
+def catalog_backend(request, monkeypatch):
+    """Run every exactly-once test against BOTH snapshot catalogs: the
+    POSIX flock+rename default AND the conditional-put object-store model
+    (lake/catalog.py) — proving the commit protocol depends on nothing but
+    the catalog's CAS contract (round-2 verdict item #2). The patch makes
+    a bare LakeTable(path) resolve to a per-path shared in-memory catalog,
+    so every pipeline/load in a test sees the same 'store'."""
+    if request.param == "localfs":
+        yield request.param
+        return
+    from csv_cruncher_spark.lake import table as table_mod
+    from csv_cruncher_spark.lake.catalog import ConditionalPutCatalog
+
+    registry: dict[str, ConditionalPutCatalog] = {}
+    orig_init = table_mod.LakeTable.__init__
+
+    def patched(self, path, catalog=None):
+        if catalog is None:
+            catalog = registry.setdefault(path, ConditionalPutCatalog())
+        orig_init(self, path, catalog)
+
+    monkeypatch.setattr(table_mod.LakeTable, "__init__", patched)
+    yield request.param
+
+
 @pytest.fixture()
 def change_log(tmp_path):
     spec = ChangeLogSpec(

@@ -80,3 +80,89 @@ def test_asof_null_time_right_rows_never_match(spark):
         for r in asof_join(left, right, on="k", left_time="t").collect()
     }
     assert got == {"p0": None, "p2": "v10"}
+
+
+def test_asof_forward(spark):
+    left, right = _frames(spark)
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", direction="forward"
+        ).collect()
+    }
+    assert got == {
+        "p0": "v10",   # 5 -> earliest right at 10
+        "p1": "v10",   # 10 -> right at 10 (inclusive >=)
+        "p2": None,    # 20 -> no later right row
+        "p3": None,    # key b has no right rows
+    }
+
+
+def test_asof_forward_strict(spark):
+    left, right = _frames(spark)
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", direction="forward", strict=True
+        ).collect()
+    }
+    assert got["p1"] == "v15"  # strict >: the t=10 right row is excluded
+
+
+def test_asof_tolerance_numeric(spark):
+    left, right = _frames(spark)
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", tolerance=4
+        ).collect()
+    }
+    assert got == {
+        "p0": "v1",    # 5-1=4 <= 4 kept
+        "p1": "v10",   # distance 0
+        "p2": None,    # 20-15=5 > 4 -> nulled
+        "p3": None,
+    }
+
+
+def test_asof_tolerance_timestamp_interval(spark):
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 00:10:00", "p1"), ("a", "2024-01-01 01:00:00", "p2")],
+        "k: string, ts: string, pid: string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 00:05:00", "v5")], "k: string, ts: string, vid: string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(
+            left, right, on="k", left_time="ts",
+            tolerance=F.expr("INTERVAL '10' MINUTE"),
+        ).collect()
+    }
+    assert got == {"p1": "v5", "p2": None}  # 55 min > 10 min -> nulled
+
+
+def test_asof_null_keys_never_match(spark):
+    """SQL join semantics (and DuckDB ASOF): NULL keys never match —
+    a null-key left row must not be attached to a null-key right row."""
+    left = spark.createDataFrame(
+        [(None, 10, "pnull"), ("a", 10, "pa")], "k: string, t: long, pid: string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "vnull"), ("a", 5, "va")], "k: string, t: long, vid: string"
+    )
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join(left, right, on="k", left_time="t").collect()
+    }
+    assert got == {"pnull": None, "pa": "va"}
+
+
+def test_asof_map_payload_raises(spark):
+    left, right = _frames(spark)
+    bad = right.withColumn("m", F.create_map(F.lit("x"), F.lit(1)))
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="map-typed"):
+        asof_join(left, bad, on="k", left_time="t")
