@@ -364,7 +364,21 @@ def main() -> None:
         **scaling,
         "master": spark.sparkContext.master,
     }
-    print(json.dumps(result))
+    # Output hygiene (round-2 verdict #8): the driver tail-captures stdout,
+    # and a very long single line got truncated — the round's headline JSON
+    # was lost to the scoreboard ("parsed": null). Full detail (per-rep
+    # scaling pairs, notes) goes to a sidecar file; the FINAL stdout line
+    # is a compact summary that always fits a tail capture.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    compact = {
+        k: v
+        for k, v in result.items()
+        if k not in ("scaling_pairs", "scaling_note", "queries")
+    }
+    compact["queries"] = {k: round(v, 2) for k, v in queries.items()}
+    compact["detail"] = "bench_detail.json"
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -214,7 +214,13 @@ class Cruncher:
             kept = kept.filter(~F.col("line").startswith("#"))
             if spec.ignore_line_regex:
                 kept = kept.filter(~F.col("line").rlike(spec.ignore_line_regex))
-            df = kept.orderBy("__f", "__ord").select(
+            # no global orderBy here (round-2 verdict #5): the window has
+            # already shuffled by file and sorted by __ord, so its output
+            # order suffices for the row-wise from_csv projection; a
+            # kept.orderBy would add a second, range-partitioned exchange
+            # over the whole input. Row order for single-file export is
+            # (re-)imposed by the export path's coalesce(1) write.
+            df = kept.select(
                 F.from_csv(
                     "line",
                     schema_ddl,
@@ -308,8 +314,29 @@ class Cruncher:
             for t in spark.catalog.listTables():
                 cols = [c.name for c in spark.catalog.listColumns(t.name)]
                 hints.append(f"  {t.name}({', '.join(cols)})")
+            # A23 parity completion: the reference classifies "object not
+            # found" as column-vs-table by regexing HSQLDB messages
+            # (HsqldbErrorHandling.kt:13-60); Spark's typed error classes
+            # make the same classification exact instead of heuristic.
+            klass = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+            params = (e.getMessageParameters() or {}) if hasattr(e, "getMessageParameters") else {}
+            missing = (
+                params.get("objectName") or params.get("relationName") or ""
+            ).replace("`", "")
+            if klass.startswith(("UNRESOLVED_COLUMN", "UNRESOLVED_FIELD")):
+                proposal = params.get("proposal", "")
+                classified = (
+                    f"Looks like a misspelled COLUMN: {missing or '?'}"
+                    + (f" — did you mean {proposal}?" if proposal else "")
+                )
+            elif klass.startswith("TABLE_OR_VIEW"):
+                classified = f"Looks like a misspelled TABLE: {missing or '?'}"
+            else:
+                classified = None
             raise CruncherError(
-                f"{e}\nAvailable tables (HsqldbErrorHandling.kt:13-60 parity):\n"
+                f"{e}\n"
+                + (f"{classified}\n" if classified else "")
+                + "Available tables (HsqldbErrorHandling.kt:13-60 parity):\n"
                 + "\n".join(hints)
             ) from e
 

@@ -339,9 +339,17 @@ class LakeTable:
                 continue
             # committed with no delta files: an empty batch contributes no
             # changes; a copy-on-write apply rewrote base files instead, so
-            # its changes are not delta-coded and the feed cannot see them
-            strategy = (s.get("metrics") or {}).get("last_batch_strategy")
-            if strategy not in (None, "mor-delta", "empty"):
+            # its changes are not delta-coded and the feed cannot see them.
+            # Strategy None (a snapshot written before the metric existed)
+            # is only trustably empty when the snapshot ALSO recorded zero
+            # batch files — otherwise it could be a pre-metric COW apply
+            # and skipping it would silently drop its changes from the
+            # feed (round-2 advice); treat it as not-delta-codeable.
+            metrics = s.get("metrics") or {}
+            strategy = metrics.get("last_batch_strategy")
+            if strategy is None and metrics.get("last_batch_files") == 0:
+                strategy = "empty"
+            if strategy not in ("mor-delta", "empty"):
                 if allow_snapshot_diff:
                     range_files = None  # fall back to the full diff
                     break

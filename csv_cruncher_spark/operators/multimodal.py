@@ -36,6 +36,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+try:  # optional codec activation (round-2 verdict #9): when Pillow is
+    # present (a real cluster image), pixel decode/resize of real image
+    # formats lights up; when absent, those paths keep their explicit
+    # NotImplementedError — never a silent wrong answer.
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - sandbox has no Pillow
+    _PILImage = None
+    HAS_PIL = False
+
 FAKE_MAGIC = b"CCSM"  # csv-cruncher-spark media (fake deterministic format)
 _REAL_MAGICS = {
     b"\x89PNG\r\n\x1a\n": "png",
@@ -210,9 +221,11 @@ def frame_sample(
 
 
 def resize_stub(df: DataFrame, bytes_col: str = "media", width: int = 0, height: int = 0) -> DataFrame:
-    """Resize integration point: validates plumbing (schema in = schema
-    out, binary preserved) but raises for real formats like the decoder.
-    For the fake format it rewrites the header dims deterministically."""
+    """Resize: fully implemented for the fake format (header dims
+    rewritten deterministically) and — when Pillow is importable — for
+    real image formats (decode → resize → re-encode in the same
+    container). Without Pillow, real formats raise NotImplementedError
+    with the integration hint; audio stays a codec boundary either way."""
 
     @F.pandas_udf(T.BinaryType())
     def resize(blobs: pd.Series) -> pd.Series:
@@ -220,12 +233,22 @@ def resize_stub(df: DataFrame, bytes_col: str = "media", width: int = 0, height:
             if b is None:
                 return None
             fmt = sniff_format(bytes(b))
+            if fmt in ("png", "jpeg", "gif") and HAS_PIL:
+                import io
+
+                img = _PILImage.open(io.BytesIO(bytes(b)))
+                out = io.BytesIO()
+                img.resize((width, height)).save(
+                    out, format={"jpeg": "JPEG", "png": "PNG", "gif": "GIF"}[fmt]
+                )
+                return out.getvalue()
             if fmt is not None:
                 raise NotImplementedError(
                     f"Resizing real {fmt} media needs a pixel/sample codec "
-                    "not present in this environment; wire Pillow/librosa "
-                    "here on a real cluster (header METADATA for real "
-                    "formats is fully parsed — see decode_metadata)."
+                    "not present in this environment; install Pillow for "
+                    "images (this path activates automatically) or wire "
+                    "librosa for audio (header METADATA for real formats "
+                    "is fully parsed — see decode_metadata)."
                 )
             if bytes(b[:4]) == FAKE_MAGIC:
                 return FAKE_MAGIC + struct.pack("<II", width, height) + bytes(b[12:])

@@ -100,12 +100,19 @@ def main() -> int:
         # emit its length, not the bytes
         out = open(args.feed_out, "w") if args.feed_out else sys.stdout
         feed_rows = 0
-        cols = [c for c in feed.columns if c != "html"]
+        # binary columns are found by TYPE, not by the name "html": schema
+        # evolution allows renaming non-identity columns, so a feed from a
+        # renamed table must not KeyError (round-2 advice); every binary
+        # column is emitted as its byte length
+        bin_cols = [f.name for f in feed.schema.fields if f.dataType.typeName() == "binary"]
+        cols = [c for c in feed.columns if c not in bin_cols]
         for r in feed.toLocalIterator():
             d = {c: r[c] for c in cols}
-            d["html_bytes"] = len(r["html"]) if r["html"] is not None else None
-            if hasattr(d.get("warc_ts"), "isoformat"):
-                d["warc_ts"] = d["warc_ts"].isoformat()
+            for bc in bin_cols:
+                d[f"{bc}_bytes"] = len(r[bc]) if r[bc] is not None else None
+            for c, v in list(d.items()):
+                if hasattr(v, "isoformat"):
+                    d[c] = v.isoformat()
             out.write(json.dumps(d) + "\n")
             feed_rows += 1
         if args.feed_out:

@@ -703,3 +703,21 @@ def test_overwrite_directory_output(spark, tmp_path):
     assert os.path.isdir(out)
     Cruncher(opts).run(spark)  # second run overwrites the directory
     assert os.path.isdir(out)
+
+
+def test_error_hint_classifies_column_vs_table(spark, tmp_path):
+    """A23 parity completion (round-2 verdict #7): the reference says
+    WHICH kind of identifier it thinks you misspelled
+    (HsqldbErrorHandling.kt:13-60); we classify via Spark's typed error
+    classes instead of message regexes."""
+    from csv_cruncher_spark.crunch import CruncherError
+
+    (tmp_path / "t.csv").write_text("id,val\n1,x\n")
+    base = dict(
+        imports=[ImportSpec(path=str(tmp_path / "t.csv"))],
+        exports=[ExportSpec(path=str(tmp_path / "o.csv"))],
+    )
+    with pytest.raises(CruncherError, match="misspelled COLUMN: .*vall"):
+        Cruncher(Options(**base, sql="SELECT vall FROM t")).run(spark)
+    with pytest.raises(CruncherError, match="misspelled TABLE: .*tt"):
+        Cruncher(Options(**base, sql="SELECT id FROM tt")).run(spark)

@@ -160,12 +160,29 @@ def test_decode_real_format_headers(spark):
     assert (got[4]["format"], got[4]["width"], got[4]["height"]) == ("jpeg", 800, 600)
 
 
+@pytest.mark.skipif(multimodal.HAS_PIL, reason="Pillow present: real resize active")
 def test_resize_real_format_still_raises(spark):
     df = spark.createDataFrame(
         [(1, _png(640, 480))], "media_id: int, media: binary"
     )
     with pytest.raises(Exception, match="codec"):
         multimodal.resize_stub(df, width=10, height=10).collect()
+
+
+@pytest.mark.skipif(not multimodal.HAS_PIL, reason="no Pillow in this environment")
+def test_resize_real_png_with_pillow(spark):
+    """With Pillow importable the real-image resize path activates
+    (round-2 verdict #9): output is a valid PNG with the new dims."""
+    from PIL import Image
+    import io
+
+    img = Image.new("RGB", (8, 6))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame([(1, buf.getvalue())], "media_id: int, media: binary")
+    out = multimodal.resize_stub(df, width=4, height=3).collect()[0]["media"]
+    resized = Image.open(io.BytesIO(bytes(out)))
+    assert resized.size == (4, 3)
 
 
 def test_media_features_deterministic_and_partition_invariant(media):

@@ -339,3 +339,32 @@ def test_changes_between_rejects_cow_epochs(spark, tmp_path):
         ).collect()
     }
     assert feed == want
+
+
+def test_changes_between_refuses_pre_metric_snapshots(spark, tmp_path):
+    """A snapshot with no delta files and NO last_batch_* metrics (written
+    before those metrics existed) is ambiguous — it could be a pre-metric
+    COW apply — so the feed must refuse it (round-2 advice), not silently
+    treat it as an empty batch; allow_snapshot_diff=True still works."""
+    import pytest as _pytest
+
+    paths = _mk_log(tmp_path, n_batches=2, seed=41)
+    p = str(tmp_path / "lake_premetric")
+    CdcPipeline(p, n_buckets=4).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+    # strip the batch metrics from epoch 1's committing snapshot, like a
+    # round-1-era writer would have left it, and drop its delta files
+    hist = t._history_with_names()
+    name, snap = next((n, s) for n, s in hist if s["epoch_id"] == 1 and s["batch_id"])
+    doctored = dict(snap)
+    doctored["metrics"] = {
+        k: v for k, v in snap["metrics"].items() if not k.startswith("last_batch")
+    }
+    doctored["files"] = [f for f in snap["files"] if f.get("epoch") != 1]
+    t.catalog.stage_snapshot(name, doctored)
+    with _pytest.raises(ValueError, match="not delta-coded"):
+        t.changes_between(spark, from_epoch=0, to_epoch=1)
+    # the explicit opt-in fallback still resolves the range
+    assert t.changes_between(
+        spark, from_epoch=0, to_epoch=1, allow_snapshot_diff=True
+    ).count() >= 0
