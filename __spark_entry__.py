@@ -306,6 +306,24 @@ def ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components dup-group resolution (operators/dedup.py
+    connected_components): n-gram-Jaccard near-dup pairs become an edge
+    set; every document gets the min member id of its component as
+    group_id (singletons map to themselves). Iterative min-label
+    propagation — one long-only join + agg per round, exits on
+    convergence. Oracle: DuckDB recursive CTE computing min reachable
+    label over the same edges."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.4)
+    groups = dedup.connected_components(
+        pairs, vertices=docs.select("doc_id")
+    )
+    return groups.select(
+        F.col("id").alias("doc_id"), F.col("group_id")
+    ).orderBy("doc_id")
+
+
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary media columns: decode metadata via
     mapInPandas + deterministic feature vectors via Arrow-batched pandas
@@ -580,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect_nations": set_intersect_nations,
         "set_except_nations": set_except_nations,
         "dedup_exact_documents": dedup_exact_documents,
+        "dedup_groups": dedup_groups,
         "doc_fingerprints": doc_fingerprints,
         "doc_quality": doc_quality,
         "doc_token_count_regex": doc_token_count_regex,
@@ -887,6 +906,41 @@ def oracle_sql() -> dict[str, str]:
                         JOIN sizes sb ON sb.id = common.id_b
             WHERE n_common / (sa.n + sb.n - n_common) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "dedup_groups": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM documents
+            ),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            f AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM f GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT id_a, id_b
+              FROM common JOIN sizes sa ON sa.id = common.id_a
+                          JOIN sizes sb ON sb.id = common.id_b
+              WHERE n_common / (sa.n + sb.n - n_common) >= 0.4
+            ),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM edges
+              UNION ALL SELECT id_b, id_a FROM edges
+            ),
+            reach(u, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.u
+            )
+            SELECT u AS doc_id, min(lbl) AS group_id
+            FROM reach GROUP BY u ORDER BY doc_id
         """,
         "embedding_cosine_topk": f"""
             SELECT vec_id,

@@ -368,9 +368,12 @@ def main() -> None:
     # and a very long single line got truncated — the round's headline JSON
     # was lost to the scoreboard ("parsed": null). Full detail (per-rep
     # scaling pairs, notes) goes to a sidecar file; the FINAL stdout line
-    # is a compact summary that always fits a tail capture.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as f:
-        json.dump(result, f, indent=1)
+    # is a compact summary that always fits a tail capture. Sidecar only
+    # for top-level full runs — the scaling probe's --cdc-only subprocesses
+    # must not clobber it.
+    if not args.cdc_only and not args.queries_only:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as f:
+            json.dump(result, f, indent=1)
     compact = {
         k: v
         for k, v in result.items()

@@ -4,10 +4,19 @@
   product is a JVM ``aggregate`` fold over ``zip_with`` (codegen'd, no
   Python). For a single probe vector this is one scan + TakeOrdered —
   embarrassingly parallel, the right plan at any scale.
-- **Random-hyperplane LSH ANN** — the scale path for many-probe / all-pairs
-  workloads: deterministic seeded hyperplanes → sign-bit bucket key →
-  candidates share a bucket → exact rerank within bucket. Bucket join
-  shuffles on the bucket key only.
+- **Random-hyperplane LSH ANN** (point probes) — deterministic seeded
+  hyperplanes → sign-bit bucket key → exact rerank within the query's
+  bucket; the filter prunes ~2^-n_planes of the scan per probe.
+- **Banded multi-plane LSH** (all-pairs near-dup mining) — b bands ×
+  r sign bits per vector; candidates agree on ALL bits of ANY band
+  (banded amplification, same shape as dedup.lsh_candidate_pairs), the
+  self-join shuffles on (band, key) only, per-band key space 2^r scales
+  with corpus density, and over-cap buckets are dropped before the join.
+  The banding projection runs as an Arrow/numpy matmul pandas UDF —
+  Spark's higher-order functions are interpreted, not codegen'd, and a
+  batch BLAS matmul is the textbook vectorized-kernel exception to the
+  no-Python-UDF rule; a pure-JVM expression variant is kept and pinned
+  equal on real data by test.
 """
 
 from __future__ import annotations

@@ -255,3 +255,29 @@ def test_banded_keys_udf_matches_jvm_expr(spark):
     assert got
     for r in got:
         assert list(r["u"]) == list(r["e"]), r["vec_id"]
+
+
+def test_connected_components_basic(spark):
+    """Min-label propagation: chains, singletons, and two components."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8)], "id_a: long, id_b: long"
+    )
+    verts = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 8, 9]], "v: long")
+    got = {
+        r["id"]: r["group_id"]
+        for r in dedup.connected_components(pairs, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 8: 7, 9: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-vertex chain needs ~diameter rounds — converges under the
+    default bound and labels the whole chain with the minimum."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a: long, id_b: long"
+    )
+    got = {
+        r["id"]: r["group_id"] for r in dedup.connected_components(pairs).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == n + 1
