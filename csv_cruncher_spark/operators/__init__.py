@@ -1,6 +1,6 @@
 from . import dedup, joins, multimodal, similarity, textstats
 from .dedup import dropped_buckets, release
-from .joins import asof_join
+from .joins import asof_join, asof_join_bucketed
 
 __all__ = [
     "dedup",
@@ -9,6 +9,7 @@ __all__ = [
     "similarity",
     "textstats",
     "asof_join",
+    "asof_join_bucketed",
     "release",
     "dropped_buckets",
 ]

@@ -146,3 +146,144 @@ def asof_join(
     ]
     is_left = F.col("__side") == F.lit(l_tag)
     return carried.filter(is_left).select(*[F.col(k) for k in keys], *out_left, *out_right)
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_time: str,
+    bucket_width: int,
+    right_time: str | None = None,
+    right_prefix: str = "r_",
+    strict: bool = False,
+) -> DataFrame:
+    """Skew-resistant backward as-of join: bit-identical results to
+    :func:`asof_join`, but a hot key's rows parallelize across its TIME
+    RANGE instead of serializing in one window task.
+
+    The plain union-and-carry window partitions by key only — windows get
+    no AQE skew split, so one pathological key (a sentinel url carrying
+    1% of all events) runs in a single task. Here both sides are first
+    assigned a coarse time bucket ``floor(epoch_time / bucket_width)``
+    (``bucket_width`` in the time column's native units — seconds for
+    timestamps, raw units for numerics) and the carry happens in two
+    levels:
+
+    1. **Bucket summaries**: per (key, bucket), the LAST right row — one
+       partial-combined ``max_by`` aggregate, so the shuffle moves one
+       row per (key, bucket), not per event.
+    2. **Carry-in**: a running last over each key's bucket summaries
+       (window over summaries — rows per key = occupied buckets, bounded
+       by time-range/width, not by event count), shifted one bucket
+       forward: the carry-in of bucket b is the last right row in any
+       earlier bucket.
+    3. **Local as-of**: the union-and-carry window now partitions by
+       (key, bucket) — each left row resolves against its bucket's right
+       rows with the carry-in as the fallback floor.
+
+    Skew cap: a key's largest task is its busiest single bucket; pick
+    ``bucket_width`` so that's comfortable (e.g. hours for a key with
+    years of events). Cost: one extra summary aggregate + summary window
+    — both O(keys × occupied buckets).
+
+    Backward direction only (the CDC attribution shape); forward would
+    mirror with min_by/lead. Equal-semantics property test:
+    ``test_asof_bucketed_matches_plain``.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rtime = right_time or left_time
+
+    r_payload = [c for c in right.columns if c not in keys]
+    for c in r_payload:
+        if isinstance(right.schema[c].dataType, T.MapType):
+            raise TypeError(
+                f"right column {c!r} is map-typed and not orderable — see asof_join"
+            )
+    null_key = None
+    for k in keys:
+        cond = F.col(k).isNull()
+        null_key = cond if null_key is None else (null_key | cond)
+    right = right.filter(F.col(rtime).isNotNull() & ~null_key)
+
+    def bucket_of(frame: DataFrame, col: str) -> F.Column:
+        dt = frame.schema[col].dataType
+        base = (
+            F.unix_timestamp(F.col(col)).cast("double")
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType))
+            else F.col(col).cast("double")
+        )
+        return F.floor(base / F.lit(float(bucket_width))).cast("long")
+
+    r_struct = F.struct(*[F.col(c) for c in r_payload])
+    r_tag, l_tag = (0, 1) if not strict else (1, 0)
+
+    r_b = right.select(
+        *[F.col(k) for k in keys],
+        bucket_of(right, rtime).alias("__b"),
+        F.col(rtime).alias("__t"),
+        r_struct.alias("__r"),
+    )
+    # 1) per-(key, bucket) LAST right row — an AGGREGATION (map-side
+    # combine eats the hot key before the shuffle), with the same
+    # (time, payload-struct) tiebreak order the in-bucket window uses
+    summaries = r_b.groupBy(*keys, "__b").agg(
+        F.max_by(
+            F.struct(F.col("__t"), F.col("__r")), F.struct(F.col("__t"), F.col("__r"))
+        ).alias("__last")
+    )
+    l_b = left.select(
+        *[F.col(k) for k in keys],
+        bucket_of(left, left_time).alias("__b"),
+        F.col(left_time).alias("__t"),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+    # 2) carry floor per occupied LEFT bucket: the last right row in any
+    # STRICTLY earlier bucket — the plain as-of join applied at bucket
+    # granularity (rows per key = occupied buckets, so the skew the
+    # event-level window had is already collapsed; strict=True gives the
+    # < semantics, since same-bucket right rows participate in the
+    # event-level window below instead)
+    l_buckets = l_b.select(*keys, "__b").distinct()
+    floor_in = asof_join(
+        l_buckets,
+        summaries,
+        on=keys,
+        left_time="__b",
+        right_prefix="__fl_",
+        strict=True,
+    ).select(*keys, "__b", F.col("__fl___last").alias("__floor"))
+    r_tagged = r_b.select(
+        *keys,
+        "__b",
+        "__t",
+        F.lit(r_tag).alias("__side"),
+        F.col("__r"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+    )
+    l_aug = l_b.join(floor_in, [*keys, "__b"], "left").select(
+        *keys,
+        "__b",
+        "__t",
+        F.lit(l_tag).alias("__side"),
+        F.lit(None).cast(r_tagged.schema["__r"].dataType).alias("__r"),
+        F.col("__floor"),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+    r_aug = r_tagged.withColumn("__floor", F.lit(None).cast(l_aug.schema["__floor"].dataType))
+    unioned = r_aug.unionByName(l_aug)
+    w = (
+        Window.partitionBy(*keys, "__b")
+        .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = F.last("__r", ignorenulls=True).over(w)
+    match = F.coalesce(in_bucket, F.col("__floor.__r"))
+    carried = unioned.withColumn("__match", match)
+    out_left = [F.col(c) for c in left.columns if c not in keys]
+    out_right = [
+        F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in r_payload
+    ]
+    is_left = F.col("__side") == F.lit(l_tag)
+    return carried.filter(is_left).select(*[F.col(k) for k in keys], *out_left, *out_right)

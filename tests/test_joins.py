@@ -166,3 +166,59 @@ def test_asof_map_payload_raises(spark):
 
     with _pytest.raises(TypeError, match="map-typed"):
         asof_join(left, bad, on="k", left_time="t")
+
+
+def test_asof_bucketed_matches_plain(spark):
+    """Property: the skew-resistant time-bucketed as-of join is
+    bit-identical to the plain union-and-carry join — including a hot key
+    with many events, sparse keys whose buckets are far apart, equal
+    timestamps, empty buckets between events, and strict mode."""
+    import random
+
+    from csv_cruncher_spark.operators.joins import asof_join_bucketed
+
+    rnd = random.Random(123)
+    keys = ["hot"] * 400 + ["a", "b", "c"] * 30
+    left_rows = [
+        (k, rnd.randrange(0, 10_000), f"p{i}") for i, k in enumerate(keys)
+    ]
+    right_rows = [
+        (rnd.choice(["hot", "a", "b", "z"]), rnd.randrange(0, 10_000), f"v{i}")
+        for i in range(300)
+    ]
+    left = spark.createDataFrame(left_rows, "k: string, t: long, pid: string")
+    right = spark.createDataFrame(right_rows, "k: string, t: long, vid: string")
+    for strict in (False, True):
+        plain = {
+            r["pid"]: (r["r_t"], r["r_vid"])
+            for r in asof_join(left, right, on="k", left_time="t", strict=strict).collect()
+        }
+        for width in (100, 1000, 100_000):
+            got = {
+                r["pid"]: (r["r_t"], r["r_vid"])
+                for r in asof_join_bucketed(
+                    left, right, on="k", left_time="t",
+                    bucket_width=width, strict=strict,
+                ).collect()
+            }
+            assert got == plain, (strict, width)
+
+
+def test_asof_bucketed_timestamp_type(spark):
+    from csv_cruncher_spark.operators.joins import asof_join_bucketed
+
+    left = spark.createDataFrame(
+        [("a", "2024-01-01 10:00:00", "p1"), ("a", "2024-03-01 00:00:00", "p2")],
+        "k: string, ts: string, pid: string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [("a", "2024-01-01 09:00:00", "v9"), ("a", "2024-02-01 00:00:00", "vfeb")],
+        "k: string, ts: string, vid: string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["pid"]: r["r_vid"]
+        for r in asof_join_bucketed(
+            left, right, on="k", left_time="ts", bucket_width=3600
+        ).collect()
+    }
+    assert got == {"p1": "v9", "p2": "vfeb"}

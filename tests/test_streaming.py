@@ -257,3 +257,48 @@ def test_stateful_lww_delete_of_absent_key_emits_nothing(spark, tmp_path):
 
     urls = {r["url"] for r in rows}
     assert urls == {"https://real.example.com/y"}
+
+
+def test_stateful_lww_stale_prefix_then_live_tail(spark, tmp_path):
+    """Pins the vectorized per-file fold's core claim: when the version
+    floor rejects a PREFIX of a file's (ts-sorted) events but a later
+    event clears it, the file's final state is its last row — and a
+    delete mid-file lowers the bar for a subsequent same-ts re-insert."""
+    import base64
+
+    from csv_cruncher_spark.streaming.rollup import read_change_stream
+    from csv_cruncher_spark.streaming.stateful import lww_state_changes
+
+    bdir = tmp_path / "sp"
+    bdir.mkdir()
+    u = "https://s.example.com/p"
+    h = base64.b64encode(b"<p>x</p>").decode()
+    (bdir / "batch-00000.csv").write_text(
+        f"op,url,warc_ts,html,lang\nI,{u},2024-01-05 00:00:00,{h},en\n"
+    )
+    # file 2: two stale events (and a null-ts) below the floor, then a
+    # delete at the floor, then an update
+    (bdir / "batch-00001.csv").write_text(
+        "op,url,warc_ts,html,lang\n"
+        f"U,{u},,{h},xx\n"                       # null ts: loses
+        f"U,{u},2024-01-03 00:00:00,{h},yy\n"     # stale: loses
+        f"D,{u},2024-01-05 00:00:00,{h},\n"       # equal ts: delete applies
+        f"I,{u},2024-01-05 00:00:00,{h},cs\n"     # re-insert after delete
+    )
+    stream = read_change_stream(spark, str(bdir), max_files_per_trigger=1)
+    feed = lww_state_changes(stream)
+    got: dict = {}
+
+    def sink(df, _bid):
+        for r in df.collect():
+            got[r["url"]] = (r["warc_ts_us"], r["lang"], r["present"])
+
+    q = feed.writeStream.outputMode("append").foreachBatch(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    import pandas as pd
+
+    want_ts = pd.Timestamp("2024-01-05 00:00:00").value // 1000
+    assert got[u] == (want_ts, "cs", True)
