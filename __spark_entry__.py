@@ -319,6 +319,9 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups = dedup.connected_components(
         pairs, vertices=docs.select("doc_id")
     )
+    # connected_components checkpointed the edge list eagerly, so the
+    # mining pipeline's pinned sketch cache can be released here
+    dedup.release(pairs)
     return groups.select(
         F.col("id").alias("doc_id"), F.col("group_id")
     ).orderBy("doc_id")

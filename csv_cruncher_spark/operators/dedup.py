@@ -339,11 +339,16 @@ def connected_components(
     recursive CTE computing min-reachable-label over the same edges
     (``dedup_groups`` entry).
     """
-    edges = pairs.select(
-        F.col(id_a).alias("u"), F.col(id_b).alias("v")
-    ).unionByName(
-        pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v"))
-    ).distinct()
+    # the edge list is loop-invariant but its lineage is the (expensive)
+    # pair-mining pipeline — materialize it ONCE so each propagation
+    # round joins against cached (u, v) longs instead of re-running the
+    # mining per iteration
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
     if vertices is not None:
         vcol = vertices.columns[0]
         verts = vertices.select(F.col(vcol).alias("u")).distinct()

@@ -88,6 +88,29 @@ def lsh_bucket_expr(vec_col: str, planes: np.ndarray) -> F.Column:
     return out
 
 
+def multiprobe_buckets(
+    query: list[float], planes: np.ndarray, n_probe_buckets: int
+) -> list[int]:
+    """The query's LSH bucket plus the ``n_probe_buckets - 1`` buckets
+    obtained by flipping the LOWEST-MARGIN sign bits (multi-probe LSH,
+    Lv et al. VLDB'07): a bit whose |q·plane| is small is the one a true
+    near neighbor most likely disagrees on, so probing those flips buys
+    recall without adding hyperplanes. Single-bit flips, ranked by
+    margin ascending — deterministic, computed driver-side from the
+    query alone."""
+    q = np.asarray(query, dtype=float)
+    dots = planes @ q
+    base = 0
+    for i, d in enumerate(dots):
+        if float(d) > 0:
+            base |= 1 << i
+    order = np.argsort(np.abs(dots), kind="stable")
+    probes = [base]
+    for bit in order[: max(0, n_probe_buckets - 1)]:
+        probes.append(base ^ (1 << int(bit)))
+    return probes
+
+
 def ann_lsh_topk(
     df: DataFrame,
     id_col: str,
@@ -96,19 +119,19 @@ def ann_lsh_topk(
     k: int = 20,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe_buckets: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the exact rerank to vectors whose LSH
-    bucket matches the query's bucket (prunes ~2^-n_planes of the data per
-    probe; at scale the table would be written bucket-partitioned so the
-    scan prunes files too)."""
+    bucket is in the query's probe set (prunes ~n_probe_buckets·2^-n_planes
+    of the data per probe; at scale the table would be written
+    bucket-partitioned so the scan prunes files too). ``n_probe_buckets``
+    > 1 enables multi-probe (see :func:`multiprobe_buckets`) — recall
+    rises with probe count at proportional scan cost, the standard
+    recall/cost dial when re-bucketing the corpus is off the table."""
     planes = _hyperplanes(len(query), n_planes, seed)
-    q = np.asarray(query)
-    q_bucket = 0
-    for i, p in enumerate(planes):
-        if float(np.dot(q, p)) > 0:
-            q_bucket |= 1 << i
+    probes = multiprobe_buckets(query, planes, n_probe_buckets)
     bucketed = df.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
-    cand = bucketed.filter(F.col("_bucket") == F.lit(q_bucket))
+    cand = bucketed.filter(F.col("_bucket").isin([int(b) for b in probes]))
     return brute_force_topk(cand, id_col, vec_col, query, k)
 
 

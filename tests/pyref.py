@@ -264,9 +264,11 @@ def lsh_ann_topk(
     k: int = 20,
     n_planes: int = 8,
     seed: int = 42,
+    n_probe_buckets: int = 1,
 ) -> list[tuple[int, float]]:
     """Twin of similarity.ann_lsh_topk: same seeded hyperplanes, same
-    sign-bit bucket, exact cosine rerank inside the query's bucket."""
+    sign-bit bucket, same multi-probe flip order (lowest |margin| bits
+    first), exact cosine rerank inside the probed buckets."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -283,7 +285,16 @@ def lsh_ann_topk(
                 b |= 1 << i
         return b
 
-    qb = bucket(query)
+    q = np.asarray(query, dtype=float)
+    dots = planes @ q
+    qb = 0
+    for i, d in enumerate(dots):
+        if float(d) > 0:
+            qb |= 1 << i
+    order = np.argsort(np.abs(dots), kind="stable")
+    probe_set = {qb}
+    for bit in order[: max(0, n_probe_buckets - 1)]:
+        probe_set.add(qb ^ (1 << int(bit)))
 
     def cos(v):
         dot = 0.0
@@ -298,7 +309,7 @@ def lsh_ann_topk(
         return dot / (nv**0.5 * nq**0.5)
 
     cands = [
-        (vid, round(cos(v), 6)) for vid, v in vecs.items() if bucket(v) == qb
+        (vid, round(cos(v), 6)) for vid, v in vecs.items() if bucket(v) in probe_set
     ]
     cands.sort(key=lambda t: (-t[1], t[0]))
     return cands[:k]

@@ -281,3 +281,24 @@ def test_connected_components_long_chain_converges(spark):
         r["id"]: r["group_id"] for r in dedup.connected_components(pairs).collect()
     }
     assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_ann_lsh_multiprobe_twin_and_recall(spark):
+    """Multi-probe LSH: probing the lowest-margin bit flips matches the
+    twin bit-for-bit and can only GROW the candidate set (recall is
+    monotone in probe count)."""
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    query = [0.125] * 64
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    prev_n = -1
+    for probes in (1, 4, 8):
+        got = [
+            (r["vec_id"], r["cosine"])
+            for r in similarity.ann_lsh_topk(
+                emb, "vec_id", "embedding", query, k=500, n_probe_buckets=probes
+            ).collect()
+        ]
+        want = pyref.lsh_ann_topk(vecs, query, k=500, n_probe_buckets=probes)
+        assert sorted(i for i, _ in got) == sorted(i for i, _ in want)
+        assert len(got) >= prev_n
+        prev_n = len(got)
