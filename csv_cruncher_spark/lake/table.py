@@ -794,7 +794,13 @@ class LakeTable:
         if base is not None:
             base_narrow = base.select(key, vcol)
             if small:
-                dirty_keys = deltas.select(key).distinct()
+                # lazy localCheckpoint: dirty_keys feeds TWO consumers (the
+                # base semi-join here and kill_keys below) — without a
+                # materialization boundary each consumer re-scans the
+                # deltas. Lazy keeps read() lazy; the backing blocks are
+                # broadcast-guard-sized and freed by the ContextCleaner
+                # when the frame is unreferenced (no persist leak).
+                dirty_keys = deltas.select(key).distinct().localCheckpoint(eager=False)
                 base_narrow = base_narrow.join(
                     F.broadcast(dirty_keys), key, "left_semi"
                 )
@@ -830,6 +836,16 @@ class LakeTable:
             .filter(F.col("__w").isNotNull())
             .select(key, F.col("__w.e").alias("__epoch"))
         )
+        if small:
+            # the winner set feeds two broadcast branches (base_won /
+            # delta_winners) whose differing filters defeat Spark's
+            # ReuseExchange — measured: the narrow fold's collect_list
+            # aggregation appeared TWICE in the executed plan, doubling
+            # the fold and every delta scan under it. One lazy local
+            # checkpoint (dirty-key-bounded by the same broadcast guard)
+            # makes both branches read the fold's result instead
+            # (round-2 watchlist item, now verified and closed).
+            winners = winners.localCheckpoint(eager=False)
 
         # -- phase 2: payload fetch — winner rows filtered in place
         delta_payload = deltas.filter(F.col("__op") != F.lit("D")).select(

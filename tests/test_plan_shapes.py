@@ -107,3 +107,35 @@ def test_line_filter_ingest_has_single_exchange(spark, tmp_path):
     plan = tables[0].df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_narrow_read_winner_fold_computed_once(spark, tmp_path):
+    """The narrow read's winner fold feeds two broadcast branches whose
+    differing filters defeat ReuseExchange — without a materialization
+    boundary the fold (and every delta scan under it) ran TWICE.
+    Pinned: the executed plan contains no inline collect_list fold
+    (it runs once inside the checkpoint's job) and resolution output is
+    unchanged."""
+    from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log
+    from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    generate_change_log(
+        ChangeLogSpec(n_urls=80, n_batches=3, events_per_batch=120, seed=23,
+                      out_dir=str(tmp_path / "batches"))
+    )
+    CdcPipeline(str(tmp_path / "lake"), n_buckets=2, compact_every=10**6).run(
+        spark, str(tmp_path / "batches")
+    )
+    t = LakeTable.load(str(tmp_path / "lake"))
+    orig = LakeTable.RESOLVE_MODE
+    try:
+        LakeTable.RESOLVE_MODE = "narrow"
+        df = t.read(spark)
+        state = {(r["url"], r["text"]) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("collect_list") == 0, plan
+        LakeTable.RESOLVE_MODE = "widefold"
+        assert {(r["url"], r["text"]) for r in t.read(spark).collect()} == state
+    finally:
+        LakeTable.RESOLVE_MODE = orig
