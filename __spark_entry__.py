@@ -327,6 +327,34 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final dedup step: per dup-group keeper selection — the member
+    with the highest token count (ties → lowest doc_id) survives; one
+    partial-combined max_by per group, no window over documents. Oracle:
+    the dedup_groups recursive CTE + a ranked window."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.4)
+    groups = dedup.connected_components(pairs, vertices=docs.select("doc_id"))
+    dedup.release(pairs)
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    j = groups.join(scored, groups["id"] == scored["doc_id"]).select(
+        "group_id", "doc_id", "n_tokens"
+    )
+    return (
+        j.groupBy("group_id")
+        .agg(
+            F.max_by(
+                "doc_id", F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("nd"))
+            ).alias("keeper_id"),
+            F.count("*").alias("n_members"),
+            F.max("n_tokens").alias("best_n_tokens"),
+        )
+        .orderBy("group_id")
+    )
+
+
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary media columns: decode metadata via
     mapInPandas + deterministic feature vectors via Arrow-batched pandas
@@ -602,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_except_nations": set_except_nations,
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_groups": dedup_groups,
+        "dedup_keepers": dedup_keepers,
         "doc_fingerprints": doc_fingerprints,
         "doc_quality": doc_quality,
         "doc_token_count_regex": doc_token_count_regex,
@@ -944,6 +973,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "dedup_keepers": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM documents
+            ),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            f AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM f GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT id_a, id_b
+              FROM common JOIN sizes sa ON sa.id = common.id_a
+                          JOIN sizes sb ON sb.id = common.id_b
+              WHERE n_common / (sa.n + sb.n - n_common) >= 0.4
+            ),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM edges
+              UNION ALL SELECT id_b, id_a FROM edges
+            ),
+            reach(u, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.u
+            ),
+            g AS (SELECT u AS doc_id, min(lbl) AS group_id FROM reach GROUP BY u),
+            scored AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+            j AS (SELECT g.group_id, s.doc_id, s.n_tokens FROM g JOIN scored s USING (doc_id))
+            SELECT group_id, keeper_id, n_members, best_n_tokens FROM (
+              SELECT group_id, doc_id AS keeper_id,
+                     count(*) OVER (PARTITION BY group_id) AS n_members,
+                     max(n_tokens) OVER (PARTITION BY group_id) AS best_n_tokens,
+                     row_number() OVER (PARTITION BY group_id
+                                        ORDER BY n_tokens DESC, doc_id ASC) AS rn
+              FROM j) WHERE rn = 1 ORDER BY group_id
         """,
         "embedding_cosine_topk": f"""
             SELECT vec_id,
