@@ -173,11 +173,20 @@ class IcebergBackend(TableBackend):
         winners.createOrReplaceTempView(src)
 
         k, v = self.key_col, self.version_col
-        set_cols = [c for c in table_cols if c != k and c in have]
-        set_clause = ", ".join(f"t.`{c}` = s.`{c}`" for c in set_cols)
+        # whole-row replacement semantics, matching the manifest merge's
+        # _winner_upsert_rows: table columns the batch does NOT carry are
+        # set to NULL on update, not retained — the winner event is the
+        # row's new truth, and the two backends must produce identical
+        # state for identical replays. Bare NULL (untyped) resolves to
+        # each target column's type.
+        set_clause = ", ".join(
+            f"t.`{c}` = s.`{c}`" if c in have else f"t.`{c}` = NULL"
+            for c in table_cols
+            if c != k
+        )
         ins_cols = ", ".join(f"`{c}`" for c in table_cols)
         ins_vals = ", ".join(
-            f"s.`{c}`" if c in have else "CAST(NULL AS STRING)" for c in table_cols
+            f"s.`{c}`" if c in have else "NULL" for c in table_cols
         )
         # version-guarded arms = the manifest merge's stale-event rule:
         # equal version → incoming wins (later writer under replay order)
