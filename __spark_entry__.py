@@ -355,6 +355,21 @@ def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus near-dup screening (dedup.incremental_lsh_pairs):
+    the CDC-ingest x training-data shape — new documents (deterministic
+    20% split) probe the existing corpus's banded minhash index; cost is
+    O(batch) probes, never corpus². Non-SQL-expressible (minhash) →
+    rows-only check; twin-verified bit-exact in tests/test_pyref_twins.py."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    pairs = dedup.incremental_lsh_pairs(corpus, batch, "doc_id", "text")
+    return pairs.select(
+        "batch_id", "corpus_id", F.round("est_jaccard", 6).alias("est_jaccard")
+    ).orderBy("batch_id", "corpus_id")
+
+
 def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing over binary media columns: decode metadata via
     mapInPandas + deterministic feature vectors via Arrow-batched pandas
@@ -637,6 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": doc_lang_id,
         "embedding_cosine_topk": embedding_cosine_topk,
         "minhash_near_dups": minhash_near_dups,
+        "incremental_near_dups": incremental_near_dups,
         "simhash_signatures": simhash_signatures,
         "ann_lsh_topk": ann_lsh_topk,
         "json_subtree_props": json_subtree_props,

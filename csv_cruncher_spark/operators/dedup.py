@@ -177,26 +177,7 @@ def lsh_candidate_pairs(
     """Banded LSH: equal band → candidate pair. Returns distinct (id_a, id_b),
     id_a < id_b. The self-join shuffles on (band, band_hash) — bucket-local;
     buckets larger than ``max_bucket`` are dropped first (see _cap_buckets)."""
-    rows = n_hashes // bands
-    banded = sig_df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * rows + r + 1).cast("string")
-                                for r in range(rows)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = _banded(sig_df, id_col, n_hashes, bands)
     banded, dropped = _cap_buckets(banded, ["band", "band_hash"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
@@ -241,6 +222,91 @@ def minhash_dedup_pairs(
         pairs.join(a, "id_a").join(b, "id_b").select("id_a", "id_b", est.alias("est_jaccard"))
     )
     return _pin(sig, _with_dropped(out, dropped_buckets(pairs)))
+
+
+def _banded(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_hash) banding of a minhash signature frame —
+    shared by the self-join (lsh_candidate_pairs) and the incremental
+    batch-vs-corpus join."""
+    rows = n_hashes // bands
+    return sig_df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at("signature", b * rows + r + 1).cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def incremental_lsh_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None = 500,
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup screening of NEW documents against an EXISTING corpus —
+    the CDC-ingest × training-data shape: each change-feed batch is
+    checked against the lake before its pages are admitted, so the
+    corpus never accumulates near-duplicates.
+
+    Scale shape: candidates = equal minhash band between a batch doc and
+    a corpus doc — a batch×corpus EQUI-join on (band, band_hash), so
+    cost is O(batch) probes against the corpus's banded index, never
+    corpus² and never corpus-side pair enumeration. Corpus-side buckets
+    over ``max_bucket`` are dropped first (same degenerate-bucket guard
+    as the self-join). Pass ``corpus_sigs`` (from
+    :func:`minhash_signatures`, persisted or stored as a lake side
+    table) to amortize the corpus sketch across batches — the
+    production pattern; recomputing it per batch is the O(corpus) cost
+    this operator otherwise avoids.
+
+    Returns (batch_id, corpus_id, est_jaccard), batch ids vs corpus ids
+    only (within-batch dedup is :func:`minhash_dedup_pairs`'s job).
+    Twin-verified (tests/test_pyref_twins.py)."""
+    if corpus_sigs is None:
+        corpus_sigs = minhash_signatures(corpus, id_col, text_col, n_hashes, shingle_k)
+    batch_sigs = minhash_signatures(batch, id_col, text_col, n_hashes, shingle_k)
+    banded_c = _banded(corpus_sigs, id_col, n_hashes, bands)
+    banded_c, dropped = _cap_buckets(banded_c, ["band", "band_hash"], max_bucket)
+    banded_b = _banded(batch_sigs, id_col, n_hashes, bands)
+    pairs = (
+        banded_b.alias("b")
+        .join(
+            banded_c.alias("c"),
+            (F.col("b.band") == F.col("c.band"))
+            & (F.col("b.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("b.id").alias("batch_id"), F.col("c.id").alias("corpus_id"))
+        .distinct()
+    )
+    sb = batch_sigs.select(F.col(id_col).alias("batch_id"), F.col("signature").alias("sig_b"))
+    sc = corpus_sigs.select(F.col(id_col).alias("corpus_id"), F.col("signature").alias("sig_c"))
+    est = F.expr(
+        "size(filter(zip_with(sig_b, sig_c, (x, y) -> x = y), v -> v)) / size(sig_b)"
+    )
+    out = (
+        pairs.join(sb, "batch_id")
+        .join(sc, "corpus_id")
+        .select("batch_id", "corpus_id", est.alias("est_jaccard"))
+    )
+    return _pin(batch_sigs, _with_dropped(out, dropped))
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:

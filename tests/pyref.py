@@ -313,3 +313,30 @@ def lsh_ann_topk(
     ]
     cands.sort(key=lambda t: (-t[1], t[0]))
     return cands[:k]
+
+
+def incremental_lsh_pairs(
+    corpus: dict[int, str],
+    batch: dict[int, str],
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    max_bucket: int | None = 500,
+) -> set[tuple[int, int]]:
+    """Twin of dedup.incremental_lsh_pairs: batch docs probe the corpus's
+    banded minhash index; corpus-side buckets over max_bucket dropped."""
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for cid, text in corpus.items():
+        sig = minhash_signature(text, n_hashes, shingle_k)
+        for band, bh in enumerate(lsh_band_hashes(sig, bands)):
+            buckets.setdefault((band, bh), []).append(cid)
+    pairs: set[tuple[int, int]] = set()
+    for bid, text in batch.items():
+        sig = minhash_signature(text, n_hashes, shingle_k)
+        for band, bh in enumerate(lsh_band_hashes(sig, bands)):
+            ids = buckets.get((band, bh), [])
+            if max_bucket is not None and len(ids) > max_bucket:
+                continue
+            for cid in ids:
+                pairs.add((bid, cid))
+    return pairs

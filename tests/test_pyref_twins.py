@@ -302,3 +302,34 @@ def test_ann_lsh_multiprobe_twin_and_recall(spark):
         assert sorted(i for i, _ in got) == sorted(i for i, _ in want)
         assert len(got) >= prev_n
         prev_n = len(got)
+
+
+def test_incremental_lsh_pairs_twin(spark, docs):
+    """Batch-vs-corpus near-dup screening: same candidate set as the
+    pure-Python twin, and composable with a precomputed corpus sketch
+    (the amortized production pattern gives identical output)."""
+    df, texts = docs
+    ids = sorted(texts)
+    cut = ids[len(ids) // 2]
+    corpus_df = df.filter(F.col("doc_id") <= cut)
+    batch_df = df.filter(F.col("doc_id") > cut)
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.incremental_lsh_pairs(
+            corpus_df, batch_df, "doc_id", "text"
+        ).collect()
+    }
+    corpus = {i: t for i, t in texts.items() if i <= cut}
+    batch = {i: t for i, t in texts.items() if i > cut}
+    want = pyref.incremental_lsh_pairs(corpus, batch)
+    assert got == want
+    assert want, "fixture must produce at least one cross near-dup"
+    # amortized path: precomputed corpus signatures, identical output
+    sigs = dedup.minhash_signatures(corpus_df, "doc_id", "text")
+    got2 = {
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.incremental_lsh_pairs(
+            corpus_df, batch_df, "doc_id", "text", corpus_sigs=sigs
+        ).collect()
+    }
+    assert got2 == want
