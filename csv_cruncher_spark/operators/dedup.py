@@ -280,7 +280,13 @@ def incremental_lsh_pairs(
     Returns (batch_id, corpus_id, est_jaccard), batch ids vs corpus ids
     only (within-batch dedup is :func:`minhash_dedup_pairs`'s job).
     Twin-verified (tests/test_pyref_twins.py)."""
-    if corpus_sigs is None:
+    own_corpus_sigs = corpus_sigs is None
+    if own_corpus_sigs:
+        # the corpus sketch feeds three plan branches (bucket-size cap,
+        # the probe join, the rerank) — pin it so the O(corpus) explode +
+        # 64 min-aggregates run once per action, with the release point
+        # on the returned frame; a caller-supplied corpus_sigs frame is
+        # the caller's to persist (the amortized production pattern)
         corpus_sigs = minhash_signatures(corpus, id_col, text_col, n_hashes, shingle_k)
     batch_sigs = minhash_signatures(batch, id_col, text_col, n_hashes, shingle_k)
     banded_c = _banded(corpus_sigs, id_col, n_hashes, bands)
@@ -306,7 +312,10 @@ def incremental_lsh_pairs(
         .join(sc, "corpus_id")
         .select("batch_id", "corpus_id", est.alias("est_jaccard"))
     )
-    return _pin(batch_sigs, _with_dropped(out, dropped))
+    out = _pin(batch_sigs, _with_dropped(out, dropped))
+    if own_corpus_sigs:
+        out = _pin(corpus_sigs, out)
+    return out
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
