@@ -355,6 +355,27 @@ def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN JOIN (similarity.knn_join) in its exact full-probe mode:
+    every 25th vector (deterministic left subset) gets its top-5 cosine
+    neighbors among ALL vectors. n_probe == n_centroids ⇒ every pair is
+    compared, so a DuckDB ranked cross join is the exact oracle; the
+    approximate n_probe < n_centroids path is the scale story (cell
+    equi-join, Σ|probed cells| cost) and is recall-tested in pytest."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("id_l"), "embedding"
+    )
+    right = emb.select(F.col("vec_id").alias("id_r"), "embedding")
+    j = similarity.knn_join(
+        left, right, "id_l", "id_r", "embedding", "embedding",
+        k=5, n_centroids=8, n_probe=8,
+    )
+    return j.select(
+        "id_l", "id_r", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("id_l", "rank")
+
+
 def incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-vs-corpus near-dup screening (dedup.incremental_lsh_pairs):
     the CDC-ingest x training-data shape — new documents (deterministic
@@ -651,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count_regex": doc_token_count_regex,
         "doc_lang_id": doc_lang_id,
         "embedding_cosine_topk": embedding_cosine_topk,
+        "knn_join_exact": knn_join_exact,
         "minhash_near_dups": minhash_near_dups,
         "incremental_near_dups": incremental_near_dups,
         "simhash_signatures": simhash_signatures,
@@ -1032,6 +1054,31 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY group_id
                                         ORDER BY n_tokens DESC, doc_id ASC) AS rn
               FROM j) WHERE rn = 1 ORDER BY group_id
+        """,
+        "knn_join_exact": """
+            WITH l AS (
+              SELECT vec_id AS id_l, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 25 = 0
+                AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+            ),
+            r AS (
+              SELECT vec_id AS id_r, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings
+              WHERE list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0
+            ),
+            s AS (
+              SELECT id_l, id_r,
+                     list_dot_product(l.v, r.v)
+                       / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) AS c
+              FROM l JOIN r ON id_l != id_r
+            ),
+            ranked AS (
+              SELECT id_l, id_r, c,
+                     row_number() OVER (PARTITION BY id_l ORDER BY c DESC, id_r) AS "rank"
+              FROM s
+            )
+            SELECT id_l, id_r, round(c, 6) AS cosine, "rank"
+            FROM ranked WHERE "rank" <= 5 ORDER BY id_l, "rank"
         """,
         "embedding_cosine_topk": f"""
             SELECT vec_id,

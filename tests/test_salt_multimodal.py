@@ -328,3 +328,32 @@ def test_zero_norm_and_null_vectors_are_guarded(spark):
                 for r in sim.ivf_assign(df, "vec_id", "embedding", cents).collect()}
     assert assigned[1] == 0 and assigned[2] == 0
     assert assigned[4] is None  # null vector → null assignment, no crash
+
+
+def test_knn_join_approximate_finds_planted_neighbors(spark):
+    """knn_join's approximate path (n_probe < n_centroids): a positively
+    rescaled copy of a vector shares its nearest cell, so every planted
+    pair must be found at rank 1 with cosine 1.0 even at low probe
+    count — while the candidate join stays cell-bounded."""
+    import os as _os
+
+    from csv_cruncher_spark.operators import similarity
+
+    sf_dir = _os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    ).select(F.col("vec_id").alias("id_r"), F.expr(
+        "transform(embedding, x -> cast(x AS double))").alias("embedding"))
+    left = emb.filter(F.col("id_r") % 50 == 0).select(
+        (F.col("id_r") + 10_000_000).alias("id_l"),
+        F.expr("transform(embedding, x -> x * 1.5)").alias("embedding"),
+    )
+    j = similarity.knn_join(
+        left, emb, "id_l", "id_r", "embedding", "embedding",
+        k=1, n_centroids=8, n_probe=1,
+    ).collect()
+    got = {r["id_l"]: (r["id_r"], round(r["cosine"], 6)) for r in j}
+    want_ids = [r["id_l"] for r in left.select("id_l").collect()]
+    assert set(got) == set(want_ids)
+    for lid in want_ids:
+        assert got[lid] == (lid - 10_000_000, 1.0)
