@@ -65,7 +65,8 @@ def asof_join(
 
     Right payload columns must be ORDERABLE (no map type): at equal
     (key, time) the greatest payload under struct ordering wins the
-    tiebreak deterministically. Map-typed payloads raise up front —
+    tiebreak deterministically — in BOTH directions (property-tested
+    against a sequential reference). Map-typed payloads raise up front —
     drop or re-encode them, or pre-dedup the right side to one row per
     (key, time), which also matches the DuckDB oracle's semantics.
 
@@ -116,12 +117,25 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
-    w = Window.partitionBy(*keys).orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
     if direction == "backward":
-        w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
         carry = F.last("__r", ignorenulls=True)
     else:
-        w = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        # payload DESC so equal-time ties resolve to the GREATEST payload
+        # struct in BOTH directions (found by the asof property test:
+        # ascending payload order made forward ties pick the least —
+        # asymmetric with backward's last-in-ascending-order = greatest).
+        # The side tag still precedes the payload, so strict exclusion of
+        # equal-time right rows is unaffected.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t"), F.col("__side"), F.col("__r").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
         carry = F.first("__r", ignorenulls=True)
     match = carry.over(w)
     if tolerance is not None:
