@@ -139,3 +139,19 @@ def test_narrow_read_winner_fold_computed_once(spark, tmp_path):
         assert {(r["url"], r["text"]) for r in t.read(spark).collect()} == state
     finally:
         LakeTable.RESOLVE_MODE = orig
+
+
+def test_knn_join_probe_is_equi_join_not_cartesian(spark):
+    """The approximate k-NN join's candidate stage must be an equi-join
+    on the probed cell id — never a cross join over left×right."""
+    from csv_cruncher_spark.operators import similarity
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    left = emb.select((emb.vec_id + 1000000).alias("id_l"), "embedding").limit(20)
+    right = emb.select(emb.vec_id.alias("id_r"), "embedding")
+    j = similarity.knn_join(
+        left, right, "id_l", "id_r", "embedding", "embedding",
+        k=3, n_centroids=8, n_probe=2,
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
