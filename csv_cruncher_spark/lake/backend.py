@@ -99,19 +99,41 @@ class ManifestBackend(TableBackend):
         return [f["name"] for f in t.current_fields()]
 
     def evolve(self, add_columns=None, renames=None) -> None:
+        import uuid
+
         t = self._table()
         staged = t.evolve_schema(add_columns=add_columns, renames=renames)
         snap = t.snapshot()
+        # Advance the epoch (round-3 advice): reusing the tip's epoch_id
+        # created duplicate epochs, so snapshot_at(epoch) — which resolves
+        # by max snapshot_id — silently changed "state as of epoch N" to
+        # the post-evolve schema. The tagged batch id gives the commit a
+        # lineage entry so the change feed can locate this epoch's
+        # committing snapshot; the metadata-only metrics replace the prior
+        # batch's strategy/file counts, which the old path inherited
+        # verbatim (a zero-file schema commit reported as a data batch).
         t.commit(
             new_files=[],
             replaced_buckets=[],
-            epoch_id=snap["epoch_id"],
-            batch_id=None,
+            epoch_id=snap["epoch_id"] + 1,
+            batch_id=f"schema-evolve-{uuid.uuid4().hex[:8]}",
             staged_snapshot=staged,
+            metrics={
+                "last_batch_strategy": "metadata-only",
+                "last_batch_files": 0,
+                "last_batch_rows": 0,
+            },
         )
 
     def applied_batches(self) -> list[str]:
-        return [e["batch"] for e in self._table().snapshot()["lineage"]]
+        # schema-evolve commits carry a synthetic lineage tag (see evolve);
+        # they are not change batches, so the exactly-once fence surface
+        # must not report them
+        return [
+            e["batch"]
+            for e in self._table().snapshot()["lineage"]
+            if not str(e["batch"]).startswith("schema-evolve-")
+        ]
 
     def apply_batch(
         self, spark: SparkSession, events: DataFrame, batch_id: str, epoch_id: int

@@ -88,6 +88,19 @@ class SnapshotCatalog(ABC):
     def delete_snapshot(self, name: str) -> None:
         """Drop a retained snapshot (retention/expiry path)."""
 
+    def snapshot_age_s(self, name: str) -> float | None:
+        """Seconds since ``name`` was staged, or ``None`` if unknown.
+
+        Part of the contract because the orphan sweep's age gate must come
+        from the CATALOG, not from local-disk mtimes: with an object-store
+        catalog there is no local file to stat, and without an age a
+        concurrent committer's staged-but-not-yet-swapped snapshot would be
+        swept immediately — the winning pointer could then reference a
+        deleted snapshot (table unreadable). ``remove_orphans`` treats
+        ``None`` as "too young to sweep" (safe: the object lingers until a
+        catalog that knows its age reports it old enough)."""
+        return None
+
 
 def _atomic_write_json(path: str, obj: dict) -> None:
     """POSIX-only durable write: temp file + fsync + rename + parent-dir
@@ -171,6 +184,14 @@ class LocalFsCatalog(SnapshotCatalog):
     def delete_snapshot(self, name: str) -> None:
         os.remove(os.path.join(self._sdir, name))
 
+    def snapshot_age_s(self, name: str) -> float | None:
+        import time
+
+        try:
+            return time.time() - os.path.getmtime(os.path.join(self._sdir, name))
+        except OSError:
+            return None
+
 
 class ConditionalPutCatalog(SnapshotCatalog):
     """In-process model of an object store with conditional writes.
@@ -187,6 +208,7 @@ class ConditionalPutCatalog(SnapshotCatalog):
 
     def __init__(self):
         self._objects: dict[str, str] = {}
+        self._staged_at: dict[str, float] = {}
         self._pointer: str | None = None
         self._cas_lock = threading.Lock()
         # counts CAS losses — lets tests assert the race actually happened
@@ -202,8 +224,14 @@ class ConditionalPutCatalog(SnapshotCatalog):
             raise FileNotFoundError(name) from None
 
     def stage_snapshot(self, name: str, snap: dict) -> None:
-        # unconditional PUT: object stores give all-or-nothing visibility
+        # unconditional PUT: object stores give all-or-nothing visibility.
+        # Staged-at is recorded (the store's object-creation timestamp —
+        # every real object store exposes one) so the orphan sweep's age
+        # gate works here too, not only on local-disk mtimes.
+        import time
+
         self._objects[name] = json.dumps(snap)
+        self._staged_at.setdefault(name, time.time())
 
     def swap_pointer(self, expected: str | None, new: str) -> str:
         with self._cas_lock:
@@ -221,3 +249,10 @@ class ConditionalPutCatalog(SnapshotCatalog):
 
     def delete_snapshot(self, name: str) -> None:
         self._objects.pop(name, None)
+        self._staged_at.pop(name, None)
+
+    def snapshot_age_s(self, name: str) -> float | None:
+        import time
+
+        staged = self._staged_at.get(name)
+        return None if staged is None else time.time() - staged

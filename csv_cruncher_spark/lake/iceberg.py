@@ -50,6 +50,7 @@ than half-implemented.
 from __future__ import annotations
 
 import json
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -57,6 +58,24 @@ from .backend import TableBackend
 
 _PROP_BATCHES = "ccs.applied-batches"
 _PROP_EPOCH = "ccs.epoch-id"
+
+# Batch ids are interpolated into ALTER TABLE ... SET TBLPROPERTIES string
+# literals (Spark SQL has no parameter binding for DDL), so they are
+# validated at the apply_batch boundary: a quote or backslash in an id
+# would otherwise break the statement — corrupting the exactly-once fence
+# property — or worse, splice into the SQL (round-3 advice). The engine's
+# own ids (file stems / uuids) all match this set.
+_BATCH_ID_RE = re.compile(r"^[A-Za-z0-9._:-]+$")
+
+
+def _validate_batch_id(batch_id: str) -> str:
+    if not isinstance(batch_id, str) or not _BATCH_ID_RE.fullmatch(batch_id):
+        raise ValueError(
+            f"invalid batch id {batch_id!r}: must be non-empty "
+            "[A-Za-z0-9._:-]+ — ids are embedded in SQL string literals "
+            "and in the applied-batches table property"
+        )
+    return batch_id
 
 
 def iceberg_available(spark: SparkSession, catalog_name: str = "local") -> bool:
@@ -142,10 +161,10 @@ class IcebergBackend(TableBackend):
         return json.loads(raw)
 
     def _record_batch(self, batch_id: str, epoch_id: int) -> None:
-        batches = self.applied_batches() + [batch_id]
+        batches = self.applied_batches() + [_validate_batch_id(batch_id)]
         self.spark.sql(
             f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-            f"('{_PROP_BATCHES}'='{json.dumps(batches)}', '{_PROP_EPOCH}'='{epoch_id}')"
+            f"('{_PROP_BATCHES}'='{json.dumps(batches)}', '{_PROP_EPOCH}'='{int(epoch_id)}')"
         )
 
     # ---------- merge ----------
@@ -155,6 +174,7 @@ class IcebergBackend(TableBackend):
     ) -> dict:
         from .merge import lww_winners
 
+        _validate_batch_id(batch_id)
         if batch_id in self.applied_batches():
             return {"applied": False, "reason": "already-in-lineage"}
 

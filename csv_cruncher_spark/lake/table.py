@@ -349,7 +349,11 @@ class LakeTable:
             strategy = metrics.get("last_batch_strategy")
             if strategy is None and metrics.get("last_batch_files") == 0:
                 strategy = "empty"
-            if strategy not in ("mor-delta", "empty"):
+            # "metadata-only": a schema-evolve commit (backend.evolve) —
+            # no data changed, so it contributes nothing to the feed; the
+            # endpoint reads already project across schema versions by
+            # field id
+            if strategy not in ("mor-delta", "empty", "metadata-only"):
                 if allow_snapshot_diff:
                     range_files = None  # fall back to the full diff
                     break
@@ -518,16 +522,18 @@ class LakeTable:
         referenced = {f["path"] for _, s in named for f in s["files"]}
         # orphan snapshot metadata: staged-but-never-published attempts.
         # The age gate keeps an in-flight commit's staged object safe for
-        # the stage→swap window (microseconds; the gate is hours).
+        # the stage→swap window (microseconds; the gate is hours). The age
+        # comes from the CATALOG contract (round-3 advice): stat'ing local
+        # paths here would mean any non-filesystem catalog swept a
+        # concurrent committer's staged snapshot immediately — and if that
+        # committer then won the CAS, the live pointer would reference a
+        # deleted snapshot. Unknown age (None) is treated as too-young.
         for name in self.catalog.list_snapshot_names():
             if name in chain_names:
                 continue
-            spath = os.path.join(self.path, "snapshots", name)
-            try:
-                if os.path.exists(spath) and time.time() - os.path.getmtime(spath) < older_than_s:
-                    continue
-            except OSError:
-                pass
+            age = self.catalog.snapshot_age_s(name)
+            if age is None or age < older_than_s:
+                continue
             self.catalog.delete_snapshot(name)
         data_root = os.path.join(self.path, "data")
         removed = 0

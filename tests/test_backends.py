@@ -62,6 +62,18 @@ def be(request, spark, tmp_path):
     return b
 
 
+def test_iceberg_batch_id_validation_rejects_sql_splicing():
+    """Round-3 advice: batch ids are embedded in ALTER TABLE string
+    literals — a quote would corrupt the exactly-once fence property.
+    Validation is at the apply_batch boundary and is spark-free."""
+    from csv_cruncher_spark.lake.iceberg import _validate_batch_id
+
+    assert _validate_batch_id("batch-01.csv:7_x") == "batch-01.csv:7_x"
+    for bad in ("it's", 'a"b', "x;drop", "", "a b", "a\\b", "a'; DROP --", None, 5):
+        with pytest.raises(ValueError):
+            _validate_batch_id(bad)
+
+
 def test_lww_upsert_delete_and_stale_rules(spark, be):
     """The full LWW contract in one replay: in-batch dedup on max
     (version, row_idx), cross-batch version guard (equal version → the
@@ -109,6 +121,31 @@ def test_additive_evolution_then_apply(spark, be):
     be.apply_batch(spark, b1, "batch-1", 1)
     rows = {r["url"]: r["status"] for r in be.read(spark).collect()}
     assert rows == {"u/a": None, "u/b": 200}
+
+
+def test_evolve_advances_epoch_with_metadata_only_metrics(spark, be):
+    """Round-3 advice: a standalone evolve must NOT reuse the tip's
+    epoch_id (duplicate epochs made snapshot_at silently resolve 'state as
+    of epoch N' to the post-evolve schema) nor inherit the prior batch's
+    strategy/file metrics, and the synthetic evolve commit must not leak
+    into the exactly-once fence surface."""
+    b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
+    be.apply_batch(spark, b0, "batch-0", 0)
+    be.evolve(add_columns=[("status", "int")])
+    assert be.applied_batches() == ["batch-0"]
+    if not isinstance(be, ManifestBackend):
+        return  # epoch/metrics introspection is manifest-lake surface
+    snap = be._table().snapshot()
+    assert snap["epoch_id"] == 1, "evolve must advance the epoch"
+    assert snap["metrics"]["last_batch_strategy"] == "metadata-only"
+    assert snap["metrics"]["last_batch_files"] == 0
+    # time travel to the pre-evolve epoch must return the OLD schema
+    old = be._table().snapshot_at(0)
+    assert "status" not in {f["name"] for f in old["schemas"][str(old["schema_version"])]}
+    # the change feed spans the evolve commit without refusing, and the
+    # post-evolve added column arrives as nulls
+    feed = be._table().changes_between(spark, from_epoch=0)
+    assert feed.count() == 0  # no data changed in (0, 1]
 
 
 def test_rename_is_metadata_only_and_identity_guarded(spark, be):

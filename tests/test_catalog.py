@@ -133,6 +133,34 @@ def test_conditional_put_catalog_counts_cas_failures(table):
     assert table.catalog.cas_failures >= 1
 
 
+def test_remove_orphans_age_gate_protects_staged_snapshot(table):
+    """Round-3 advice: the age gate must come from the CATALOG contract,
+    not local-disk mtimes — with an object-store catalog the old stat-based
+    gate saw no file and swept a concurrent committer's staged-but-not-yet
+    -swapped snapshot immediately. A young orphan must survive a sweep with
+    a non-zero age gate on BOTH catalog types."""
+    tip = table.snapshot()
+    table.commit([], [], epoch_id=0, batch_id="b0", staged_snapshot=tip)
+    # a committer mid-flight: staged, pointer not yet swapped
+    staged = dict(table.snapshot(), snapshot_id=99)
+    table.catalog.stage_snapshot("snap-00000099-deadbeef.json", staged)
+    before = len(table.catalog.list_snapshot_names())
+    table.remove_orphans(older_than_s=3600)
+    assert len(table.catalog.list_snapshot_names()) == before, (
+        "in-flight staged snapshot younger than the gate was swept"
+    )
+    # once old enough (gate 0), the same orphan is collectable
+    table.remove_orphans(older_than_s=0)
+    assert len(table.catalog.list_snapshot_names()) == before - 1
+
+
+def test_snapshot_age_is_known_for_both_catalogs(table):
+    tip_name = table.catalog.load_pointer()
+    age = table.catalog.snapshot_age_s(tip_name)
+    assert age is not None and 0 <= age < 3600
+    assert table.catalog.snapshot_age_s("snap-nonexistent.json") is None
+
+
 def test_legacy_layout_loads_and_commits(tmp_path):
     """Tables written before the catalog abstraction (deterministic
     snap-<id>.json names, no parent_name) must load, walk history, and
