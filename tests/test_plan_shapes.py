@@ -89,10 +89,13 @@ def test_mor_apply_never_scans_the_table(spark, tmp_path, monkeypatch):
 
 
 def test_line_filter_ingest_has_single_exchange(spark, tmp_path):
-    """The line-filter path's only shuffle is the per-file window; the
-    round-2 verdict flagged a second, range-partitioned exchange from a
-    redundant global orderBy after the window had already ordered each
-    file — pinned gone here."""
+    """The line-filter path's only SHUFFLE is the range exchange on the
+    discovery file index, which the per-file window then reuses (its
+    ClusteredDistribution(__fi) is satisfied by RangePartitioning(__fi)).
+    Round-2 flagged a redundant second exchange from a global orderBy —
+    still pinned gone; round-3 flagged hash-of-path partition order as
+    file-order nondeterministic — the shuffle must now be the RANGE one,
+    and the file→index map must ride a broadcast, not a shuffle."""
     from csv_cruncher_spark.crunch import Cruncher, ExportSpec, ImportSpec, Options
 
     src = tmp_path / "log.csv"
@@ -105,8 +108,46 @@ def test_line_filter_ingest_has_single_exchange(spark, tmp_path):
     c = Cruncher(opts)
     tables = c._load_tables(spark)
     plan = tables[0].df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") == 1, plan
-    assert "rangepartitioning" not in plan.lower(), plan
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles == 1, plan
+    assert "Exchange rangepartitioning" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_line_filter_multi_file_concatenates_in_discovery_order(spark, tmp_path):
+    """Round-3 advice: hash-of-file-path partitioning broke cross-file row
+    order on the line-filter path — multi-file imports must concatenate in
+    discovery-sorted file order (the reference's semantics) and
+    crunchCounter numbering must follow it deterministically. Files are
+    named so hash order ≠ lexicographic order for most hash choices, and
+    the whole pipeline (ingest → counter → coalesce(1) export) is
+    exercised."""
+    from csv_cruncher_spark.crunch import Cruncher, ExportSpec, ImportSpec, Options
+
+    d = tmp_path / "in"
+    d.mkdir()
+    expect = []
+    for fi in range(6):
+        lines = ["id,val"]
+        for r in range(3):
+            lines.append(f"x{fi}{r},f{fi}")
+            expect.append(f"x{fi}{r},f{fi}")
+        (d / f"part_{fi:02d}.csv").write_text("\n".join(lines) + "\n")
+    out = tmp_path / "out.csv"
+    opts = Options(
+        imports=[ImportSpec(path=str(d), ignore_line_regex="NOPE.*")],
+        exports=[ExportSpec(path=str(out))],
+        sql="SELECT id, val FROM in",
+        row_numbers=1,
+    )
+    Cruncher(opts).run(spark)
+    got = out.read_text().strip().splitlines()
+    assert got[0] == "crunchCounter,id,val"
+    body = [",".join(r.split(",")[1:]) for r in got[1:]]
+    assert body == expect, body
+    assert [r.split(",")[0] for r in got[1:]] == [str(i) for i in range(1, 19)]
 
 
 def test_narrow_read_winner_fold_computed_once(spark, tmp_path):
