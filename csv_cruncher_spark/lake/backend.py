@@ -64,6 +64,27 @@ class TableBackend(ABC):
     @abstractmethod
     def read(self, spark: SparkSession) -> DataFrame: ...
 
+    @abstractmethod
+    def changes_between(
+        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """Incremental change feed over the epoch range ``(from_epoch,
+        to_epoch]`` (``to_epoch=None`` = the current epoch): one row per
+        key whose resolved state NET-changed across the range, shaped
+        ``__op`` + the table's current data columns.
+
+        - ``I`` — key absent at from_epoch, present at to_epoch
+        - ``U`` — present at both with different content
+        - ``D`` — present at from_epoch, absent at to_epoch (non-key
+          data columns are null)
+
+        Keys touched but net-unchanged (stale LWW losers, in-range
+        insert+delete, identical rewrite) are NOT emitted.
+        ``from_epoch=-1`` is the bootstrap: the full state as inserts.
+        Raises ``ValueError`` when the range's history has been expired
+        (retention bounds the feed window on every backend)."""
+        ...
+
 
 class ManifestBackend(TableBackend):
     """The manifest-parquet lake behind the facade: delegates to
@@ -151,3 +172,18 @@ class ManifestBackend(TableBackend):
 
     def read(self, spark: SparkSession) -> DataFrame:
         return self._table().read(spark)
+
+    def changes_between(
+        self,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        allow_snapshot_diff: bool = False,
+    ) -> DataFrame:
+        # pure delegation — the feed machinery (delta-range key discovery,
+        # keyed endpoint reads, net-change hash suppression) lives on
+        # LakeTable and is property-tested there; the facade only fixes
+        # the contract shape shared with IcebergBackend
+        return self._table().changes_between(
+            spark, from_epoch, to_epoch, allow_snapshot_diff=allow_snapshot_diff
+        )

@@ -30,8 +30,9 @@ exactly-once fence      applied batch ids in the ``ccs.applied-batches``
                         table property, checked before each MERGE
 snapshot read           ``spark.table(identifier)``; time travel via
                         ``VERSION AS OF``
-change feed             ``spark.read.format("iceberg").option(
-                        "start-snapshot-id", ...)`` incremental scan
+change feed             ``system.create_changelog_view`` (net_changes +
+                        compute_updates) over the snapshot range; epochs
+                        map to snapshots via ``ccs.epoch-snapshots``
 =====================  =====================================================
 
 **Honest boundary, stated loudly:** the MERGE and the property update are
@@ -58,6 +59,11 @@ from .backend import TableBackend
 
 _PROP_BATCHES = "ccs.applied-batches"
 _PROP_EPOCH = "ccs.epoch-id"
+# epoch -> Iceberg snapshot id of that epoch's committing MERGE, kept so
+# the engine's epoch-ranged change feed can be answered by Iceberg's
+# snapshot-ranged changelog (start-snapshot-id is EXCLUSIVE there, which
+# matches the feed's (from, to] half-open range exactly)
+_PROP_EPOCH_SNAPSHOTS = "ccs.epoch-snapshots"
 
 # Batch ids are interpolated into ALTER TABLE ... SET TBLPROPERTIES string
 # literals (Spark SQL has no parameter binding for DDL), so they are
@@ -160,11 +166,27 @@ class IcebergBackend(TableBackend):
         raw = self._props().get(_PROP_BATCHES, "[]")
         return json.loads(raw)
 
+    def _current_snapshot_id(self) -> int | None:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            "ORDER BY committed_at DESC, snapshot_id DESC LIMIT 1"
+        ).first()
+        return None if row is None else int(row[0])
+
+    def _epoch_snapshots(self) -> dict[str, int]:
+        return json.loads(self._props().get(_PROP_EPOCH_SNAPSHOTS, "{}"))
+
     def _record_batch(self, batch_id: str, epoch_id: int) -> None:
         batches = self.applied_batches() + [_validate_batch_id(batch_id)]
+        esnaps = self._epoch_snapshots()
+        sid = self._current_snapshot_id()
+        if sid is not None:
+            esnaps[str(int(epoch_id))] = sid
         self.spark.sql(
             f"ALTER TABLE {self.identifier} SET TBLPROPERTIES "
-            f"('{_PROP_BATCHES}'='{json.dumps(batches)}', '{_PROP_EPOCH}'='{int(epoch_id)}')"
+            f"('{_PROP_BATCHES}'='{json.dumps(batches)}', "
+            f"'{_PROP_EPOCH}'='{int(epoch_id)}', "
+            f"'{_PROP_EPOCH_SNAPSHOTS}'='{json.dumps(esnaps)}')"
         )
 
     # ---------- merge ----------
@@ -227,10 +249,114 @@ class IcebergBackend(TableBackend):
 
     def changes_since(self, spark: SparkSession, start_snapshot_id: int) -> DataFrame:
         """Incremental append-scan (Iceberg's native change feed for
-        appends; the manifest backend's richer net-I/U/D feed is
-        lake/table.py changes_between)."""
+        appends; MERGE-produced snapshots need the changelog procedure —
+        see :meth:`changes_between`)."""
         return (
             spark.read.format("iceberg")
             .option("start-snapshot-id", str(start_snapshot_id))
             .load(self.identifier)
+        )
+
+    def changes_between(
+        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+    ) -> DataFrame:
+        """The TableBackend change-feed contract over Iceberg's changelog
+        procedure (``system.create_changelog_view``, Iceberg >= 1.2 —
+        the production realization of the manifest lake's
+        ``LakeTable.changes_between``).
+
+        Epochs map to snapshots via the ``ccs.epoch-snapshots`` property
+        written by ``_record_batch`` at each MERGE commit. The changelog's
+        ``start-snapshot-id`` is exclusive and ``end-snapshot-id``
+        inclusive — exactly the feed's ``(from, to]`` half-open range.
+        ``net_changes`` suppresses in-range touched-but-net-unchanged keys
+        and ``compute_updates`` + identifier column folds the DELETE+INSERT
+        pair of an update into UPDATE_BEFORE/UPDATE_AFTER, which project
+        onto the contract's I/U/D (__op) shape; D rows null their non-key
+        data columns to match the manifest feed byte-for-byte. An expired
+        from-snapshot surfaces as the same ``ValueError`` the manifest
+        backend raises (retention bounds the feed window on every
+        backend)."""
+        from pyspark.sql import functions as F
+
+        props = self._props()
+        cur_epoch = int(props.get(_PROP_EPOCH, "-1"))
+        if to_epoch is None:
+            to_epoch = cur_epoch
+        if not (-1 <= from_epoch <= to_epoch <= cur_epoch):
+            raise ValueError(
+                f"invalid epoch range ({from_epoch}, {to_epoch}] for a "
+                f"table at epoch {cur_epoch}"
+            )
+        data_cols = self.column_names()
+        key = self.key_col
+        if from_epoch == to_epoch:
+            return (
+                self.read(spark)
+                .select(F.lit("").alias("__op"), *data_cols)
+                .limit(0)
+            )
+        if from_epoch == -1:
+            # bootstrap: the full resolved state as inserts — works even
+            # after every pre-range snapshot expired
+            return self.read(spark).select(F.lit("I").alias("__op"), *data_cols)
+
+        esnaps = self._epoch_snapshots()
+        missing = [
+            e
+            for e in (from_epoch, to_epoch)
+            if str(e) not in esnaps and not (e == to_epoch and e == cur_epoch)
+        ]
+        if missing:
+            raise ValueError(
+                f"change feed for epochs {missing} is gone — no committing "
+                "snapshot recorded (epoch never committed here, or its "
+                "snapshot was expired; expire_snapshots bounds the feed's "
+                "retention window)"
+            )
+        start_sid = esnaps[str(from_epoch)]
+        end_sid = esnaps.get(str(to_epoch), self._current_snapshot_id())
+        # verify the start snapshot is still retained — expire_snapshots
+        # silently drops rows otherwise
+        retained = {
+            int(r[0])
+            for r in self.spark.sql(
+                f"SELECT snapshot_id FROM {self.identifier}.snapshots"
+            ).collect()
+        }
+        if start_sid not in retained:
+            raise ValueError(
+                f"change feed from epoch {from_epoch} is gone — its "
+                f"committing snapshot {start_sid} was expired "
+                "(expire_snapshots bounds the feed's retention window)"
+            )
+        catalog, _, table_name = self.identifier.partition(".")
+        view = f"__ccs_changes_{abs(hash((self.identifier, from_epoch, to_epoch))) % 10**8}"
+        self.spark.sql(
+            f"CALL {catalog}.system.create_changelog_view("
+            f"table => '{table_name}', "
+            f"options => map('start-snapshot-id', '{int(start_sid)}', "
+            f"'end-snapshot-id', '{int(end_sid)}'), "
+            f"changelog_view => '{view}', "
+            f"net_changes => true, "
+            f"compute_updates => true, "
+            f"identifier_columns => array('{key}'))"
+        )
+        chg = self.spark.table(view)
+        op = (
+            F.when(F.col("_change_type") == "INSERT", F.lit("I"))
+            .when(F.col("_change_type") == "UPDATE_AFTER", F.lit("U"))
+            .when(F.col("_change_type") == "DELETE", F.lit("D"))
+        )
+        # D rows: non-key data columns nulled (contract parity with the
+        # manifest feed — a delete's payload is gone, not the old value)
+        cols = [
+            F.col(c)
+            if c == key
+            else F.when(F.col("_change_type") == "DELETE", F.lit(None)).otherwise(F.col(c)).alias(c)
+            for c in data_cols
+        ]
+        return (
+            chg.filter(F.col("_change_type") != "UPDATE_BEFORE")
+            .select(op.alias("__op"), *cols)
         )

@@ -148,6 +148,67 @@ def test_evolve_advances_epoch_with_metadata_only_metrics(spark, be):
     assert feed.count() == 0  # no data changed in (0, 1]
 
 
+def _feed(spark, be, from_epoch, to_epoch=None):
+    rows = be.changes_between(spark, from_epoch, to_epoch).collect()
+    return {(r["__op"], r["url"], r["warc_ts"], r["text"], r["lang"]) for r in rows}
+
+
+def test_change_feed_contract_net_iud(spark, be):
+    """The facade change feed (round-3 verdict #1): net per-key I/U/D over
+    an epoch range, bootstrap at -1, empty range empty, stale-LWW losers
+    and net-unchanged keys suppressed, D rows with non-key columns nulled.
+    Runs on BOTH backends (Iceberg leg skipped-not-absent without a jar)."""
+    b0 = _events(spark, [
+        ("I", 0, "u/a", 10, b"<p>a1</p>", "en"),
+        ("I", 1, "u/b", 10, b"<p>b1</p>", "de"),
+        ("I", 2, "u/c", 10, b"<p>c1</p>", "cs"),
+    ])
+    be.apply_batch(spark, b0, "batch-0", 0)
+    b1 = _events(spark, [
+        ("U", 0, "u/a", 12, b"<p>a2</p>", "en"),      # net U
+        ("U", 1, "u/b", 9, b"<p>b-stale</p>", "de"),  # stale → suppressed
+        ("D", 2, "u/c", 11, b"", "cs"),                # net D
+        ("I", 3, "u/d", 10, b"<p>d1</p>", "fr"),       # net I
+        ("I", 4, "u/e", 10, b"<p>e1</p>", "es"),       # I then D in range →
+        ("D", 5, "u/e", 11, b"", "es"),                # suppressed (net zero)
+    ])
+    be.apply_batch(spark, b1, "batch-1", 1)
+    assert _feed(spark, be, 0) == {
+        ("U", "u/a", _ts(12), extract_text(b"<p>a2</p>"), "en"),
+        ("D", "u/c", None, None, None),
+        ("I", "u/d", _ts(10), extract_text(b"<p>d1</p>"), "fr"),
+    }
+    # bootstrap: full state as inserts
+    assert _feed(spark, be, -1) == {
+        ("I", "u/a", _ts(12), extract_text(b"<p>a2</p>"), "en"),
+        ("I", "u/b", _ts(10), extract_text(b"<p>b1</p>"), "de"),
+        ("I", "u/d", _ts(10), extract_text(b"<p>d1</p>"), "fr"),
+    }
+    # empty range
+    assert _feed(spark, be, 1, 1) == set()
+    # invalid range
+    with pytest.raises(ValueError):
+        be.changes_between(spark, 2, 5)
+
+
+def test_change_feed_contract_spans_schema_evolution(spark, be):
+    """A feed window containing an evolve commit must not refuse, and the
+    added column must surface (nulls for rows that predate it, values for
+    rows written after)."""
+    b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
+    be.apply_batch(spark, b0, "batch-0", 0)
+    be.evolve(add_columns=[("status", "int")])
+    b1 = spark.createDataFrame(
+        [("I", 0, "u/b", _ts(10), b"<p>b</p>", "de", 200)],
+        EVENT_SCHEMA + ", status: int",
+    )
+    # the manifest backend's evolve consumed epoch 1 (metadata-only commit)
+    be.apply_batch(spark, b1, "batch-1", 2)
+    feed = be.changes_between(spark, 0)
+    rows = {(r["__op"], r["url"], r["status"]) for r in feed.collect()}
+    assert rows == {("I", "u/b", 200)}
+
+
 def test_rename_is_metadata_only_and_identity_guarded(spark, be):
     b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
     be.apply_batch(spark, b0, "batch-0", 0)
