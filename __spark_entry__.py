@@ -327,27 +327,36 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The final dedup step: per dup-group keeper selection — the member
-    with the highest token count (ties → lowest doc_id) survives; one
-    partial-combined max_by per group, no window over documents. Oracle:
-    the dedup_groups recursive CTE + a ranked window."""
+def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-call dedup pipeline (operators/dedup.py dedup, round-3
+    verdict #4): pair mining → connected components → keeper selection
+    sharing ONE mining pass; every document labeled (group_id,
+    is_keeper). Oracle: the dedup_groups recursive CTE + a ranked
+    window picking the keeper."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.4)
-    groups = dedup.connected_components(pairs, vertices=docs.select("doc_id"))
-    dedup.release(pairs)
+    out = dedup.dedup(docs, "doc_id", "text", min_jaccard=0.4)
+    return out.select(
+        F.col("id").alias("doc_id"), "group_id", "is_keeper"
+    ).orderBy("doc_id")
+
+
+def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per dup-group keeper summary, now a thin rollup OVER the one-call
+    dedup() pipeline (round-3 verdict #4: this entry used to re-mine the
+    pairs dedup_groups had just mined). One partial-combined agg per
+    group, no window over documents. Oracle: the dedup_groups recursive
+    CTE + a ranked window."""
+    docs = _t(spark, sf_dir, "documents")
+    labeled = dedup.dedup(docs, "doc_id", "text", min_jaccard=0.4)
     scored = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
-    )
-    j = groups.join(scored, groups["id"] == scored["doc_id"]).select(
-        "group_id", "doc_id", "n_tokens"
+        F.col("doc_id").alias("sid"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
     return (
-        j.groupBy("group_id")
+        labeled.join(scored, labeled["id"] == F.col("sid"))
+        .groupBy("group_id")
         .agg(
-            F.max_by(
-                "doc_id", F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("nd"))
-            ).alias("keeper_id"),
+            F.max(F.when(F.col("is_keeper"), F.col("id"))).alias("keeper_id"),
             F.count("*").alias("n_members"),
             F.max("n_tokens").alias("best_n_tokens"),
         )
@@ -667,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": dedup_exact_documents,
         "dedup_groups": dedup_groups,
         "dedup_keepers": dedup_keepers,
+        "dedup_end_to_end": dedup_end_to_end,
         "doc_fingerprints": doc_fingerprints,
         "doc_quality": doc_quality,
         "doc_token_count_regex": doc_token_count_regex,
@@ -1011,6 +1021,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u AS doc_id, min(lbl) AS group_id
             FROM reach GROUP BY u ORDER BY doc_id
+        """,
+        "dedup_end_to_end": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM documents
+            ),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            f AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM f GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2
+            ),
+            edges AS (
+              SELECT id_a, id_b
+              FROM common JOIN sizes sa ON sa.id = common.id_a
+                          JOIN sizes sb ON sb.id = common.id_b
+              WHERE n_common / (sa.n + sb.n - n_common) >= 0.4
+            ),
+            und AS (
+              SELECT id_a AS u, id_b AS v FROM edges
+              UNION ALL SELECT id_b, id_a FROM edges
+            ),
+            reach(u, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.u
+            ),
+            g AS (SELECT u AS doc_id, min(lbl) AS group_id FROM reach GROUP BY u),
+            scored AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+            j AS (SELECT g.doc_id, g.group_id, s.n_tokens
+                  FROM g JOIN scored s USING (doc_id)),
+            k AS (SELECT group_id, doc_id AS keeper_id FROM (
+                    SELECT group_id, doc_id,
+                           row_number() OVER (PARTITION BY group_id
+                                              ORDER BY n_tokens DESC, doc_id ASC) AS rn
+                    FROM j) WHERE rn = 1)
+            SELECT j.doc_id, j.group_id, (j.doc_id = k.keeper_id) AS is_keeper
+            FROM j JOIN k USING (group_id) ORDER BY j.doc_id
         """,
         "dedup_keepers": """
             WITH RECURSIVE sh AS (

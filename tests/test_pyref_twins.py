@@ -333,3 +333,93 @@ def test_incremental_lsh_pairs_twin(spark, docs):
         ).collect()
     }
     assert got2 == want
+
+
+def test_connected_components_one_job_per_round(spark, monkeypatch):
+    """Round-3 verdict #6: each CC round must launch exactly ONE job —
+    the per-round checkpoint is LAZY, materializing inside the
+    convergence count's job instead of its own eager pass. (Job ids are
+    not a sound probe under AQE — every materialized query stage is a
+    separate job — so this pins the mechanism: every in-loop
+    localCheckpoint call must pass eager=False.)"""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
+    calls = []
+    orig = _DF.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(_DF, "localCheckpoint", spy)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(16)], "id_a: long, id_b: long"
+    )
+    got = {
+        r["id"]: r["group_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 17
+    # setup: edges + initial labels are eager (they must exist before the
+    # mining cache is released); every per-round checkpoint is lazy
+    assert calls[:2] == [True, True]
+    assert len(calls) > 2 and all(e is False for e in calls[2:]), calls
+
+
+def test_spread_passthrough_for_wide_inputs(spark):
+    """Round-3 advice: _spread must NOT shuffle (a) a shuffle-produced
+    frame when shuffle.partitions covers the parallelism, nor (b) a
+    file-backed frame whose few files are large enough to scan as many
+    splits; it still spreads narrow local fixtures."""
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    # (a) shuffle-produced wide frame → untouched. (A groupBy over a
+    # SINGLE-split file plans without any exchange — one partition
+    # satisfies the distribution — so that case is genuinely narrow and
+    # SHOULD spread; the wide case needs a real shuffle in the plan.)
+    wide = docs.repartition(8, "doc_id").groupBy("doc_id").agg(
+        F.first("text").alias("text")
+    )
+    out = dedup._spread(wide)
+    assert out is wide, "shuffle-produced frame was repartitioned"
+    # (b) narrow local fixture → spread
+    local = spark.createDataFrame([(1, "a b c")], "doc_id: long, text: string")
+    spread = dedup._spread(local)
+    assert spread is not local
+    # (c) file-backed with estimated splits >= parallelism → untouched.
+    # Force the estimate with a tiny maxPartitionBytes so even the small
+    # fixture file "scans as" many splits.
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024b")
+    try:
+        out2 = dedup._spread(docs)
+        assert out2 is docs, "large-file-backed frame was repartitioned"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
+def test_dedup_one_call_matches_two_step(spark, docs):
+    """dedup() (one shared mining pass) must agree with the explicit
+    pairs → CC → keeper composition."""
+    docs, _texts = docs
+    out = dedup.dedup(docs, "doc_id", "text", min_jaccard=0.3).collect()
+    labeled = {r["id"]: (r["group_id"], r["is_keeper"]) for r in out}
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", min_jaccard=0.3)
+    groups = {
+        r["id"]: r["group_id"]
+        for r in dedup.connected_components(
+            pairs, vertices=docs.select("doc_id")
+        ).collect()
+    }
+    toks = {
+        r["doc_id"]: len(r["text"].split(" ")) for r in docs.collect()
+    }
+    assert {k: v[0] for k, v in labeled.items()} == groups
+    # exactly one keeper per group, and it maximizes (tokens, -id)
+    by_group = {}
+    for i, (g, keep) in labeled.items():
+        by_group.setdefault(g, []).append((i, keep))
+    for g, members in by_group.items():
+        keepers = [i for i, k in members if k]
+        assert len(keepers) == 1, (g, members)
+        best = max((toks[i], -i) for i, _ in members)
+        assert (toks[keepers[0]], -keepers[0]) == best
