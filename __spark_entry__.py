@@ -493,6 +493,40 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
+def hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simhash pipeline's banding + Hamming-rerank math
+    (dedup.hamming_banded_pairs — the EXACT code path simhash_candidates
+    runs) over a deterministic md5-derived 60-bit surrogate signature,
+    which makes it fully DuckDB-oracle-able (bit_count(xor) + band
+    equality in plain SQL). Round-3 verdict #3: an oracled companion for
+    the xxhash-based simhash entries."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("sig"),
+    )
+    pairs = dedup.hamming_banded_pairs(
+        sig, "doc_id", "sig", band_bits=16, max_bucket=None, with_hamming=True
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
+def ann_lsh_full_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_lsh_topk in FULL-probe mode (probe set = every bucket): the
+    bucketing expression, probe filter, and exact cosine rerank all
+    execute, and the result provably equals brute force — so this entry
+    shares the brute-force DuckDB oracle (round-3 verdict #3, the
+    knn_join_exact trick applied to the LSH ANN path; the production
+    n_probe_buckets < 2^n_planes path is recall-tested in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb, "vec_id", "embedding", _QUERY_VEC, k=20, n_planes=4,
+        n_probe_buckets=16,
+    )
+
+
 def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/joins.py): each purchase attributed to the
     user's latest view at-or-before the purchase time. One shuffle on the
@@ -698,6 +732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_leaves_props": json_leaves_props,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "simhash_near_dups": simhash_near_dups,
+        "hamming_near_dups": hamming_near_dups,
+        "ann_lsh_full_probe": ann_lsh_full_probe,
         "dual_constant_select": dual_constant_select,
         "asof_purchase_attribution": asof_purchase_attribution,
         "asof_forward_next_view": asof_forward_next_view,
@@ -1133,6 +1169,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_l, id_r, round(c, 6) AS cosine, "rank"
             FROM ranked WHERE "rank" <= 5 ORDER BY id_l, "rank"
+        """,
+        "hamming_near_dups": """
+            WITH s AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(text), 1, 15))::BIGINT AS sig
+              FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE ((a.sig >> 0)  & 65535) = ((b.sig >> 0)  & 65535)
+               OR ((a.sig >> 16) & 65535) = ((b.sig >> 16) & 65535)
+               OR ((a.sig >> 32) & 65535) = ((b.sig >> 32) & 65535)
+               OR ((a.sig >> 48) & 65535) = ((b.sig >> 48) & 65535)
+            ORDER BY id_a, id_b
+        """,
+        "ann_lsh_full_probe": f"""
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]), {_QUERY_VEC_SQL})
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS cosine
+            FROM embeddings
+            ORDER BY cosine DESC, vec_id ASC LIMIT 20
         """,
         "embedding_cosine_topk": f"""
             SELECT vec_id,

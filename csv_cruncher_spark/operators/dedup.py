@@ -391,6 +391,74 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return agg.select(id_col, sig.alias("simhash"))
 
 
+def hamming_banded_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    band_bits: int = 16,
+    max_bucket: int | None = 500,
+    with_hamming: bool = False,
+    max_hamming: int | None = None,
+) -> DataFrame:
+    """Candidate pairs over ANY 64-bit signature column: documents sharing
+    at least one ``band_bits``-wide band (pigeonhole Hamming screen),
+    optionally with the exact Hamming distance (``bit_count(sig_a XOR
+    sig_b)``, JVM codegen'd) attached and filtered to ``max_hamming``.
+
+    This is the banding/rerank math of :func:`simhash_candidates` exposed
+    over a caller-supplied signature frame — which makes it ORACLE-ABLE:
+    a deterministic SQL-expressible signature (e.g. an md5-derived
+    surrogate) yields a DuckDB-checkable entry exercising the exact same
+    join/band/bit_count path the xxhash-based simhash pipeline uses
+    (round-3 verdict #3, shrinking the no_oracle set).
+
+    Buckets over ``max_bucket`` are dropped before the self-join
+    (:func:`_cap_buckets`). Returns (id_a, id_b[, hamming]), id_a < id_b."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    banded = sig_df.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col(sig_col), b * band_bits).bitwiseAND(F.lit(mask))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    banded, dropped = _cap_buckets(banded, ["band", "band_val"], max_bucket)
+    l, r = banded.alias("l"), banded.alias("r")
+    joined = l.join(
+        r,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.band_val") == F.col("r.band_val"))
+        & (F.col("l.id") < F.col("r.id")),
+    )
+    if with_hamming or max_hamming is not None:
+        out = (
+            joined.select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.bit_count(
+                    F.col("l.sig").bitwiseXOR(F.col("r.sig"))
+                ).alias("hamming"),
+            )
+            .distinct()
+        )
+        if max_hamming is not None:
+            out = out.filter(F.col("hamming") <= max_hamming)
+        if not with_hamming:
+            out = out.select("id_a", "id_b")
+    else:
+        out = (
+            joined.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+    return _with_dropped(out, dropped)
+
+
 def simhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -400,35 +468,13 @@ def simhash_candidates(
 ) -> DataFrame:
     """Near-dup candidates: documents sharing any 16-bit simhash band
     (Hamming-distance screening via the pigeonhole principle). Buckets
-    over ``max_bucket`` are dropped before the self-join (_cap_buckets)."""
+    over ``max_bucket`` are dropped before the self-join (_cap_buckets).
+    The banding/pair math lives in :func:`hamming_banded_pairs` (shared
+    with its oracle-able surrogate-signature entry)."""
     sig = simhash(df, id_col, text_col)
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
-    banded = sig.select(
-        F.col(id_col).alias("id"),
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * band_bits).bitwiseAND(F.lit(mask))
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_val"),
+    return hamming_banded_pairs(
+        sig, id_col, "simhash", band_bits=band_bits, max_bucket=max_bucket
     )
-    banded, dropped = _cap_buckets(banded, ["band", "band_val"], max_bucket)
-    l, r = banded.alias("l"), banded.alias("r")
-    out = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_val") == F.col("r.band_val"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
-    return _with_dropped(out, dropped)
 
 
 def connected_components(

@@ -171,6 +171,8 @@ def asof_join_bucketed(
     right_time: str | None = None,
     right_prefix: str = "r_",
     strict: bool = False,
+    direction: str = "backward",
+    tolerance=None,
 ) -> DataFrame:
     """Skew-resistant backward as-of join: bit-identical results to
     :func:`asof_join`, but a hot key's rows parallelize across its TIME
@@ -201,10 +203,18 @@ def asof_join_bucketed(
     years of events). Cost: one extra summary aggregate + summary window
     — both O(keys × occupied buckets).
 
-    Backward direction only (the CDC attribution shape); forward would
-    mirror with min_by/lead. Equal-semantics property test:
-    ``test_asof_bucketed_matches_plain``.
+    Full surface parity with :func:`asof_join` (round-3 verdict #5):
+    ``direction="forward"`` mirrors every stage — per-bucket FIRST
+    summaries (a ``max_by`` over an exactly-negated time so min-time /
+    max-payload ties resolve like the plain join), a forward bucket-level
+    carry (the first right row in any strictly LATER bucket), and a
+    following-frame in-bucket window — and ``tolerance`` nulls matches
+    farther than the given distance, which is exact because the as-of
+    match IS the nearest qualifying row. Equal-semantics property test
+    across direction × strict × tolerance: ``test_asof_bucketed_property``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     rtime = right_time or left_time
 
@@ -230,7 +240,10 @@ def asof_join_bucketed(
         return F.floor(base / F.lit(float(bucket_width))).cast("long")
 
     r_struct = F.struct(*[F.col(c) for c in r_payload])
-    r_tag, l_tag = (0, 1) if not strict else (1, 0)
+    # same equal-timestamp side ordering as the plain join (see asof_join:
+    # non-strict backward and strict forward put the right row first)
+    right_first = (direction == "backward") != strict
+    r_tag, l_tag = (0, 1) if right_first else (1, 0)
 
     r_b = right.select(
         *[F.col(k) for k in keys],
@@ -238,13 +251,26 @@ def asof_join_bucketed(
         F.col(rtime).alias("__t"),
         r_struct.alias("__r"),
     )
-    # 1) per-(key, bucket) LAST right row — an AGGREGATION (map-side
-    # combine eats the hot key before the shuffle), with the same
-    # (time, payload-struct) tiebreak order the in-bucket window uses
+    # 1) per-(key, bucket) boundary right row — an AGGREGATION (map-side
+    # combine eats the hot key before the shuffle). Backward: the LAST
+    # row under the (time, payload-struct) order the in-bucket window
+    # uses. Forward: the FIRST row with max-payload ties — min over time
+    # but max over payload can't be one struct ordering directly, so the
+    # max_by ordering key negates the time exactly (unix_micros for
+    # timestamps, arithmetic negate for numerics) and keeps payload
+    # ascending: max(-t, r) == (min t, then max r).
+    if direction == "backward":
+        order_key = F.struct(F.col("__t"), F.col("__r"))
+    else:
+        rdt = right.schema[rtime].dataType
+        neg_t = (
+            -F.unix_micros(F.col("__t").cast("timestamp"))
+            if isinstance(rdt, (T.TimestampType, T.TimestampNTZType))
+            else -F.col("__t")
+        )
+        order_key = F.struct(neg_t.alias("__nt"), F.col("__r"))
     summaries = r_b.groupBy(*keys, "__b").agg(
-        F.max_by(
-            F.struct(F.col("__t"), F.col("__r")), F.struct(F.col("__t"), F.col("__r"))
-        ).alias("__last")
+        F.max_by(F.struct(F.col("__t"), F.col("__r")), order_key).alias("__last")
     )
     l_b = left.select(
         *[F.col(k) for k in keys],
@@ -252,12 +278,12 @@ def asof_join_bucketed(
         F.col(left_time).alias("__t"),
         *[F.col(c) for c in left.columns if c not in keys],
     )
-    # 2) carry floor per occupied LEFT bucket: the last right row in any
-    # STRICTLY earlier bucket — the plain as-of join applied at bucket
-    # granularity (rows per key = occupied buckets, so the skew the
-    # event-level window had is already collapsed; strict=True gives the
-    # < semantics, since same-bucket right rows participate in the
-    # event-level window below instead)
+    # 2) carry per occupied LEFT bucket: the boundary right row in any
+    # STRICTLY earlier (backward) / later (forward) bucket — the plain
+    # as-of join applied at bucket granularity (rows per key = occupied
+    # buckets, so the skew the event-level window had is already
+    # collapsed; strict=True gives the </> semantics, since same-bucket
+    # right rows participate in the event-level window below instead)
     l_buckets = l_b.select(*keys, "__b").distinct()
     floor_in = asof_join(
         l_buckets,
@@ -266,6 +292,7 @@ def asof_join_bucketed(
         left_time="__b",
         right_prefix="__fl_",
         strict=True,
+        direction=direction,
     ).select(*keys, "__b", F.col("__fl___last").alias("__floor"))
     r_tagged = r_b.select(
         *keys,
@@ -287,13 +314,32 @@ def asof_join_bucketed(
     )
     r_aug = r_tagged.withColumn("__floor", F.lit(None).cast(l_aug.schema["__floor"].dataType))
     unioned = r_aug.unionByName(l_aug)
-    w = (
-        Window.partitionBy(*keys, "__b")
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    in_bucket = F.last("__r", ignorenulls=True).over(w)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys, "__b")
+            .orderBy(F.col("__t"), F.col("__side"), F.col("__r"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        in_bucket = F.last("__r", ignorenulls=True).over(w)
+    else:
+        # payload DESC at equal (t, side) so forward ties take the
+        # greatest payload — symmetric with the plain join's fix
+        w = (
+            Window.partitionBy(*keys, "__b")
+            .orderBy(F.col("__t"), F.col("__side"), F.col("__r").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        in_bucket = F.first("__r", ignorenulls=True).over(w)
     match = F.coalesce(in_bucket, F.col("__floor.__r"))
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.expr(str(tolerance))
+        if rtime not in r_payload:
+            raise ValueError(
+                "tolerance requires the right time column in the right frame"
+            )
+        mt = match[rtime]
+        dist = (F.col("__t") - mt) if direction == "backward" else (mt - F.col("__t"))
+        match = F.when(dist <= tol, match)
     carried = unioned.withColumn("__match", match)
     out_left = [F.col(c) for c in left.columns if c not in keys]
     out_right = [

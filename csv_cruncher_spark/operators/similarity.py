@@ -129,7 +129,22 @@ def ann_lsh_topk(
     rises with probe count at proportional scan cost, the standard
     recall/cost dial when re-bucketing the corpus is off the table."""
     planes = _hyperplanes(len(query), n_planes, seed)
-    probes = multiprobe_buckets(query, planes, n_probe_buckets)
+    if n_probe_buckets >= (1 << n_planes):
+        # FULL probe (the knn_join_exact trick, round-3 verdict #3): the
+        # probe set is every bucket, so the exact rerank sees the whole
+        # corpus and the result equals brute force — same code path
+        # (bucketing expression + filter + rerank all execute), degenerate
+        # settings, shared brute-force oracle. Only sane for small plane
+        # counts; the literal list would also blow up Catalyst analysis
+        # past ~2^12 entries (a measured failure mode for large isin).
+        if n_planes > 12:
+            raise ValueError(
+                f"full probe over 2^{n_planes} buckets — exact mode is for "
+                "oracle/verification runs with small n_planes (<= 12)"
+            )
+        probes = list(range(1 << n_planes))
+    else:
+        probes = multiprobe_buckets(query, planes, n_probe_buckets)
     bucketed = df.withColumn("_bucket", lsh_bucket_expr(vec_col, planes))
     cand = bucketed.filter(F.col("_bucket").isin([int(b) for b in probes]))
     return brute_force_topk(cand, id_col, vec_col, query, k)

@@ -78,18 +78,49 @@ def test_asof_all_modes_match_reference(spark, left, right):
             assert got == want, (direction, strict)
 
 
+def _apply_tolerance(ref, left, tol):
+    """Null out reference matches farther than tol (pandas merge_asof
+    semantics; distance is symmetric |rt - t| because the directional
+    qualifier already constrained the sign)."""
+    out = {}
+    for i, (k, t) in enumerate(left):
+        rt, vid = ref[i]
+        if rt is not None and abs(rt - t) > tol:
+            out[i] = (None, None)
+        else:
+            out[i] = (rt, vid)
+    return out
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(left=left_rows, right=right_rows, width=st.sampled_from([1, 7, 100]))
 def test_asof_bucketed_property(spark, left, right, width):
+    """The skew-resistant variant must be bit-identical to the plain
+    reference across EVERY direction × strict combo (round-3 verdict #5:
+    it used to lag the plain join's surface at backward-only), plus a
+    tolerance leg per direction."""
     ldf = spark.createDataFrame(
         [(k, t, i) for i, (k, t) in enumerate(left)], "k: string, t: long, pid: long"
     )
     rdf = spark.createDataFrame(right, "k: string, t: long, vid: string")
-    for strict in (False, True):
-        got = {
+    for direction in ("backward", "forward"):
+        for strict in (False, True):
+            got = {
+                r["pid"]: (r["r_t"], r["r_vid"])
+                for r in asof_join_bucketed(
+                    ldf, rdf, on="k", left_time="t", bucket_width=width,
+                    strict=strict, direction=direction,
+                ).collect()
+            }
+            assert got == _ref(left, right, direction, strict), (
+                width, direction, strict,
+            )
+        got_tol = {
             r["pid"]: (r["r_t"], r["r_vid"])
             for r in asof_join_bucketed(
-                ldf, rdf, on="k", left_time="t", bucket_width=width, strict=strict,
+                ldf, rdf, on="k", left_time="t", bucket_width=width,
+                direction=direction, tolerance=5,
             ).collect()
         }
-        assert got == _ref(left, right, "backward", strict), (width, strict)
+        want_tol = _apply_tolerance(_ref(left, right, direction, False), left, 5)
+        assert got_tol == want_tol, (width, direction, "tolerance")
