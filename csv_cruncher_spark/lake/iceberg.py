@@ -26,8 +26,10 @@ op-coded LWW upsert     in-batch dedup via the SHARED ``lww_winners`` fold,
 schema evolution        ``ALTER TABLE ADD COLUMN`` / ``RENAME COLUMN`` —
                         Iceberg is field-id based natively, so renames are
                         metadata-only, identical to lake/table.py semantics
-exactly-once fence      applied batch ids in the ``ccs.applied-batches``
-                        table property, checked before each MERGE
+exactly-once fence      batch id stamped into the MERGE snapshot's own
+                        summary (``wap.id`` via ``spark.wap.id``) —
+                        single-commit, atomic with the data; the
+                        ``ccs.applied-batches`` property is bookkeeping
 snapshot read           ``spark.table(identifier)``; time travel via
                         ``VERSION AS OF``
 change feed             ``system.create_changelog_view`` (net_changes +
@@ -35,17 +37,27 @@ change feed             ``system.create_changelog_view`` (net_changes +
                         map to snapshots via ``ccs.epoch-snapshots``
 =====================  =====================================================
 
-**Honest boundary, stated loudly:** the MERGE and the property update are
-TWO commits, so a crash between them re-applies the batch on resume. For
-LWW upserts a replay is state-idempotent (same winners, same versions ⇒
-same final table), so correctness holds; it is still weaker than the
-manifest backend's single-CAS lineage. Production hardening should write
-the batch id into the MERGE's own snapshot summary via the Java API
-(``org.apache.iceberg.spark.CommitMetadata.withCommitProperties`` — the
-pattern Flink's Iceberg sink uses for ``flink.max-committed-checkpoint-id``)
-and read it back from the ``<table>.snapshots`` metadata table; that needs
-a py4j callback the sandbox cannot exercise, so it is left cited rather
-than half-implemented.
+**Exactly-once fence (single-commit since round 4):** the batch id rides
+INSIDE the MERGE's own snapshot as the ``wap.id`` summary property —
+Iceberg stamps it into the committing snapshot whenever the session conf
+``spark.wap.id`` is set (the write-audit-publish id; Spark's
+``SparkWriteConf.wapId``), with no second commit and no py4j callback.
+``applied_batches`` reads the union of the summary-stamped ids (from the
+``<table>.snapshots`` metadata table) and the legacy
+``ccs.applied-batches`` property, so a crash BETWEEN the MERGE and the
+bookkeeping property update no longer re-applies the batch: the fence
+check sees the id in the snapshot summary. The property update
+(epoch→snapshot map for the change feed + the legacy batch list) remains
+a separate, non-load-bearing commit and self-heals by resolving snapshot
+ids from the summaries. Two caveats, stated loudly: (a)
+``write.wap.enabled`` must stay unset/false on the table — with WAP
+enabled Iceberg STAGES wap-id commits instead of publishing them, which
+is a different workflow; ``apply_batch`` asserts this. (b) None of this
+SQL has executed in this sandbox (no Iceberg jar); the contract tests
+cover it in jar-present environments, skipped-not-absent here. The
+``CommitMetadata.withCommitProperties`` Java API (the pattern Flink's
+Iceberg sink uses for ``flink.max-committed-checkpoint-id``) remains the
+alternative for engines that cannot set session confs per batch.
 """
 
 from __future__ import annotations
@@ -163,8 +175,24 @@ class IcebergBackend(TableBackend):
         return {r["key"]: r["value"] for r in rows}
 
     def applied_batches(self) -> list[str]:
-        raw = self._props().get(_PROP_BATCHES, "[]")
-        return json.loads(raw)
+        """Union of (a) batch ids stamped into snapshot summaries as
+        ``wap.id`` by the MERGE commit itself — the load-bearing fence,
+        atomic with the data — and (b) the legacy ``ccs.applied-batches``
+        property (tables written before round 4, plus bookkeeping written
+        after each MERGE). Order: property list first (it preserves apply
+        order), then any summary-only ids (a crash window's orphans) in
+        snapshot order."""
+        from_props = json.loads(self._props().get(_PROP_BATCHES, "[]"))
+        seen = set(from_props)
+        out = list(from_props)
+        for r in self.spark.sql(
+            f"SELECT summary['wap.id'] AS wid FROM {self.identifier}.snapshots "
+            "WHERE summary['wap.id'] IS NOT NULL ORDER BY committed_at"
+        ).collect():
+            if r["wid"] is not None and r["wid"] not in seen:
+                seen.add(r["wid"])
+                out.append(r["wid"])
+        return out
 
     def _current_snapshot_id(self) -> int | None:
         row = self.spark.sql(
@@ -176,10 +204,25 @@ class IcebergBackend(TableBackend):
     def _epoch_snapshots(self) -> dict[str, int]:
         return json.loads(self._props().get(_PROP_EPOCH_SNAPSHOTS, "{}"))
 
+    def _snapshot_id_for_batch(self, batch_id: str) -> int | None:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            f"WHERE summary['wap.id'] = '{_validate_batch_id(batch_id)}' "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return None if row is None else int(row[0])
+
     def _record_batch(self, batch_id: str, epoch_id: int) -> None:
-        batches = self.applied_batches() + [_validate_batch_id(batch_id)]
+        """Bookkeeping commit AFTER the fence-carrying MERGE: the ordered
+        batch list and the epoch→snapshot map for the change feed. NOT
+        load-bearing for exactly-once (the wap.id summary is) — a crash
+        before this runs is healed on the next apply because the id
+        resolves from the snapshot summary."""
+        batches = json.loads(self._props().get(_PROP_BATCHES, "[]"))
+        if batch_id not in batches:
+            batches.append(_validate_batch_id(batch_id))
         esnaps = self._epoch_snapshots()
-        sid = self._current_snapshot_id()
+        sid = self._snapshot_id_for_batch(batch_id) or self._current_snapshot_id()
         if sid is not None:
             esnaps[str(int(epoch_id))] = sid
         self.spark.sql(
@@ -230,14 +273,33 @@ class IcebergBackend(TableBackend):
         ins_vals = ", ".join(
             f"s.`{c}`" if c in have else "NULL" for c in table_cols
         )
-        # version-guarded arms = the manifest merge's stale-event rule:
-        # equal version → incoming wins (later writer under replay order)
-        self.spark.sql(
-            f"MERGE INTO {self.identifier} t USING {src} s ON t.`{k}` = s.`{k}` "
-            f"WHEN MATCHED AND s.op = 'D' AND s.`{v}` >= t.`{v}` THEN DELETE "
-            f"WHEN MATCHED AND s.op != 'D' AND s.`{v}` >= t.`{v}` THEN UPDATE SET {set_clause} "
-            f"WHEN NOT MATCHED AND s.op != 'D' THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
-        )
+        # WAP must be OFF: with write.wap.enabled=true Iceberg STAGES
+        # wap-id commits instead of publishing them — a different
+        # workflow that would make the MERGE invisible
+        if self._props().get("write.wap.enabled", "false").lower() == "true":
+            raise RuntimeError(
+                f"{self.identifier} has write.wap.enabled=true — the "
+                "exactly-once fence stamps batch ids via spark.wap.id and "
+                "requires published (not staged) commits"
+            )
+        # single-commit fence: the batch id rides in the MERGE snapshot's
+        # summary (wap.id) — atomic with the data, no crash window
+        prev_wap = self.spark.conf.get("spark.wap.id", None)
+        self.spark.conf.set("spark.wap.id", batch_id)
+        try:
+            # version-guarded arms = the manifest merge's stale-event rule:
+            # equal version → incoming wins (later writer under replay order)
+            self.spark.sql(
+                f"MERGE INTO {self.identifier} t USING {src} s ON t.`{k}` = s.`{k}` "
+                f"WHEN MATCHED AND s.op = 'D' AND s.`{v}` >= t.`{v}` THEN DELETE "
+                f"WHEN MATCHED AND s.op != 'D' AND s.`{v}` >= t.`{v}` THEN UPDATE SET {set_clause} "
+                f"WHEN NOT MATCHED AND s.op != 'D' THEN INSERT ({ins_cols}) VALUES ({ins_vals})"
+            )
+        finally:
+            if prev_wap is None:
+                self.spark.conf.unset("spark.wap.id")
+            else:
+                self.spark.conf.set("spark.wap.id", prev_wap)
         self.spark.catalog.dropTempView(src)
         self._record_batch(batch_id, epoch_id)
         return {"applied": True}
