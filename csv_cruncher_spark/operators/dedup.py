@@ -483,6 +483,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Dup-GROUP resolution: connected components over a candidate-pair
     graph — the step between pair mining (MinHash/SimHash/Jaccard/embedding
@@ -507,6 +508,11 @@ def connected_components(
     name) so isolated documents appear as their own singleton group —
     defaults to the ids present in ``pairs``.
 
+    ``stats``: optional dict the call fills with ``{"rounds": int,
+    "edges": int}`` — the observability hook the scale study
+    (experiments/dedup_scale_study.py) uses to assert the O(log
+    diameter) round bound holds as data grows.
+
     Returns (id, group_id). Oracled in the driver contract by a DuckDB
     recursive CTE computing min-reachable-label over the same edges
     (``dedup_groups`` entry).
@@ -527,7 +533,12 @@ def connected_components(
     else:
         verts = edges.select("u").distinct()
     labels = verts.select("u", F.col("u").alias("lbl")).localCheckpoint()
+    if stats is not None:
+        # cheap: a count over the already-checkpointed (u, v) blocks
+        stats["edges"] = edges.count()
+    rounds = 0
     for _ in range(max_iterations):
+        rounds += 1
         e, lab = edges.alias("e"), labels.alias("lab")
         incoming = (
             e.join(lab, F.col("e.v") == F.col("lab.u"), "inner")
@@ -564,6 +575,8 @@ def connected_components(
         changed = merged.filter(F.col("new_lbl") != F.col("old_lbl")).count()
         labels = merged.select("u", F.col("new_lbl").alias("lbl"))
         if changed == 0:
+            if stats is not None:
+                stats["rounds"] = rounds
             break
     else:
         # with pointer halving the round count is O(log2 diameter): the
