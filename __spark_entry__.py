@@ -26,8 +26,16 @@ from pyspark.sql.window import Window
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from csv_cruncher_spark.functions import json_subtree  # noqa: E402
+from csv_cruncher_spark.functions import normalize_url, url_domain, url_host  # noqa: E402
 from csv_cruncher_spark.lake import salt  # noqa: E402
-from csv_cruncher_spark.operators import dedup, multimodal, similarity, textstats  # noqa: E402
+from csv_cruncher_spark.operators import (  # noqa: E402
+    bloom,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
+from csv_cruncher_spark.operators.joins import interval_join  # noqa: E402
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -686,6 +694,138 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bloom_screened_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter batch admission (operators/bloom.py): the CDC shape
+    "which of this change batch's documents are NEW content?" — a
+    distributed Bloom index (DataFrame of set bit positions) screens the
+    batch with zero corpus access, and only the maybe-present sliver is
+    confirmed with an exact anti-join. No false negatives ⇒ the result
+    is IDENTICAL to the plain anti-join, which is the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    admitted = bloom.bloom_admit(corpus, batch, "fp", n_bits=1 << 16)
+    return admitted.select("doc_id", "fp").orderBy("doc_id")
+
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/redundancy quality signals
+    (textstats.repetition_stats): duplicate-token and duplicate-bigram
+    fractions per document via explode + two-level partial-combined
+    hash aggregation — no windows, no Python."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.repetition_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("distinct_token_frac", 6).alias("distinct_token_frac"),
+        F.round("top_token_frac", 6).alias("top_token_frac"),
+        "n_bigrams",
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (textstats.redact_pii): emails/phones planted
+    deterministically from doc_id (the corpus has none), then redacted
+    with JVM regexp_replace. The redacted TEXT is returned raw so the
+    oracle check is byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" or call 555 123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = textstats.redact_pii(planted, "text")
+    return out.select("doc_id", "n_emails", "n_phones", "redacted").orderBy("doc_id")
+
+
+def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization for CDC keying (functions/urls.py): every
+    document gets TWO url spellings (canonical + a shouty variant with
+    default port, trailing slash, and fragment); normalize_url must fold
+    them to one key, so n_pages (distinct normalized) is half n_urls per
+    host. parse_url is JVM-native; the oracle reimplements the formula
+    with plain regex SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.col("source"), F.lit(".example.com/"), F.col("lang"),
+        F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    u1 = F.concat(F.lit("https://www."), base)
+    u2 = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.upper(F.col("source")),
+        F.lit(".EXAMPLE.COM:443/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("/#frag"),
+    )
+    urls = docs.select(
+        "doc_id", "n_chars", F.explode(F.array(u1, u2)).alias("url")
+    )
+    return (
+        urls.select(
+            "n_chars",
+            url_host("url").alias("host"),
+            url_domain("url").alias("domain"),
+            normalize_url("url").alias("nurl"),
+        )
+        .groupBy("host", "domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("nurl").alias("n_pages"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join (joins.interval_join): clicks falling in
+    the 30 minutes after an error by the same user. Bucketed equi-join
+    on (user_id, time bucket) — plan-pinned not-nested-loop in pytest;
+    the naive BETWEEN join is the DuckDB oracle."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("err_end"),
+        F.col("event_id").alias("err_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    j = interval_join(
+        clicks, errors, "ts", "err_ts", "err_end", on=["user_id"],
+        bucket_width_s=1800,
+    )
+    return j.select("event_id", "err_id", "user_id").orderBy("event_id", "err_id")
+
+
 # ---------------------------------------------------------------- contract --
 
 
@@ -739,6 +879,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_forward_next_view": asof_forward_next_view,
         "asof_tolerance_attribution": asof_tolerance_attribution,
         "events_type_hour_rollup": events_type_hour_rollup,
+        "bloom_screened_new_docs": bloom_screened_new_docs,
+        "doc_repetition_stats": doc_repetition_stats,
+        "doc_pii_redact": doc_pii_redact,
+        "url_host_stats": url_host_stats,
+        "events_interval_join": events_interval_join,
     }
 
 
@@ -976,6 +1121,99 @@ def oracle_sql() -> dict[str, str]:
         "dual_constant_select": """
             SELECT 1::BIGINT AS one, 'x' AS s,
                    round(sqrt(2.0), 6) AS root2, NULL::VARCHAR AS nothing
+        """,
+        "bloom_screened_new_docs": """
+            SELECT doc_id, md5(text) AS fp
+            FROM documents
+            WHERE doc_id % 5 = 0
+              AND md5(text) NOT IN (
+                SELECT md5(text) FROM documents WHERE doc_id % 5 != 0)
+            ORDER BY doc_id
+        """,
+        "doc_repetition_stats": """
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            uni AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            uc AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY doc_id, tok),
+            ud AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                          count(*) AS n_distinct, max(c) AS top_c
+                   FROM uc GROUP BY doc_id),
+            bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+                   FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+            bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+            bd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                          count(*) AS n_distinct_bg, max(c) AS top_bg_c
+                   FROM bc GROUP BY doc_id)
+            SELECT ud.doc_id, n_tokens,
+                   round(n_distinct * 1.0 / n_tokens, 6) AS distinct_token_frac,
+                   round(top_c * 1.0 / n_tokens, 6) AS top_token_frac,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   round(1.0 - n_distinct_bg * 1.0 / n_bigrams, 6) AS dup_bigram_frac,
+                   round(top_bg_c * 1.0 / n_bigrams, 6) AS top_bigram_frac
+            FROM ud LEFT JOIN bd USING (doc_id) ORDER BY ud.doc_id
+        """,
+        "doc_pii_redact": """
+            WITH planted AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                          THEN ' contact user' || doc_id || '@mail.example.com'
+                          ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                          THEN ' or call 555 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          ELSE '' END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                   len(regexp_extract_all(text,
+                       '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
+                   regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS redacted
+            FROM planted ORDER BY doc_id
+        """,
+        "url_host_stats": """
+            WITH urls AS (
+              SELECT doc_id, n_chars,
+                     'https://www.' || source || '.example.com/' || lang || '/' || doc_id AS url
+              FROM documents
+              UNION ALL
+              SELECT doc_id, n_chars,
+                     'HTTPS://WWW.' || upper(source) || '.EXAMPLE.COM:443/' || lang
+                       || '/' || doc_id || '/#frag' AS url
+              FROM documents),
+            parsed AS (
+              SELECT n_chars,
+                     lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+                     CASE WHEN regexp_replace(
+                              coalesce(regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), ''),
+                              '/+$', '') = ''
+                          THEN '/'
+                          ELSE regexp_replace(
+                              regexp_extract(url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '/+$', '')
+                     END AS path
+              FROM urls),
+            formed AS (
+              SELECT n_chars, host,
+                     regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain,
+                     'https://' || host || path AS nurl
+              FROM parsed)
+            SELECT host, domain,
+                   count(*) AS n_urls,
+                   count(DISTINCT nurl) AS n_pages,
+                   round(avg(n_chars), 2) AS avg_chars
+            FROM formed GROUP BY host, domain ORDER BY host
+        """,
+        "events_interval_join": """
+            SELECT c.event_id, e.err_id, c.user_id
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            JOIN (SELECT user_id, ts AS err_ts,
+                         ts + INTERVAL 30 MINUTE AS err_end,
+                         event_id AS err_id
+                  FROM events WHERE event_type = 'error') e
+              ON c.user_id = e.user_id AND c.ts BETWEEN e.err_ts AND e.err_end
+            ORDER BY c.event_id, e.err_id
         """,
         "recursive_nation_rollup": """
             WITH RECURSIVE chain(nationkey, anc, depth) AS (

@@ -7,6 +7,7 @@ from .json_funcs import (
 )
 from .infer import CandidateType, infer_and_cast, infer_column_types
 from .scalars import starts_with
+from .urls import normalize_url, url_domain, url_host, url_path
 
 __all__ = [
     "json_subtree",
@@ -18,4 +19,8 @@ __all__ = [
     "infer_column_types",
     "infer_and_cast",
     "starts_with",
+    "normalize_url",
+    "url_host",
+    "url_path",
+    "url_domain",
 ]

@@ -110,3 +110,117 @@ def normalized_fingerprint(text_col: str | Column) -> Column:
         F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " ")
     )
     return F.md5(norm)
+
+
+# ---------------------------------------------------------------------------
+# Repetition / redundancy quality signals (Gopher-style, Rae et al. 2021
+# arXiv:2112.11446 §A1.1 "repetition removal"): high duplicate-n-gram
+# fraction marks boilerplate and spam pages. Implemented as explode +
+# two-level hash aggregation — partial (map-side) combine on
+# (doc_id, gram) then per-doc rollup, so the shape is shuffle-light and
+# skew-free at 100 TB (a doc's grams all hash to spread partitions in
+# stage 1; stage 2 keys on doc_id). No Python, no windows.
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document repetition metrics over whitespace tokens:
+
+      n_tokens            total tokens
+      distinct_token_frac distinct / total (low → word-level repetition)
+      top_token_frac      most-frequent token's share of all tokens
+      n_bigrams           total adjacent pairs (n_tokens - 1)
+      dup_bigram_frac     1 - distinct bigrams / total (Gopher's
+                          duplicate-n-gram fraction for n=2)
+      top_bigram_frac     most-frequent bigram's share
+
+    Single-token docs get n_bigrams = 0 and null bigram fractions.
+    Fully SQL-expressible → DuckDB-oracled driver entry
+    (doc_repetition_stats)."""
+    toks = f"split({text_col}, ' ')"
+    uni = df.select(
+        F.col(id_col), F.explode(F.expr(toks)).alias("tok")
+    )
+    uni_doc = (
+        uni.groupBy(id_col, "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            F.max("c").alias("top_token_c"),
+        )
+    )
+    # adjacent pairs via a JVM transform over the token array (indexes
+    # are 0-based in Spark's transform lambda)
+    bi = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(slice({toks}, 1, size({toks}) - 1),"
+                f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
+            )
+        ).alias("gram"),
+    )
+    bi_doc = (
+        bi.groupBy(id_col, "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.count("*").alias("n_distinct_bigrams"),
+            F.max("c").alias("top_bigram_c"),
+        )
+    )
+    return (
+        uni_doc.join(bi_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (F.col("n_distinct_tokens") / F.col("n_tokens")).alias(
+                "distinct_token_frac"
+            ),
+            (F.col("top_token_c") / F.col("n_tokens")).alias("top_token_frac"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            (F.lit(1.0) - F.col("n_distinct_bigrams") / F.col("n_bigrams")).alias(
+                "dup_bigram_frac"
+            ),
+            (F.col("top_bigram_c") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — training-data hygiene: deterministic regex scrubbing of
+# emails and phone-like numbers. Pure JVM regexp_replace/regexp_count
+# (codegen'd, byte-deterministic), patterns chosen to parse identically
+# under Java regex and DuckDB's RE2-style engine so the redacted TEXT
+# itself is oracle-checked byte-for-byte.
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str,
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Append ``out_col`` (text with emails/phones replaced by tokens)
+    plus per-row ``n_emails`` / ``n_phones`` counts. Order matters:
+    emails first so a phone-ish local part never double-redacts."""
+    c = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+            out_col: F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, email_token),
+                PHONE_RE,
+                phone_token,
+            ),
+        }
+    )

@@ -1,0 +1,228 @@
+"""Round-4 training-data operators: Bloom admission screening,
+repetition-quality stats, PII redaction, URL normalization, and the
+bucketed interval join."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.functions import (
+    normalize_url,
+    url_domain,
+    url_host,
+    url_path,
+)
+from csv_cruncher_spark.operators import bloom, textstats
+from csv_cruncher_spark.operators.joins import interval_join
+
+
+# ---------------------------------------------------------------- bloom
+
+
+@pytest.fixture(scope="module")
+def corpus_batch(spark):
+    corpus = spark.range(0, 2000).select(
+        F.concat(F.lit("fp-"), F.col("id")).alias("fp")
+    )
+    batch = spark.range(1900, 2300).select(
+        F.concat(F.lit("fp-"), F.col("id")).alias("fp"),
+        (F.col("id") * 3).alias("payload"),
+    )
+    return corpus, batch
+
+
+def test_bloom_no_false_negatives(spark, corpus_batch):
+    """Every key present in the corpus must be flagged maybe_present —
+    the property the admit path's correctness rests on."""
+    corpus, batch = corpus_batch
+    bits = bloom.bloom_bits(corpus, "fp", n_bits=1 << 14)
+    screened = bloom.bloom_screen(bits, batch, "fp", n_bits=1 << 14)
+    present_keys = screened.filter(F.col("maybe_present")).select("fp")
+    overlap = batch.join(corpus, "fp", "left_semi")
+    missed = overlap.join(present_keys, "fp", "left_anti").count()
+    assert missed == 0
+
+
+def test_bloom_admit_equals_anti_join(spark, corpus_batch):
+    corpus, batch = corpus_batch
+    admitted = bloom.bloom_admit(corpus, batch, "fp", n_bits=1 << 14)
+    exact = batch.join(corpus, "fp", "left_anti")
+    got = sorted((r.fp, r.payload) for r in admitted.collect())
+    want = sorted((r.fp, r.payload) for r in exact.collect())
+    assert got == want
+    assert admitted.columns == batch.columns
+
+
+def test_bloom_prebuilt_bits_reusable(spark, corpus_batch, tmp_path):
+    """The bits frame round-trips through parquet (the amortize-across-
+    batches path) and gives the same admitted set."""
+    corpus, batch = corpus_batch
+    p = str(tmp_path / "bloom_bits")
+    bloom.bloom_bits(corpus, "fp", n_bits=1 << 14).write.parquet(p)
+    bits = spark.read.parquet(p)
+    admitted = bloom.bloom_admit(corpus, batch, "fp", n_bits=1 << 14, bits=bits)
+    exact = batch.join(corpus, "fp", "left_anti")
+    assert admitted.count() == exact.count() == 300
+
+
+def test_bloom_tiny_filter_degrades_to_exact_join(spark, corpus_batch):
+    """With n_bits tiny every probe is maybe_present (all bits set) —
+    the screen gives no savings but the confirm join keeps the result
+    exact: saturation degrades performance, never correctness."""
+    corpus, batch = corpus_batch
+    admitted = bloom.bloom_admit(corpus, batch, "fp", n_bits=8)
+    assert admitted.count() == 300
+
+
+# ----------------------------------------------------- repetition stats
+
+
+def test_repetition_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a"),  # 5 toks {a:3,b:2}; 4 bigrams {ab:2,ba:2}
+            Row(doc_id=2, text="x y z"),  # all distinct
+            Row(doc_id=3, text="solo"),  # single token, no bigrams
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in textstats.repetition_stats(df, "doc_id", "text").collect()
+    }
+    r1 = out[1]
+    assert r1.n_tokens == 5 and r1.n_bigrams == 4
+    assert r1.distinct_token_frac == pytest.approx(2 / 5)
+    assert r1.top_token_frac == pytest.approx(3 / 5)
+    assert r1.dup_bigram_frac == pytest.approx(1 - 2 / 4)
+    assert r1.top_bigram_frac == pytest.approx(2 / 4)
+    r2 = out[2]
+    assert r2.distinct_token_frac == 1.0 and r2.dup_bigram_frac == 0.0
+    r3 = out[3]
+    assert r3.n_tokens == 1 and r3.n_bigrams == 0
+    assert r3.dup_bigram_frac is None and r3.top_bigram_frac is None
+
+
+# ------------------------------------------------------------------ PII
+
+
+def test_redact_pii_bytes_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="write a.b_c%d+e@mail-srv.example.co or call 123 456-7890 now"),
+            Row(id=2, text="no pii here"),
+            Row(id=3, text="two mails x@y.org z@w.io and +999-888 7777x"),
+        ]
+    )
+    out = {r.id: r for r in textstats.redact_pii(df, "text").collect()}
+    assert out[1].n_emails == 1 and out[1].n_phones == 1
+    assert out[1].redacted == "write <EMAIL> or call <PHONE> now"
+    assert out[2].n_emails == 0 and out[2].n_phones == 0
+    assert out[2].redacted == "no pii here"
+    assert out[3].n_emails == 2 and out[3].n_phones == 1
+    assert out[3].redacted == "two mails <EMAIL> <EMAIL> and <PHONE>x"
+
+
+# ------------------------------------------------------------------ URL
+
+
+def test_url_parts_and_normalize(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, url="HTTPS://WWW.Example.COM:443/A/b/?q=1#frag"),
+            Row(id=2, url="http://sub.deep.example.org/path/"),
+            Row(id=3, url="https://example.io"),
+            Row(id=4, url=None),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            url_host("url").alias("h"),
+            url_path("url").alias("p"),
+            url_domain("url").alias("d"),
+            normalize_url("url").alias("n"),
+        ).collect()
+    }
+    assert out[1].h == "www.example.com"
+    assert out[1].p == "/A/b"
+    assert out[1].d == "example.com"
+    assert out[1].n == "https://www.example.com/A/b?q=1"
+    assert out[2].d == "example.org"
+    assert out[2].n == "http://sub.deep.example.org/path"
+    assert out[3].p == "/" and out[3].n == "https://example.io/"
+    assert out[4].n is None
+
+
+def test_normalize_url_folds_equivalent_spellings(spark):
+    """The CDC keying property: trivially-different spellings of one
+    page collapse to a single LWW key."""
+    df = spark.createDataFrame(
+        [
+            Row(url="https://Host.Example.com/a/b"),
+            Row(url="HTTPS://host.example.com:443/a/b/"),
+            Row(url="https://host.example.com/a/b#section-2"),
+        ]
+    )
+    n = df.select(normalize_url("url").alias("n")).distinct().count()
+    assert n == 1
+
+
+# -------------------------------------------------------- interval join
+
+
+def _ij_frames(spark):
+    left = spark.createDataFrame(
+        [Row(eid=i, k="a" if i % 2 == 0 else "b", ts=float(i * 100)) for i in range(40)]
+    ).select("eid", "k", F.timestamp_seconds("ts").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            Row(iid=1, k="a", lo=150.0, hi=1450.0),
+            Row(iid=2, k="a", lo=1400.0, hi=1600.0),  # overlaps iid=1
+            Row(iid=3, k="b", lo=0.0, hi=100.0),
+            Row(iid=4, k="b", lo=3950.0, hi=3950.0),  # degenerate point
+            Row(iid=5, k="b", lo=500.0, hi=400.0),  # inverted: matches nothing
+        ]
+    ).select(
+        "iid",
+        "k",
+        F.timestamp_seconds("lo").alias("lo"),
+        F.timestamp_seconds("hi").alias("hi"),
+    )
+    return left, right
+
+
+def test_interval_join_matches_naive_between(spark):
+    left, right = _ij_frames(spark)
+    for width in (60, 500, 10_000):  # narrower / similar / wider than intervals
+        got = interval_join(left, right, "ts", "lo", "hi", on=["k"], bucket_width_s=width)
+        naive = left.alias("l").join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & F.col("l.ts").between(F.col("r.lo"), F.col("r.hi")),
+        ).select("l.eid", "r.iid")
+        g = sorted((r.eid, r.iid) for r in got.select("eid", "iid").collect())
+        w = sorted((r.eid, r.iid) for r in naive.collect())
+        assert g == w, f"width={width}"
+        assert len(g) > 0
+
+
+def test_interval_join_no_key_scope(spark):
+    left, right = _ij_frames(spark)
+    got = interval_join(left, right.drop("k"), "ts", "lo", "hi", bucket_width_s=300)
+    naive = left.join(
+        right.drop("k"), left["ts"].between(right["lo"], right["hi"])
+    ).count()
+    assert got.count() == naive
+
+
+def test_interval_join_is_equi_join_not_nested_loop(spark):
+    """The whole point: the physical plan must be a hash/sort-merge
+    equi-join on the bucket key, never BroadcastNestedLoopJoin or
+    CartesianProduct."""
+    left, right = _ij_frames(spark)
+    plan = interval_join(
+        left, right, "ts", "lo", "hi", on=["k"], bucket_width_s=500
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
