@@ -803,6 +803,40 @@ def url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def incremental_jaccard_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-Jaccard batch-vs-corpus near-dup screening
+    (dedup.incremental_jaccard_pairs): the oracled companion to the
+    minhash-sketch incremental screen — same inverted-index probe shape
+    (O(batch postings), corpus-df stop-shingle cutoff), deterministic
+    Jaccard, full DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    pairs = dedup.incremental_jaccard_pairs(
+        corpus, batch, "doc_id", "text", min_jaccard=0.4
+    )
+    return pairs.select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("batch_id", "corpus_id")
+
+
+def cdc_admission_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-batch CDC content-admission decision
+    (dedup.admission_screen): Bloom-screened exact-duplicate flag +
+    exact-Jaccard near-duplicate flag + admit verdict, end-to-end
+    DuckDB-oracled (the Bloom screen's no-false-negative property makes
+    it invisible in the result)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    out = dedup.admission_screen(
+        corpus, batch, "doc_id", "text", min_jaccard=0.4, n_bits=1 << 16
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "exact_dup", "near_dup", "admitted"
+    ).orderBy("doc_id")
+
+
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (joins.interval_join): clicks falling in
     the 30 minutes after an error by the same user. Bucketed equi-join
@@ -884,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": doc_pii_redact,
         "url_host_stats": url_host_stats,
         "events_interval_join": events_interval_join,
+        "incremental_jaccard_screen": incremental_jaccard_screen,
+        "cdc_admission_screen": cdc_admission_screen,
     }
 
 
@@ -1203,6 +1239,75 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT nurl) AS n_pages,
                    round(avg(n_chars), 2) AS avg_chars
             FROM formed GROUP BY host, domain ORDER BY host
+        """,
+        "incremental_jaccard_screen": """
+            WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+            bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+            csh AS (
+              SELECT doc_id AS cid,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM corp),
+            stop AS (SELECT shingle FROM csh GROUP BY shingle HAVING count(*) > 100),
+            cpost AS (SELECT cid, shingle FROM csh
+                      WHERE shingle NOT IN (SELECT shingle FROM stop)),
+            bsh AS (
+              SELECT doc_id AS bid,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM bat),
+            bpost AS (SELECT bid, shingle FROM bsh
+                      WHERE shingle NOT IN (SELECT shingle FROM stop)),
+            bs AS (SELECT bid, count(*) AS n_b FROM bpost GROUP BY bid),
+            cs AS (SELECT cid, count(*) AS n_c FROM cpost GROUP BY cid),
+            common AS (SELECT bid, cid, count(*) AS n
+                       FROM bpost JOIN cpost USING (shingle) GROUP BY bid, cid)
+            SELECT bid AS batch_id, cid AS corpus_id,
+                   round(n / (n_b + n_c - n), 6) AS jaccard
+            FROM common JOIN bs USING (bid) JOIN cs USING (cid)
+            WHERE n / (n_b + n_c - n) >= 0.4
+            ORDER BY batch_id, corpus_id
+        """,
+        "cdc_admission_screen": """
+            WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0),
+            bat AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+            csh AS (
+              SELECT doc_id AS cid,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM corp),
+            stop AS (SELECT shingle FROM csh GROUP BY shingle HAVING count(*) > 100),
+            cpost AS (SELECT cid, shingle FROM csh
+                      WHERE shingle NOT IN (SELECT shingle FROM stop)),
+            bsh AS (
+              SELECT doc_id AS bid,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM bat),
+            bpost AS (SELECT bid, shingle FROM bsh
+                      WHERE shingle NOT IN (SELECT shingle FROM stop)),
+            bs AS (SELECT bid, count(*) AS n_b FROM bpost GROUP BY bid),
+            cs AS (SELECT cid, count(*) AS n_c FROM cpost GROUP BY cid),
+            near AS (
+              SELECT DISTINCT bid FROM (
+                SELECT bid, cid, count(*) AS n
+                FROM bpost JOIN cpost USING (shingle) GROUP BY bid, cid) j
+              JOIN bs USING (bid) JOIN cs USING (cid)
+              WHERE n / (n_b + n_c - n) >= 0.4)
+            SELECT b.doc_id,
+                   md5(b.text) IN (SELECT md5(text) FROM corp) AS exact_dup,
+                   b.doc_id IN (SELECT bid FROM near) AS near_dup,
+                   NOT (md5(b.text) IN (SELECT md5(text) FROM corp)
+                        OR b.doc_id IN (SELECT bid FROM near)) AS admitted
+            FROM bat b ORDER BY b.doc_id
         """,
         "events_interval_join": """
             SELECT c.event_id, e.err_id, c.user_id

@@ -701,3 +701,158 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return _pin(sh, out)
+
+
+def shingle_index(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    max_df: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the reusable inverted index for exact-Jaccard screening of
+    change batches against a corpus: returns ``(postings, stop)`` where
+    ``postings`` = (cid, shingle) with stop-shingles removed and ``stop``
+    = the shingles whose CORPUS document frequency exceeds ``max_df``
+    (they would create quadratic hot buckets in the probe join).
+
+    Both frames are pure relational results — persist them to parquet
+    and reload to amortize the corpus pass across every batch, exactly
+    like ``bloom_bits`` for the exact-fingerprint screen."""
+    sh = _spread(corpus).select(
+        F.col(id_col).alias("cid"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    stop = dfreq.filter(F.col("df_count") > max_df).select("shingle")
+    postings = sh.join(stop, "shingle", "left_anti")
+    return postings, stop
+
+
+def incremental_jaccard_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_df: int = 100,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard batch-vs-corpus near-dup screening — the
+    deterministic companion to ``incremental_lsh_pairs`` (which estimates
+    Jaccard from minhash sketches): every batch document is compared to
+    corpus documents sharing at least one non-stop shingle, via an
+    inverted-index equi-join whose cost is O(batch postings × matching
+    corpus postings), never batch × corpus.
+
+    Exactness makes it fully SQL-expressible, so the driver entry
+    (``incremental_jaccard_screen``) carries a DuckDB oracle — this is
+    the oracled code path for the per-batch CDC admission shape.
+
+    Stop-shingles are defined by CORPUS document frequency (> ``max_df``)
+    — the corpus is the index; batch shingles are filtered against the
+    same stop set so both Jaccard denominators use the same vocabulary
+    (mixing pre/post-filter sizes systematically underestimates
+    similarity — see ngram_jaccard_pairs).
+
+    Pass ``corpus_index`` (from :func:`shingle_index`, possibly reloaded
+    from parquet) to amortize the corpus pass across batches.
+
+    Returns (batch_id, corpus_id, jaccard).
+    """
+    if corpus_index is None:
+        corpus_index = shingle_index(corpus, id_col, text_col, shingle_k, max_df)
+    postings, stop = corpus_index
+    bsh = _spread(batch).select(
+        F.col(id_col).alias("bid"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
+    ).join(stop, "shingle", "left_anti")
+    b_sizes = bsh.groupBy("bid").agg(F.count("*").alias("n_b"))
+    c_sizes = postings.groupBy("cid").agg(F.count("*").alias("n_c"))
+    common = (
+        bsh.join(postings, "shingle")
+        .groupBy("bid", "cid")
+        .agg(F.count("*").alias("n_common"))
+    )
+    out = (
+        common.join(b_sizes, "bid")
+        .join(c_sizes, "cid")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_b") + F.col("n_c") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select(
+            F.col("bid").alias("batch_id"),
+            F.col("cid").alias("corpus_id"),
+            "jaccard",
+        )
+    )
+    # bsh feeds two branches (sizes + probe join); pin with a release point
+    return _pin(bsh, out)
+
+
+def admission_screen(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard: float = 0.5,
+    max_df: int = 100,
+    shingle_k: int = 3,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """The full CDC content-admission decision for a change batch, in one
+    call: flag each batch document as an EXACT duplicate (corpus already
+    holds byte-identical normalized content — Bloom-screened, so the
+    corpus fingerprint set is only consulted for the maybe-present
+    sliver) and/or a NEAR duplicate (some corpus document with exact
+    n-gram Jaccard ≥ ``min_jaccard``); admit what is neither.
+
+    Every stage is deterministic and SQL-expressible, so the END-TO-END
+    decision is DuckDB-oracled in the driver contract
+    (``cdc_admission_screen``) — including the Bloom screen, whose
+    no-false-negative property makes it invisible in the result.
+
+    Returns batch keyed rows: (id, exact_dup, near_dup, admitted)."""
+    from . import bloom as _bloom
+
+    fp = F.md5(F.col(text_col))
+    corp_fp = corpus.select(fp.alias("fp"))
+    bits = _bloom.bloom_bits(corp_fp, "fp", n_bits, n_hashes)
+    b = batch.select(F.col(id_col).alias("id"), fp.alias("fp"))
+    screened = _bloom.bloom_screen(bits, b, "fp", n_bits, n_hashes)
+    exact_ids = (
+        screened.filter(F.col("maybe_present"))
+        .join(corp_fp, "fp", "left_semi")
+        .select("id")
+        .withColumn("__exact", F.lit(True))
+    )
+    pairs = incremental_jaccard_pairs(
+        corpus, batch, id_col, text_col, shingle_k, min_jaccard, max_df
+    )
+    near_ids = (
+        pairs.select(F.col("batch_id").alias("id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    release(pairs)
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(exact_ids, "id", "left")
+        .join(near_ids, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("__exact"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("__near"), F.lit(False)).alias("near_dup"),
+            (
+                F.coalesce(F.col("__exact"), F.lit(False))
+                | F.coalesce(F.col("__near"), F.lit(False))
+            ).alias("__dup"),
+        )
+        .select(
+            "id", "exact_dup", "near_dup", (~F.col("__dup")).alias("admitted")
+        )
+    )

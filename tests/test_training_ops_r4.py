@@ -226,3 +226,78 @@ def test_interval_join_is_equi_join_not_nested_loop(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ------------------------------------------- exact incremental screening
+
+
+def _screen_frames(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+            Row(doc_id=2, text="one two three four five six seven eight nine"),
+            Row(doc_id=3, text="red green blue cyan magenta yellow black white"),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            # exact copy of doc 1
+            Row(doc_id=10, text="alpha beta gamma delta epsilon zeta eta theta"),
+            # near copy of doc 2 (one token changed)
+            Row(doc_id=11, text="one two three four five six seven eight NINE"),
+            # novel
+            Row(doc_id=12, text="quick brown fox jumps over the lazy dog again"),
+        ]
+    )
+    return corpus, batch
+
+
+def test_incremental_jaccard_pairs_basic(spark):
+    from csv_cruncher_spark.operators import dedup
+
+    corpus, batch = _screen_frames(spark)
+    pairs = dedup.incremental_jaccard_pairs(
+        corpus, batch, "doc_id", "text", min_jaccard=0.4
+    )
+    got = {(r.batch_id, r.corpus_id): r.jaccard for r in pairs.collect()}
+    dedup.release(pairs)
+    assert got[(10, 1)] == pytest.approx(1.0)  # exact copy
+    assert (11, 2) in got and 0.4 <= got[(11, 2)] < 1.0  # near copy
+    assert not any(b == 12 for b, _ in got)  # novel doc matches nothing
+
+
+def test_incremental_jaccard_prebuilt_index_round_trips(spark, tmp_path):
+    from csv_cruncher_spark.operators import dedup
+
+    corpus, batch = _screen_frames(spark)
+    postings, stop = dedup.shingle_index(corpus, "doc_id", "text")
+    pp, sp = str(tmp_path / "postings"), str(tmp_path / "stop")
+    postings.write.parquet(pp)
+    stop.write.parquet(sp)
+    reloaded = (spark.read.parquet(pp), spark.read.parquet(sp))
+    inline = dedup.incremental_jaccard_pairs(
+        corpus, batch, "doc_id", "text", min_jaccard=0.4
+    )
+    amortized = dedup.incremental_jaccard_pairs(
+        corpus, batch, "doc_id", "text", min_jaccard=0.4, corpus_index=reloaded
+    )
+    a = sorted((r.batch_id, r.corpus_id, round(r.jaccard, 9)) for r in inline.collect())
+    b = sorted((r.batch_id, r.corpus_id, round(r.jaccard, 9)) for r in amortized.collect())
+    dedup.release(inline)
+    dedup.release(amortized)
+    assert a == b and len(a) > 0
+
+
+def test_admission_screen_flags(spark):
+    from csv_cruncher_spark.operators import dedup
+
+    corpus, batch = _screen_frames(spark)
+    out = {
+        r.id: r
+        for r in dedup.admission_screen(
+            corpus, batch, "doc_id", "text", min_jaccard=0.4, n_bits=1 << 12
+        ).collect()
+    }
+    assert out[10].exact_dup and out[10].near_dup and not out[10].admitted
+    assert not out[11].exact_dup and out[11].near_dup and not out[11].admitted
+    assert not out[12].exact_dup and not out[12].near_dup and out[12].admitted
