@@ -302,3 +302,33 @@ def test_stateful_lww_stale_prefix_then_live_tail(spark, tmp_path):
 
     want_ts = pd.Timestamp("2024-01-05 00:00:00").value // 1000
     assert got[u] == (want_ts, "cs", True)
+
+
+def test_stream_dedup_drops_redelivered_events(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on the ingest edge: a re-delivered
+    batch file (same events, later micro-batch) adds ZERO rows, and no
+    (url, warc_ts) key is emitted twice."""
+    import shutil
+
+    from csv_cruncher_spark.streaming.dedup import run_dedup_to_memory
+
+    bdir = str(tmp_path / "batches")
+    files = _gen(bdir, 3, seed=17)
+    # transport re-delivery: batch 1's file arrives again under a new name
+    shutil.copy(files[1], os.path.join(bdir, "redelivered-copy.csv"))
+    # wide watermark: every duplicate is inside the dedup window, so the
+    # drop is guaranteed (not best-effort late-data behavior)
+    run_dedup_to_memory(spark, bdir, table_name="dedup_t", watermark="48 hours")
+    out = spark.sql("SELECT url, warc_ts, count(*) AS n FROM dedup_t GROUP BY url, warc_ts")
+    assert out.filter("n > 1").count() == 0
+    from pyspark.sql import functions as F
+
+    expected = (
+        spark.read.option("header", True)
+        .csv(bdir)
+        .withColumn("warc_ts", F.to_timestamp("warc_ts"))
+        .select("url", "warc_ts")
+        .distinct()
+        .count()
+    )
+    assert spark.sql("SELECT count(*) FROM dedup_t").collect()[0][0] == expected
