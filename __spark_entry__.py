@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from csv_cruncher_spark.functions import json_subtree  # noqa: E402
 from csv_cruncher_spark.functions import normalize_url, url_domain, url_host  # noqa: E402
-from csv_cruncher_spark.lake import salt  # noqa: E402
+from csv_cruncher_spark.lake import ivm, salt  # noqa: E402
 from csv_cruncher_spark.operators import (  # noqa: E402
     bloom,
     dedup,
@@ -837,6 +837,48 @@ def cdc_admission_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ivm_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (lake/ivm.py): the
+    per-event_type (user count, total cents) aggregate over the LWW user
+    state is bootstrapped from a 3/4 subset of events, then the NET
+    I/U/D change feed (with pre-images) folds the remaining quarter in —
+    O(changed keys), no recompute. The DuckDB oracle recomputes the
+    aggregate from the FULL final state, so any error in the
+    retraction/addition math (group moves, group death, null-sum
+    restore) breaks the value hash. Cents as BIGINT so maintained and
+    recomputed sums are bit-equal (no float-retraction drift)."""
+    ev = _t(spark, sf_dir, "events")
+
+    def state(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "value"), F.struct("ts", "event_id")
+                ).alias("_l")
+            )
+            .select(
+                "user_id",
+                F.col("_l.event_type").alias("event_type"),
+                F.round(F.col("_l.value") * 100).cast("long").alias("value_cents"),
+            )
+        )
+
+    pre = state(ev.filter(F.col("event_id") % 4 != 0))
+    post = state(ev)
+    group, sums = ["event_type"], {"sum_cents": "value_cents"}
+    maintained = ivm.apply_changes_to_agg(
+        ivm.compute_agg(pre, group, sums, count_col="n_users"),
+        ivm.diff_states(pre, post, "user_id"),
+        group,
+        sums,
+        count_col="n_users",
+    )
+    return maintained.select(
+        "event_type", "n_users", "sum_cents"
+    ).orderBy("event_type")
+
+
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (joins.interval_join): clicks falling in
     the 30 minutes after an error by the same user. Bucketed equi-join
@@ -878,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_rollup": events_hourly_rollup,
         "events_sessionize": events_sessionize,
         "events_lww_state": events_lww_state,
+        "ivm_event_type_stats": ivm_event_type_stats,
         "json_extract_props": json_extract_props,
         "set_intersect_nations": set_intersect_nations,
         "set_except_nations": set_except_nations,
@@ -1043,6 +1086,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) t
             WHERE rn = 1 ORDER BY user_id
+        """,
+        "ivm_event_type_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_users,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1
+            GROUP BY event_type ORDER BY event_type
         """,
         "json_extract_props": """
             SELECT event_id, json_extract_string(props, '$.k') AS k_text

@@ -66,7 +66,11 @@ class TableBackend(ABC):
 
     @abstractmethod
     def changes_between(
-        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+        self,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        with_before: bool = False,
     ) -> DataFrame:
         """Incremental change feed over the epoch range ``(from_epoch,
         to_epoch]`` (``to_epoch=None`` = the current epoch): one row per
@@ -81,6 +85,10 @@ class TableBackend(ABC):
         Keys touched but net-unchanged (stale LWW losers, in-range
         insert+delete, identical rewrite) are NOT emitted.
         ``from_epoch=-1`` is the bootstrap: the full state as inserts.
+        ``with_before=True`` adds a ``__before`` struct column with the
+        key's pre-range content (null for ``I``, the old row for
+        ``U``/``D``) — the retraction input for incremental aggregate
+        maintenance (:mod:`csv_cruncher_spark.lake.ivm`).
         Raises ``ValueError`` when the range's history has been expired
         (retention bounds the feed window on every backend)."""
         ...
@@ -179,11 +187,16 @@ class ManifestBackend(TableBackend):
         from_epoch: int,
         to_epoch: int | None = None,
         allow_snapshot_diff: bool = False,
+        with_before: bool = False,
     ) -> DataFrame:
         # pure delegation — the feed machinery (delta-range key discovery,
         # keyed endpoint reads, net-change hash suppression) lives on
         # LakeTable and is property-tested there; the facade only fixes
         # the contract shape shared with IcebergBackend
         return self._table().changes_between(
-            spark, from_epoch, to_epoch, allow_snapshot_diff=allow_snapshot_diff
+            spark,
+            from_epoch,
+            to_epoch,
+            allow_snapshot_diff=allow_snapshot_diff,
+            with_before=with_before,
         )

@@ -320,7 +320,11 @@ class IcebergBackend(TableBackend):
         )
 
     def changes_between(
-        self, spark: SparkSession, from_epoch: int, to_epoch: int | None = None
+        self,
+        spark: SparkSession,
+        from_epoch: int,
+        to_epoch: int | None = None,
+        with_before: bool = False,
     ) -> DataFrame:
         """The TableBackend change-feed contract over Iceberg's changelog
         procedure (``system.create_changelog_view``, Iceberg >= 1.2 —
@@ -335,11 +339,15 @@ class IcebergBackend(TableBackend):
         and ``compute_updates`` + identifier column folds the DELETE+INSERT
         pair of an update into UPDATE_BEFORE/UPDATE_AFTER, which project
         onto the contract's I/U/D (__op) shape; D rows null their non-key
-        data columns to match the manifest feed byte-for-byte. An expired
+        data columns to match the manifest feed byte-for-byte.
+        ``with_before=True`` folds the UPDATE_BEFORE row (or the DELETE
+        row's own payload) into a ``__before`` struct on the surviving
+        row, matching the manifest feed's pre-image shape. An expired
         from-snapshot surfaces as the same ``ValueError`` the manifest
         backend raises (retention bounds the feed window on every
         backend)."""
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         props = self._props()
         cur_epoch = int(props.get(_PROP_EPOCH, "-1"))
@@ -352,16 +360,30 @@ class IcebergBackend(TableBackend):
             )
         data_cols = self.column_names()
         key = self.key_col
-        if from_epoch == to_epoch:
-            return (
-                self.read(spark)
-                .select(F.lit("").alias("__op"), *data_cols)
-                .limit(0)
+
+        def _before_type(df: DataFrame) -> T.StructType:
+            return T.StructType(
+                [df.schema[c] for c in data_cols]  # type: ignore[misc]
             )
+
+        if from_epoch == to_epoch:
+            base = self.read(spark)
+            out = base.select(F.lit("").alias("__op"), *data_cols).limit(0)
+            if with_before:
+                out = out.withColumn(
+                    "__before", F.lit(None).cast(_before_type(base))
+                )
+            return out
         if from_epoch == -1:
             # bootstrap: the full resolved state as inserts — works even
             # after every pre-range snapshot expired
-            return self.read(spark).select(F.lit("I").alias("__op"), *data_cols)
+            base = self.read(spark)
+            out = base.select(F.lit("I").alias("__op"), *data_cols)
+            if with_before:
+                out = out.withColumn(
+                    "__before", F.lit(None).cast(_before_type(base))
+                )
+            return out
 
         esnaps = self._epoch_snapshots()
         missing = [
@@ -418,7 +440,22 @@ class IcebergBackend(TableBackend):
             else F.when(F.col("_change_type") == "DELETE", F.lit(None)).otherwise(F.col(c)).alias(c)
             for c in data_cols
         ]
-        return (
-            chg.filter(F.col("_change_type") != "UPDATE_BEFORE")
-            .select(op.alias("__op"), *cols)
+        after = chg.filter(F.col("_change_type") != "UPDATE_BEFORE")
+        if not with_before:
+            return after.select(op.alias("__op"), *cols)
+        # pre-images are already IN the changelog: an UPDATE_BEFORE row is
+        # the old content of its key's UPDATE_AFTER (net_changes => one
+        # pair per key in the range), and a DELETE row itself carries the
+        # deleted content — no time-travel read needed
+        row_struct = F.struct(*[F.col(c) for c in data_cols])
+        pre = chg.filter(F.col("_change_type") == "UPDATE_BEFORE").select(
+            F.col(key).alias("__pk"), row_struct.alias("__ub")
+        )
+        joined = after.join(pre, after[key] == pre["__pk"], "left")
+        before = (
+            F.when(F.col("_change_type") == "DELETE", row_struct)
+            .when(F.col("_change_type") == "UPDATE_AFTER", F.col("__ub"))
+        )
+        return joined.select(
+            op.alias("__op"), *cols, before.alias("__before")
         )

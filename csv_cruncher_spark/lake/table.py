@@ -242,6 +242,7 @@ class LakeTable:
         from_epoch: int,
         to_epoch: int | None = None,
         allow_snapshot_diff: bool = False,
+        with_before: bool = False,
     ) -> DataFrame:
         """Incremental change feed (the Iceberg incremental-scan / Delta
         CDF shape): the NET per-key change committed in epochs
@@ -257,6 +258,15 @@ class LakeTable:
         lost LWW, delete+re-insert of identical content, within-range
         insert+delete) are NOT emitted. ``from_epoch=-1`` means "before
         any commit" — the feed is then the full state as inserts.
+
+        ``with_before=True`` adds a ``__before`` struct column carrying
+        the key's resolved content at ``from_epoch`` (Delta CDF's
+        ``update_preimage``, folded into the same row): null for ``I``,
+        the old row for ``U``/``D``. The pre-image read already happens
+        to classify ops, so this costs nothing extra — it lets a
+        downstream consumer retract old contributions (incremental
+        aggregate maintenance, secondary-index upkeep) without a second
+        time-travel read.
 
         Scale shape: the touched-key set is derived from ONLY the range's
         delta files (batch-sized, found across retained snapshots even
@@ -292,9 +302,11 @@ class LakeTable:
             snap_now if to_epoch == snap_now["epoch_id"] else self.snapshot_at(to_epoch)
         )
         data_cols = [f["name"] for f in self.current_fields(snap_to)]
+        before_type = T.StructType(self.spark_schema(snap_to).fields)
         change_schema = T.StructType(
             [T.StructField("__op", T.StringType())]
             + self.spark_schema(snap_to).fields
+            + ([T.StructField("__before", before_type)] if with_before else [])
         )
         if from_epoch == to_epoch:
             return spark.createDataFrame([], change_schema)
@@ -303,7 +315,10 @@ class LakeTable:
             # resolved state as inserts — no delta discovery needed (and
             # none required: this works even after full expiry)
             cur = self.read(spark, snap=snap_to)
-            return cur.select(F.lit("I").alias("__op"), *data_cols)
+            out = cur.select(F.lit("I").alias("__op"), *data_cols)
+            if with_before:
+                out = out.withColumn("__before", F.lit(None).cast(before_type))
+            return out
 
         # Locate each needed epoch's COMMITTING snapshot (the lineage entry
         # written at its batch commit): that snapshot lists the epoch's
@@ -410,6 +425,13 @@ class LakeTable:
         pre_f = pre.select(
             F.col(key).alias("__pk"),
             F.xxhash64(F.struct(*[F.col(c) for c in data_cols])).alias("__h_old"),
+            *(
+                # pre-image piggybacks on the read the op classification
+                # already performs; absent pre row (I) → null struct
+                [F.struct(*[F.col(c) for c in data_cols]).alias("__before")]
+                if with_before
+                else []
+            ),
         )
         post_f = post.withColumn(
             "__h_new", F.xxhash64(F.struct(*[F.col(c) for c in data_cols]))
@@ -425,7 +447,9 @@ class LakeTable:
             F.coalesce(F.col(c), F.col("__pk")).alias(c) if c == key else F.col(c)
             for c in data_cols
         ]
-        return out.select("__op", *keyed)
+        return out.select(
+            "__op", *keyed, *(["__before"] if with_before else [])
+        )
 
     def _history_with_names(self) -> list[tuple[str, dict]]:
         """Retained (name, snapshot) ancestry, oldest first, by walking

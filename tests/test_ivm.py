@@ -1,0 +1,214 @@
+"""Incremental materialized-view maintenance (lake/ivm.py) and the
+change feed's pre-image column (changes_between with_before=True).
+
+The load-bearing invariant, checked against the REAL table feed and
+against pure-DataFrame diffs: for any pre/post states,
+
+    apply_changes_to_agg(compute_agg(pre), changes(pre->post))
+        == compute_agg(post)
+
+including group death (count -> 0) and SUM-over-no-values -> NULL.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+from pyspark.sql import Row, functions as F
+
+from csv_cruncher_spark.cdc.fixtures import (
+    ChangeLogSpec,
+    generate_change_log,
+    reference_fold,
+)
+from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+from csv_cruncher_spark.lake import ivm
+from csv_cruncher_spark.lake.table import LakeTable
+
+
+def _mk_log(tmp_path, n_batches=3, seed=47):
+    return generate_change_log(
+        ChangeLogSpec(
+            n_urls=80,
+            n_batches=n_batches,
+            events_per_batch=120,
+            seed=seed,
+            out_dir=str(tmp_path / "batches"),
+        )
+    )
+
+
+def _agg_dict(df, count_col="n_rows"):
+    return {
+        tuple(r[c] for c in df.columns if c not in (count_col, "sum_len", "sum_len_nn")):
+        (r[count_col], r["sum_len"])
+        for r in df.collect()
+    }
+
+
+# ------------------------------------------------------------- table feed --
+
+
+def test_feed_with_before_preimages(spark, tmp_path):
+    """__before carries the key's resolved content at from_epoch: null
+    for I, the old row for U and D; bootstrap (-1) is all-null."""
+    paths = _mk_log(tmp_path, n_batches=3)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=4).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+
+    old = reference_fold(paths[:1])
+    feed = t.changes_between(spark, 0, 2, with_before=True).collect()
+    assert feed, "expected net changes across epochs (0, 2]"
+    seen_ops = set()
+    for r in feed:
+        seen_ops.add(r["__op"])
+        if r["__op"] == "I":
+            assert r["__before"] is None, r
+        else:
+            b = r["__before"]
+            assert b is not None and b["url"] == r["url"], r
+            want = old[r["url"]]
+            assert b["text"] == want["text"] and b["lang"] == want["lang"], r
+            if r["__op"] == "D":
+                assert r["text"] is None  # post payload stays nulled
+    assert {"I", "U", "D"} & seen_ops, seen_ops
+
+    boot = t.changes_between(spark, -1, with_before=True)
+    assert boot.filter(F.col("__before").isNotNull()).count() == 0
+    assert "__before" in boot.columns
+    # empty range keeps the schema too
+    assert "__before" in t.changes_between(spark, 1, 1, with_before=True).columns
+
+
+def test_maintained_agg_tracks_table_epoch_by_epoch(spark, tmp_path):
+    """Bootstrap the aggregate at epoch 0, then fold each epoch's feed in
+    turn; after every fold the maintained aggregate equals a recompute
+    over the table state at that epoch. Measure (text length) is derived
+    via ivm.derive, so the pre-image derivation path is exercised."""
+    paths = _mk_log(tmp_path, n_batches=4, seed=52)
+    p = str(tmp_path / "lake")
+    CdcPipeline(p, n_buckets=4).run(spark, os.path.dirname(paths[0]))
+    t = LakeTable.load(p)
+
+    group, sums = ["lang"], {"sum_len": "text_len"}
+
+    def recompute(epoch):
+        st = t.read(spark, snap=t.snapshot_at(epoch)).withColumn(
+            "text_len", F.length("text").cast("long")
+        )
+        return ivm.compute_agg(st, group, sums)
+
+    agg = recompute(0)
+    for epoch in range(1, 4):
+        feed = t.changes_between(
+            spark, epoch - 1, epoch, with_before=True
+        )
+        feed = ivm.derive(
+            feed, text_len=lambda c: F.length(c("text")).cast("long")
+        )
+        agg = ivm.apply_changes_to_agg(agg, feed, group, sums)
+        assert _agg_dict(agg) == _agg_dict(recompute(epoch)), epoch
+
+
+# -------------------------------------------------------- diff_states path --
+
+
+def _state_df(spark, rows):
+    return spark.createDataFrame(
+        [Row(k=k, g=g, v=v) for k, g, v in rows],
+        "k long, g string, v long",
+    )
+
+
+def test_diff_states_shape_and_preimages(spark):
+    pre = _state_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", None)])
+    post = _state_df(spark, [(2, "b", 25), (3, "b", None), (4, "c", 40)])
+    got = {r["k"]: r for r in ivm.diff_states(pre, post, "k").collect()}
+    assert set(got) == {1, 2, 4}  # key 3 net-unchanged -> suppressed
+    assert got[1]["__op"] == "D" and got[1]["g"] is None
+    assert got[1]["__before"]["v"] == 10
+    assert got[2]["__op"] == "U" and got[2]["__before"]["g"] == "a"
+    assert got[4]["__op"] == "I" and got[4]["__before"] is None
+
+
+def test_randomized_maintenance_equals_recompute(spark):
+    """Property over randomized pre/post states with nulls, group death,
+    group birth, and group-preserving updates."""
+    rng = random.Random(1234)
+    groups = ["a", "b", "c", "d"]
+    for trial in range(4):
+        pre_rows = [
+            (k, rng.choice(groups), rng.choice([None, rng.randrange(100)]))
+            for k in range(60)
+            if rng.random() < 0.7
+        ]
+        pre_keys = {r[0] for r in pre_rows}
+        post_rows = [
+            (k, rng.choice(groups), rng.choice([None, rng.randrange(100)]))
+            for k in range(80)
+            if rng.random() < 0.7 and (k in pre_keys or k >= 60 or rng.random() < 0.5)
+        ]
+        # force total eviction of group 'd' from post (group death path)
+        post_rows = [r for r in post_rows if r[1] != "d"]
+        pre, post = _state_df(spark, pre_rows), _state_df(spark, post_rows)
+        changes = ivm.diff_states(pre, post, "k")
+        maintained = ivm.apply_changes_to_agg(
+            ivm.compute_agg(pre, ["g"], {"sum_len": "v"}),
+            changes,
+            ["g"],
+            {"sum_len": "v"},
+        )
+        assert _agg_dict(maintained) == _agg_dict(
+            ivm.compute_agg(post, ["g"], {"sum_len": "v"})
+        ), trial
+
+
+def test_sum_nulls_when_last_value_retracted(spark):
+    """Retracting the only non-null measure must yield NULL (recompute
+    parity), not 0 — and the nulled sum keeps folding correctly."""
+    pre = _state_df(spark, [(1, "a", 7), (2, "a", None)])
+    mid = _state_df(spark, [(1, "a", None), (2, "a", None)])
+    post = _state_df(spark, [(1, "a", None), (2, "a", 3)])
+    agg = ivm.compute_agg(pre, ["g"], {"sum_len": "v"})
+    agg = ivm.apply_changes_to_agg(
+        agg, ivm.diff_states(pre, mid, "k"), ["g"], {"sum_len": "v"}
+    )
+    row = agg.collect()[0]
+    assert row["n_rows"] == 2 and row["sum_len"] is None
+    agg = ivm.apply_changes_to_agg(
+        agg, ivm.diff_states(mid, post, "k"), ["g"], {"sum_len": "v"}
+    )
+    row = agg.collect()[0]
+    assert row["n_rows"] == 2 and row["sum_len"] == 3
+
+
+def test_agg_delta_suppresses_untouched_groups(spark):
+    """An update that changes neither the group nor any measure emits no
+    delta row for that group (zero-delta suppression), so a keyed upsert
+    of deltas touches only groups that moved."""
+    pre = _state_df(spark, [(1, "a", 10), (2, "b", 20)])
+    # key 1: payload change invisible to this aggregate (same g, same v)
+    # -> must NOT appear; key 2: measure change -> must appear
+    pre2 = pre.withColumn("extra", F.lit("x"))
+    post2 = _state_df(spark, [(1, "a", 10), (2, "b", 21)]).withColumn(
+        "extra", F.when(F.col("k") == 1, F.lit("y")).otherwise(F.lit("x"))
+    )
+    changes = ivm.diff_states(pre2, post2, "k")
+    assert {r["k"] for r in changes.collect()} == {1, 2}
+    delta = ivm.agg_delta(changes, ["g"], {"sum_len": "v"})
+    rows = {r["g"]: r for r in delta.collect()}
+    assert set(rows) == {"b"}
+    assert rows["b"]["n_rows"] == 0 and rows["b"]["sum_len"] == 1
+
+
+def test_apply_rejects_missing_maintained_columns(spark):
+    import pytest
+
+    pre = _state_df(spark, [(1, "a", 1)])
+    bad = pre.groupBy("g").agg(F.count(F.lit(1)).alias("n_rows"))
+    with pytest.raises(ValueError, match="compute_agg"):
+        ivm.apply_changes_to_agg(
+            bad, ivm.diff_states(pre, pre, "k"), ["g"], {"sum_len": "v"}
+        )
