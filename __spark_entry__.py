@@ -32,6 +32,7 @@ from csv_cruncher_spark.operators import (  # noqa: E402
     bloom,
     dedup,
     multimodal,
+    sampling,
     similarity,
     textstats,
 )
@@ -879,6 +880,44 @@ def ivm_event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (sampling.stratified_sample): keep
+    50% of en, 25% of de, drop zh, 10% of everything else — membership
+    is a pure function of md5(doc_id, salt), so the DuckDB oracle
+    re-derives the EXACT row set (not just the counts) from the same
+    math. Plan is a single narrow filter: no shuffle, no UDF, quota map
+    as a literal expression."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "de": 0.25, "zh": 0.0},
+        default_fraction=0.1,
+        salt="mix-v1",
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sampling.assign_split):
+    hash-space range partition, leakage-safe (a key's split never
+    changes as the corpus grows). Oracle recomputes every per-split
+    count and char total from the same md5 range math."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.assign_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="split-v1"
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (joins.interval_join): clicks falling in
     the 30 minutes after an error by the same user. Bucketed equi-join
@@ -921,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_lww_state": events_lww_state,
         "ivm_event_type_stats": ivm_event_type_stats,
+        "stratified_sample_docs": stratified_sample_docs,
+        "dataset_split_stats": dataset_split_stats,
         "json_extract_props": json_extract_props,
         "set_intersect_nations": set_intersect_nations,
         "set_except_nations": set_except_nations,
@@ -1099,6 +1140,34 @@ def oracle_sql() -> dict[str, str]:
               FROM events) t
             WHERE rn = 1
             GROUP BY event_type ORDER BY event_type
+        """,
+        "stratified_sample_docs": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix-v1'), 1, 8) <
+              CASE lang
+                WHEN 'en' THEN '{sampling._hex_threshold(0.5)}'
+                WHEN 'de' THEN '{sampling._hex_threshold(0.25)}'
+                WHEN 'zh' THEN '{sampling._hex_threshold(0.0)}'
+                ELSE '{sampling._hex_threshold(0.1)}'
+              END
+            ORDER BY doc_id
+        """,
+        "dataset_split_stats": f"""
+            SELECT split, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM (
+              SELECT CASE
+                       WHEN u < '{sampling._hex_threshold(0.8)}' THEN 'train'
+                       WHEN u < '{sampling._hex_threshold(0.9)}' THEN 'val'
+                       ELSE 'test'
+                     END AS split,
+                     n_chars
+              FROM (
+                SELECT substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'),
+                              1, 8) AS u,
+                       n_chars
+                FROM documents) h) s
+            GROUP BY split ORDER BY split
         """,
         "json_extract_props": """
             SELECT event_id, json_extract_string(props, '$.k') AS k_text

@@ -1,0 +1,117 @@
+"""Deterministic hash sampling / splitting (operators/sampling.py).
+
+The properties that make these operators trustworthy for corpus
+construction: partition-layout independence, nested thresholds,
+leakage-safe split stability under data growth, and a shuffle-free plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.operators import sampling
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(x) for x in ["en", "de", "fr", "zh"]]),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_sample_is_partition_layout_independent(spark):
+    df = _docs(spark)
+    ids = lambda d: {r[0] for r in d.select("doc_id").collect()}  # noqa: E731
+    a = ids(sampling.hash_sample(df, "doc_id", 0.3))
+    b = ids(sampling.hash_sample(df.repartition(17, "lang"), "doc_id", 0.3))
+    c = ids(sampling.hash_sample(df.coalesce(1), "doc_id", 0.3))
+    assert a == b == c
+    # a different salt draws an independent sample
+    d = ids(sampling.hash_sample(df, "doc_id", 0.3, salt="other"))
+    assert d != a
+    # binomial sanity: 0.3 of 2000 within 5 sigma
+    assert abs(len(a) - 600) < 5 * (2000 * 0.3 * 0.7) ** 0.5
+
+
+def test_sample_thresholds_nest(spark):
+    """sample(f1) is a SUBSET of sample(f2) for f1 < f2 under the same
+    salt — growing a quota only adds documents, never swaps them."""
+    df = _docs(spark)
+    small = {r[0] for r in sampling.hash_sample(df, "doc_id", 0.1).collect()}
+    big = {r[0] for r in sampling.hash_sample(df, "doc_id", 0.4).collect()}
+    assert small and small < big
+    # boundary fractions
+    assert sampling.hash_sample(df, "doc_id", 0.0).count() == 0
+    assert sampling.hash_sample(df, "doc_id", 1.0).count() == df.count()
+
+
+def test_stratified_fractions_and_default(spark):
+    df = _docs(spark)
+    out = sampling.stratified_sample(
+        df, "doc_id", "lang",
+        {"en": 0.5, "de": 0.2, "zh": 0.0},
+        default_fraction=0.1,
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got.get("zh") is None  # 0.0 quota -> stratum dropped entirely
+    assert abs(got["en"] - 250) < 5 * (500 * 0.25) ** 0.5
+    assert abs(got["de"] - 100) < 5 * (500 * 0.16) ** 0.5
+    assert abs(got.get("fr", 0) - 50) < 5 * (500 * 0.09) ** 0.5  # default
+    # per-row decisions match the plain sampler at the stratum's fraction
+    en_direct = {
+        r[0]
+        for r in sampling.hash_sample(
+            df.filter(F.col("lang") == "en"), "doc_id", 0.5, salt="mix-v1"
+        ).collect()
+    }
+    assert {r["doc_id"] for r in out.filter(F.col("lang") == "en").collect()} == en_direct
+
+
+def test_split_disjoint_exhaustive_and_growth_stable(spark):
+    df = _docs(spark, 1500)
+    out = sampling.assign_split(
+        df, "doc_id", {"train": 8, "val": 1, "test": 1}
+    )
+    n = out.count()
+    assert n == 1500
+    by = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(by) == {"train", "val", "test"}
+    assert abs(by["train"] - 1200) < 5 * (1500 * 0.8 * 0.2) ** 0.5
+    # leakage safety: the assignment of existing keys is unchanged when
+    # the corpus grows
+    grown = sampling.assign_split(
+        _docs(spark, 3000), "doc_id", {"train": 8, "val": 1, "test": 1}
+    )
+    old = {r["doc_id"]: r["split"] for r in out.collect()}
+    new = {r["doc_id"]: r["split"] for r in grown.filter(F.col("doc_id") < 1500).collect()}
+    assert old == new
+
+
+def test_sampling_plan_is_shuffle_free(spark):
+    """The samplers must stay narrow: a filter/projection over built-in
+    expressions — no Exchange, no Python UDF (BatchEvalPython)."""
+    df = _docs(spark)
+    for d in (
+        sampling.hash_sample(df, "doc_id", 0.3),
+        sampling.stratified_sample(df, "doc_id", "lang", {"en": 0.5}, 0.1),
+        sampling.assign_split(df, "doc_id", {"a": 1, "b": 1}),
+    ):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan, plan
+
+
+def test_split_input_validation(spark):
+    import pytest
+
+    df = _docs(spark, 10)
+    with pytest.raises(ValueError):
+        sampling.assign_split(df, "doc_id", {})
+    with pytest.raises(ValueError):
+        sampling.assign_split(df, "doc_id", {"a": 0.0})
+    # single split: everything gets the one label
+    one = sampling.assign_split(df, "doc_id", {"all": 3})
+    assert {r["split"] for r in one.collect()} == {"all"}
