@@ -30,6 +30,7 @@ from csv_cruncher_spark.functions import normalize_url, url_domain, url_host  # 
 from csv_cruncher_spark.lake import ivm, salt  # noqa: E402
 from csv_cruncher_spark.operators import (  # noqa: E402
     bloom,
+    corpus,
     dedup,
     multimodal,
     sampling,
@@ -918,6 +919,39 @@ def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (textstats.token_frequencies): exact tf + df
+    for every token with tf >= 3, top 100 by frequency. Two-level hash
+    aggregation — per-(token, doc) partial combine, then per-token —
+    so exact document frequency costs no count(distinct) Expand and the
+    'the'-skew arrives pre-summed. Oracle re-derives both counts from
+    the same regex tokenizer via unnest."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.token_frequencies(docs, "doc_id", "text", min_tf=3)
+    return out.orderBy(F.desc("tf"), "token").limit(100)
+
+
+def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus construction (corpus.build_corpus): token gate
+    -> exact dedup (min-id keeper per normalized fingerprint) -> per-
+    language quotas -> train/val/test split, all in ONE shuffle
+    (plan-pinned in tests). Row-level oracle: DuckDB replays the whole
+    pipeline — gate, window-min keeper, md5 quota and split math — and
+    must reproduce the EXACT surviving (doc_id, lang, split) set."""
+    docs = _t(spark, sf_dir, "documents")
+    out = corpus.build_corpus(
+        docs,
+        "doc_id",
+        "text",
+        "lang",
+        min_tokens=10,
+        quotas={"en": 0.9, "de": 0.5},
+        default_quota=0.25,
+        splits={"train": 8, "val": 1, "test": 1},
+    )
+    return out.select("doc_id", "lang", "split").orderBy("doc_id")
+
+
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (joins.interval_join): clicks falling in
     the 30 minutes after an error by the same user. Bucketed equi-join
@@ -962,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_event_type_stats": ivm_event_type_stats,
         "stratified_sample_docs": stratified_sample_docs,
         "dataset_split_stats": dataset_split_stats,
+        "corpus_vocab_topk": corpus_vocab_topk,
+        "corpus_build": corpus_build,
         "json_extract_props": json_extract_props,
         "set_intersect_nations": set_intersect_nations,
         "set_except_nations": set_except_nations,
@@ -1168,6 +1204,58 @@ def oracle_sql() -> dict[str, str]:
                        n_chars
                 FROM documents) h) s
             GROUP BY split ORDER BY split
+        """,
+        "corpus_vocab_topk": """
+            SELECT token, CAST(SUM(c) AS BIGINT) AS tf,
+                   CAST(COUNT(*) AS BIGINT) AS df
+            FROM (
+              SELECT doc_id, token, COUNT(*) AS c
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+                FROM documents) t
+              GROUP BY doc_id, token) per_doc
+            GROUP BY token
+            HAVING CAST(SUM(c) AS BIGINT) >= 3
+            ORDER BY tf DESC, token LIMIT 100
+        """,
+        "corpus_build": f"""
+            WITH gated AS (
+              SELECT doc_id, lang,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+              FROM documents
+              WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10
+            ),
+            kept AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+                FROM gated) k
+              WHERE doc_id = keeper
+            ),
+            sampled AS (
+              SELECT doc_id, lang FROM kept
+              WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':mix-v1'), 1, 8) <
+                CASE lang
+                  WHEN 'en' THEN '{sampling._hex_threshold(0.9)}'
+                  WHEN 'de' THEN '{sampling._hex_threshold(0.5)}'
+                  ELSE '{sampling._hex_threshold(0.25)}'
+                END
+            )
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN u < '{sampling._hex_threshold(0.8)}' THEN 'train'
+                     WHEN u < '{sampling._hex_threshold(0.9)}' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM (
+              SELECT doc_id, lang,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'),
+                            1, 8) AS u
+              FROM sampled) s
+            ORDER BY doc_id
         """,
         "json_extract_props": """
             SELECT event_id, json_extract_string(props, '$.k') AS k_text

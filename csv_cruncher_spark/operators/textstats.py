@@ -224,3 +224,51 @@ def redact_pii(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level vocabulary statistics — the one explode-heavy shape in
+# the text layer: token frequency over the WHOLE corpus (vocab building,
+# tokenizer-training input, Zipf diagnostics).
+# ---------------------------------------------------------------------------
+
+
+def token_frequencies(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str = TOKEN_REGEX,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: one row per distinct token with
+
+      tf  total occurrences across the corpus
+      df  number of distinct documents containing the token
+
+    Tokens come from the regex tokenizer over lowercased text (the same
+    stream ``regex_token_count`` counts). ``min_tf`` prunes the hapax
+    tail AFTER aggregation — a pre-agg prune is impossible (a token's
+    global count is unknowable map-side), so the filter cuts the result,
+    not the shuffle.
+
+    Scale shape (100 TB): explode is narrow; then TWO hash aggregations,
+    both with map-side partial combine. Stage 1 keys on (token, doc) —
+    within a task a document's occurrences collapse to one pre-summed
+    row per distinct in-doc token, so shuffle volume is per-doc-distinct
+    pairs (the exact-df lower bound), not raw occurrences. Stage 2 keys
+    on token: tf = sum of per-doc counts, df = row count — exact
+    document frequency with NO count(distinct) Expand node, and the
+    "the"-skew arrives pre-combined (≤ one row per upstream partition).
+    """
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    per_doc = (
+        df.select(F.col(id_col).alias("__doc"), F.explode(toks).alias("token"))
+        .groupBy("token", "__doc")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    out = per_doc.groupBy("token").agg(
+        F.sum("__c").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    if min_tf > 1:
+        out = out.filter(F.col("tf") >= min_tf)
+    return out

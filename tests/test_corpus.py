@@ -1,0 +1,165 @@
+"""Corpus construction (operators/corpus.py) and corpus vocabulary
+(textstats.token_frequencies).
+
+What must hold: exact tf/df on known text, hapax pruning, no
+count-distinct Expand in the vocab plan; for build_corpus — quality
+gate, min-id keeper per normalized-fingerprint group, quota subset
+behavior, disjoint splits, bit-reproducibility across partitionings,
+and the one-shuffle plan promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.operators import corpus, sampling, textstats
+
+
+def _vocab_df(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "cat cat cat"),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string")
+
+
+def test_token_frequencies_exact(spark):
+    out = textstats.token_frequencies(_vocab_df(spark), "doc_id", "text")
+    got = {r["token"]: (r["tf"], r["df"]) for r in out.collect()}
+    assert got["the"] == (3, 2)  # twice in doc 1, once in doc 2
+    assert got["cat"] == (4, 2)  # once in doc 1, thrice in doc 3
+    assert got["mat"] == (1, 1)
+    assert got["dog"] == (1, 1)
+    # tokenizer is the regex one: lowercase alnum runs, punctuation split
+    out2 = textstats.token_frequencies(
+        spark.createDataFrame([(1, "A-B a_b 7x")], "doc_id int, text string"),
+        "doc_id",
+        "text",
+    )
+    got2 = {r["token"]: r["tf"] for r in out2.collect()}
+    assert got2 == {"a": 2, "b": 2, "7x": 1}
+
+
+def test_token_frequencies_min_tf_prunes_hapax(spark):
+    out = textstats.token_frequencies(
+        _vocab_df(spark), "doc_id", "text", min_tf=2
+    )
+    toks = {r["token"] for r in out.collect()}
+    assert toks == {"the", "cat"}
+
+
+def test_token_frequencies_plan_no_expand(spark):
+    """Exact df must come from the two-level aggregation, not a
+    count(distinct) Expand node (which triples shuffle volume)."""
+    plan = (
+        textstats.token_frequencies(_vocab_df(spark), "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def _docs(spark):
+    rows = [
+        # dup group after normalization (punctuation/case/space folds)
+        (1, "en", "The cat sat on the mat today okay"),
+        (5, "en", "the CAT  sat, on the mat today okay!"),
+        (9, "en", "THE cat sat on the mat today okay."),
+        # unique docs
+        (2, "de", "der hund lief durch den park heute schnell"),
+        (3, "fr", "le chat dort sur le tapis rouge maintenant"),
+        (4, "en", "completely different text about spark engines here"),
+        # junk: below the token gate
+        (6, "en", "too short"),
+        (7, "zh", ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, lang string, text string")
+
+
+def test_build_corpus_gate_dedup_keeper(spark):
+    out = corpus.build_corpus(
+        _docs(spark), "doc_id", "text", "lang", min_tokens=5
+    ).select("doc_id", "lang", "split")
+    got = {r["doc_id"] for r in out.collect()}
+    # junk gone, dup group collapsed to min id 1; default quota 1.0 and
+    # single split keep everything else
+    assert got == {1, 2, 3, 4}
+    assert {r["split"] for r in out.collect()} == {"train"}
+
+
+def test_build_corpus_quota_matches_sampler_and_splits_disjoint(spark):
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.concat(
+            F.lit("unique document body number "),
+            F.col("id"),
+            F.lit(" with plenty of distinct tokens inside"),
+        ).alias("text"),
+    )
+    out = corpus.build_corpus(
+        df,
+        "doc_id",
+        "text",
+        "lang",
+        min_tokens=3,
+        quotas={"en": 0.5},
+        default_quota=0.2,
+        splits={"train": 8, "val": 1, "test": 1},
+    )
+    rows = out.select("doc_id", "lang", "split").collect()
+    # per-row membership identical to the standalone sampler's decision
+    en_direct = {
+        r["doc_id"]
+        for r in sampling.hash_sample(
+            df.filter(F.col("lang") == "en"), "doc_id", 0.5, salt="mix-v1"
+        )
+        .select("doc_id")
+        .collect()
+    }
+    assert {r["doc_id"] for r in rows if r["lang"] == "en"} == en_direct
+    # every surviving row got exactly one split; all three appear
+    assert all(r["split"] in {"train", "val", "test"} for r in rows)
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # reproducible under a different layout
+    again = {
+        (r["doc_id"], r["split"])
+        for r in corpus.build_corpus(
+            df.repartition(17, "lang"),
+            "doc_id",
+            "text",
+            "lang",
+            min_tokens=3,
+            quotas={"en": 0.5},
+            default_quota=0.2,
+            splits={"train": 8, "val": 1, "test": 1},
+        )
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_build_corpus_single_shuffle(spark):
+    """The whole pipeline must cost ONE exchange (the fp shuffle for
+    keeper election); gates and samplers stay narrow, nothing in
+    Python."""
+    plan = (
+        corpus.build_corpus(
+            _docs(spark),
+            "doc_id",
+            "text",
+            "lang",
+            min_tokens=5,
+            quotas={"en": 0.5},
+            splits={"train": 9, "val": 1},
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
