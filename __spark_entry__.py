@@ -467,6 +467,30 @@ def lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per group (percentile/quantile_cont SQL surface):
+    interquartile price stats per return flag. Probabilities are kept to
+    {0.25, 0.5, 0.75} over INTEGER cents deliberately: (n-1)*p and the
+    interpolation a + (b-a)*f are then exact in IEEE double on every
+    engine, so Spark and DuckDB agree bit-for-bit with no rounding
+    hedge. At scale Spark's exact percentile is a single-pass typed
+    aggregate with map-side partial merge (OpenHashMap of distinct
+    values per partition) — fine for bounded-cardinality measures like
+    prices; unbounded measures would switch to approx_percentile."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
+            F.percentile(cents, F.lit(0.5)).alias("median_cents"),
+            F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via BANDED multi-plane LSH
     (round-2 verdict fix: bucket count now scales with bits_per_band
@@ -1022,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "parts_starting_with": parts_starting_with,
         "lineitem_stats": lineitem_stats,
+        "lineitem_quantiles": lineitem_quantiles,
         "recursive_nation_rollup": recursive_nation_rollup,
         "json_leaves_props": json_leaves_props,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
@@ -1085,6 +1110,17 @@ def oracle_sql() -> dict[str, str]:
                    round(stddev_samp(l_quantity), 2) AS sd_qty,
                    round(var_samp(l_discount), 2) AS var_disc,
                    round(corr(l_quantity, l_extendedprice), 2) + 0.0 AS corr_qty_price,
+                   count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "lineitem_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                                 0.25) AS p25_cents,
+                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                                 0.5) AS median_cents,
+                   quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT),
+                                 0.75) AS p75_cents,
                    count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
