@@ -33,6 +33,7 @@ from csv_cruncher_spark.operators import (  # noqa: E402
     corpus,
     dedup,
     multimodal,
+    packing,
     sampling,
     similarity,
     textstats,
@@ -976,6 +977,29 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "split").orderBy("doc_id")
 
 
+def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (packing.pack_sequences): documents concatenated
+    per shard in doc_id order and cut every 2048 tokens (GPT-style
+    pack-then-split; docs may span a boundary). Prefix-scan shape: ONE
+    exchange on the shard key, ordered window per shard — parallel
+    across shards, deterministic everywhere. Row-level oracle replays
+    the identical window math in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    out = packing.pack_sequences(
+        docs.select(
+            "doc_id",
+            textstats.regex_token_count("text").alias("n_tok"),
+        ),
+        "doc_id",
+        "n_tok",
+        budget=2048,
+        n_shards=8,
+    )
+    return out.select(
+        "doc_id", "shard", "start_offset", "first_chunk", "last_chunk"
+    ).orderBy("doc_id")
+
+
 def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join (joins.interval_join): clicks falling in
     the 30 minutes after an error by the same user. Bucketed equi-join
@@ -1022,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split_stats": dataset_split_stats,
         "corpus_vocab_topk": corpus_vocab_topk,
         "corpus_build": corpus_build,
+        "pack_documents": pack_documents,
         "json_extract_props": json_extract_props,
         "set_intersect_nations": set_intersect_nations,
         "set_except_nations": set_except_nations,
@@ -1240,6 +1265,27 @@ def oracle_sql() -> dict[str, str]:
                        n_chars
                 FROM documents) h) s
             GROUP BY split ORDER BY split
+        """,
+        "pack_documents": """
+            SELECT doc_id, shard, start_offset,
+                   CAST(floor(start_offset / 2048.0) AS BIGINT)
+                     AS first_chunk,
+                   CAST(floor((start_offset + greatest(n_tok, 1) - 1)
+                              / 2048.0) AS BIGINT) AS last_chunk
+            FROM (
+              SELECT doc_id, doc_id % 8 AS shard, n_tok,
+                     CAST(COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY doc_id % 8 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS BIGINT)
+                       AS start_offset
+              FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text),
+                                                   '[a-z0-9]+'))
+                            AS BIGINT) AS n_tok
+                FROM documents) t) p
+            ORDER BY doc_id
         """,
         "corpus_vocab_topk": """
             SELECT token, CAST(SUM(c) AS BIGINT) AS tf,

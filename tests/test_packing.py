@@ -1,0 +1,110 @@
+"""Sequence packing (operators/packing.py): exact offsets on known
+input, boundary spanning, empty docs, append stability, layout
+independence, and the one-exchange plan."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.operators import packing
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_tok long")
+
+
+def test_pack_exact_offsets_and_spanning(spark):
+    # one shard; budget 10; docs of 4, 5, 3, 7 tokens
+    rows = [(0, 4), (8, 5), (16, 3), (24, 7)]
+    out = packing.pack_sequences(
+        _df(spark, rows), "doc_id", "n_tok", budget=10, n_shards=1
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["start_offset"], r["first_chunk"], r["last_chunk"])
+        for r in out.collect()
+    }
+    assert got[0] == (0, 0, 0, 0)  # tokens 0-3
+    assert got[8] == (0, 4, 0, 0)  # tokens 4-8
+    assert got[16] == (0, 9, 0, 1)  # tokens 9-11: SPANS the boundary
+    assert got[24] == (0, 12, 1, 1)  # tokens 12-18
+
+
+def test_pack_empty_doc_degenerate(spark):
+    out = packing.pack_sequences(
+        _df(spark, [(1, 3), (2, 0), (3, 2)]),
+        "doc_id",
+        "n_tok",
+        budget=4,
+        n_shards=1,
+    )
+    got = {r["doc_id"]: (r["start_offset"], r["first_chunk"], r["last_chunk"]) for r in out.collect()}
+    assert got[2] == (3, 0, 0)  # zero tokens: occupies no space, spans nothing
+    assert got[3] == (3, 0, 1)  # next doc starts where the empty one did
+
+
+def test_pack_append_stability_and_sharding(spark):
+    """Appending docs with larger ids must not move existing docs, and
+    shards are independent streams."""
+    base = [(i, (i % 5) + 1) for i in range(40)]
+    out1 = packing.pack_sequences(
+        _df(spark, base), "doc_id", "n_tok", budget=16, n_shards=4
+    )
+    out2 = packing.pack_sequences(
+        _df(spark, base + [(i, 3) for i in range(40, 60)]),
+        "doc_id",
+        "n_tok",
+        budget=16,
+        n_shards=4,
+    )
+    a = {r["doc_id"]: (r["shard"], r["start_offset"]) for r in out1.collect()}
+    b = {
+        r["doc_id"]: (r["shard"], r["start_offset"])
+        for r in out2.filter(F.col("doc_id") < 40).collect()
+    }
+    assert a == b
+    # per-shard offsets are contiguous: sum of tokens == max(start+n)
+    tot = {s: sum(n for i, n in base if i % 4 == s) for s in range(4)}
+    ends = (
+        out1.groupBy("shard")
+        .agg(F.max(F.col("start_offset")).alias("m"))
+        .collect()
+    )
+    for r in ends:
+        # the last doc's start + its tokens == shard total
+        last = max((i for i, n in base if i % 4 == r["shard"]))
+        last_n = dict(base)[last]
+        assert r["m"] + last_n == tot[r["shard"]]
+
+
+def test_pack_layout_independent(spark):
+    df = _df(spark, [(i, (i * 7) % 9 + 1) for i in range(200)])
+    a = packing.pack_sequences(df, "doc_id", "n_tok", 32, 8).collect()
+    b = packing.pack_sequences(
+        df.repartition(13), "doc_id", "n_tok", 32, 8
+    ).collect()
+    key = lambda rows: {  # noqa: E731
+        r["doc_id"]: (r["shard"], r["start_offset"], r["first_chunk"], r["last_chunk"])
+        for r in rows
+    }
+    assert key(a) == key(b)
+
+
+def test_pack_plan_one_exchange(spark):
+    df = _df(spark, [(i, 2) for i in range(50)])
+    plan = (
+        packing.pack_sequences(df, "doc_id", "n_tok", 8, 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_pack_input_validation(spark):
+    df = _df(spark, [(1, 1)])
+    with pytest.raises(ValueError):
+        packing.pack_sequences(df, "doc_id", "n_tok", 0, 1)
+    with pytest.raises(ValueError):
+        packing.pack_sequences(df, "doc_id", "n_tok", 8, 0)
