@@ -245,3 +245,146 @@ def apply_changes_to_agg(
         for n in [count_col] + [c for s in sums for c in (s, _nn(s))]
     ]
     return out.select(*group_cols, *fixed)
+
+
+class MaintainedAggregate:
+    """A durable, incrementally-maintained aggregate over a
+    :class:`~csv_cruncher_spark.lake.table.LakeTable` — the piece that
+    turns the primitives above into an operational materialized view:
+    pair it with the change-log tailer and the aggregate follows the
+    table (``tailer.poll_once(spark); mv.refresh(spark)``) at
+    O(changed keys) per poll, never a table scan after bootstrap.
+
+    Persistence is a tiny manifest of its own: each refresh writes the
+    updated aggregate as a NEW parquet directory named by the epoch it
+    reflects, then atomically swaps ``state.json`` to point at it
+    (write-new + rename, the same crash discipline as the lake). A
+    crash between the two leaves the previous state fully intact, and
+    re-running the refresh regenerates the orphan deterministically —
+    refresh is idempotent per epoch, so the tailer loop can call it
+    unconditionally.
+
+    ``derives`` handles measures that are functions of payload columns
+    rather than stored columns (e.g. text length): each expression is
+    applied to the bootstrap state AND to both images of every change
+    (via :func:`derive`), so retractions use the same math as additions.
+    """
+
+    def __init__(
+        self,
+        table_path: str,
+        store_path: str,
+        group_cols: list[str],
+        sums: dict[str, str],
+        count_col: str = "n_rows",
+        derives: dict | None = None,
+    ):
+        self.table_path = table_path
+        self.store_path = store_path
+        self.group_cols = group_cols
+        self.sums = sums
+        self.count_col = count_col
+        self.derives = derives or {}
+
+    # -- state ---------------------------------------------------------
+    def _state_file(self) -> str:
+        import os
+
+        return os.path.join(self.store_path, "state.json")
+
+    def state(self) -> dict | None:
+        import json
+        import os
+
+        if not os.path.exists(self._state_file()):
+            return None
+        with open(self._state_file()) as f:
+            return json.load(f)
+
+    def _persist(self, agg: DataFrame, epoch: int) -> None:
+        import json
+        import os
+        import tempfile
+
+        os.makedirs(self.store_path, exist_ok=True)
+        prev = self.state()
+        data_dir = os.path.join(self.store_path, f"agg-{epoch:08d}")
+        agg.write.mode("overwrite").parquet(data_dir)
+        fd, tmp = tempfile.mkstemp(dir=self.store_path, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"epoch": epoch, "data": os.path.basename(data_dir)}, f)
+        os.replace(tmp, self._state_file())  # atomic pointer swap
+        # prune superseded aggregate versions (keep current + previous —
+        # a reader that resolved the old pointer may still be scanning)
+        import shutil
+
+        keep = {os.path.basename(data_dir)}
+        if prev is not None:
+            keep.add(prev["data"])
+        for name in os.listdir(self.store_path):
+            if name.startswith("agg-") and name not in keep:
+                shutil.rmtree(
+                    os.path.join(self.store_path, name), ignore_errors=True
+                )
+
+    def read(self, spark) -> DataFrame:
+        import os
+
+        st = self.state()
+        if st is None:
+            raise ValueError(
+                f"no maintained aggregate at {self.store_path}; "
+                "call refresh() (or bootstrap()) first"
+            )
+        return spark.read.parquet(os.path.join(self.store_path, st["data"]))
+
+    # -- maintenance ----------------------------------------------------
+    def _prepared_state(self, table, spark) -> DataFrame:
+        df = table.read(spark)
+        for name, fn in self.derives.items():
+            df = df.withColumn(name, fn(lambda c: F.col(c)))
+        return df
+
+    def bootstrap(self, spark) -> int:
+        """Full-scan initialization at the table's current epoch."""
+        from .table import LakeTable
+
+        table = LakeTable.load(self.table_path)
+        epoch = table.snapshot()["epoch_id"]
+        agg = compute_agg(
+            self._prepared_state(table, spark),
+            self.group_cols,
+            self.sums,
+            count_col=self.count_col,
+        )
+        self._persist(agg, epoch)
+        return epoch
+
+    def refresh(self, spark) -> int:
+        """Fold every epoch committed since the last refresh into the
+        stored aggregate; returns the epoch now reflected. First call
+        bootstraps; a call with nothing new is a cheap no-op."""
+        from .table import LakeTable
+
+        st = self.state()
+        if st is None:
+            return self.bootstrap(spark)
+        table = LakeTable.load(self.table_path)
+        cur = table.snapshot()["epoch_id"]
+        last = st["epoch"]
+        if cur == last:
+            return last
+        feed = table.changes_between(
+            spark, from_epoch=last, to_epoch=cur, with_before=True
+        )
+        if self.derives:
+            feed = derive(feed, **self.derives)
+        agg = apply_changes_to_agg(
+            self.read(spark),
+            feed,
+            self.group_cols,
+            self.sums,
+            count_col=self.count_col,
+        )
+        self._persist(agg, cur)
+        return cur

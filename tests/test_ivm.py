@@ -212,3 +212,75 @@ def test_apply_rejects_missing_maintained_columns(spark):
         ivm.apply_changes_to_agg(
             bad, ivm.diff_states(pre, pre, "k"), ["g"], {"sum_len": "v"}
         )
+
+
+# ------------------------------------------------- maintained aggregate --
+
+
+def _mv(tmp_path, group=("lang",)):
+    return ivm.MaintainedAggregate(
+        str(tmp_path / "lake"),
+        str(tmp_path / "mv"),
+        list(group),
+        {"sum_len": "text_len"},
+        count_col="n_pages",
+        derives={"text_len": lambda c: F.length(c("text"))},
+    )
+
+
+def test_maintained_aggregate_follows_table(spark, tmp_path):
+    """bootstrap on a prefix of the change log, then refresh after more
+    batches land: the stored aggregate must equal a full recompute at
+    every step, and a refresh with nothing new is a no-op."""
+    paths = _mk_log(tmp_path, n_batches=4)
+    bdir = os.path.dirname(paths[0])
+    p = str(tmp_path / "lake")
+    pipe = CdcPipeline(p, n_buckets=4)
+    first_two = "|".join(os.path.basename(x) for x in paths[:2])
+    pipe.run(spark, bdir, include=f".*/({first_two})")
+
+    mv = _mv(tmp_path)
+    e1 = mv.refresh(spark)  # first refresh bootstraps
+
+    def recompute():
+        t = LakeTable.load(p)
+        st = t.read(spark).withColumn("text_len", F.length("text"))
+        return ivm.compute_agg(st, ["lang"], {"sum_len": "text_len"}, count_col="n_pages")
+
+    got1 = _agg_dict(mv.read(spark), "n_pages")
+    assert got1 and got1 == _agg_dict(recompute(), "n_pages")  # non-vacuous
+
+    # two more batches land; one refresh folds BOTH epochs
+    pipe.run(spark, bdir)
+    e2 = mv.refresh(spark)
+    assert e2 > e1
+    assert _agg_dict(mv.read(spark), "n_pages") == _agg_dict(recompute(), "n_pages")
+
+    # idempotent: nothing new -> same epoch, state file unchanged
+    st_before = mv.state()
+    assert mv.refresh(spark) == e2
+    assert mv.state() == st_before
+
+
+def test_maintained_aggregate_store_pruned_and_readable(spark, tmp_path):
+    paths = _mk_log(tmp_path, n_batches=3, seed=11)
+    bdir = os.path.dirname(paths[0])
+    pipe = CdcPipeline(str(tmp_path / "lake"), n_buckets=4)
+    mv = _mv(tmp_path)
+    for i in (1, 2, 3):
+        upto = "|".join(os.path.basename(x) for x in paths[:i])
+        pipe.run(spark, bdir, include=f".*/({upto})")
+        mv.refresh(spark)
+    dirs = [
+        d for d in os.listdir(tmp_path / "mv") if d.startswith("agg-")
+    ]
+    assert len(dirs) <= 2  # current + previous only
+    assert mv.read(spark).count() > 0
+
+
+def test_maintained_aggregate_read_before_refresh_raises(spark, tmp_path):
+    import pytest
+
+    mv = _mv(tmp_path)
+    with pytest.raises(ValueError, match="refresh"):
+        mv.read(spark)
