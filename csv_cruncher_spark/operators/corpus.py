@@ -44,6 +44,7 @@ def build_corpus(
     splits: dict[str, float] | None = None,
     sample_salt: str = "mix-v1",
     split_salt: str = "split-v1",
+    near_dup: dict | None = None,
 ) -> DataFrame:
     """Select and label a training corpus. Returns the surviving rows of
     ``df`` plus ``fp`` (content fingerprint) and ``split``.
@@ -57,8 +58,15 @@ def build_corpus(
     Dedup keeps the minimum ``id_col`` per normalized-fingerprint group
     (:func:`textstats.normalized_fingerprint` — lowercased,
     punctuation-stripped, whitespace-collapsed), i.e. byte-identical
-    *after normalization* collapses; near-dup collapse is the separate
-    :func:`dedup.dedup` pipeline (iterative, its own entry).
+    *after normalization* collapses. Passing ``near_dup`` (kwargs for
+    :func:`csv_cruncher_spark.operators.dedup.dedup`, e.g.
+    ``{"min_jaccard": 0.7}``) ALSO collapses near-duplicate groups:
+    the iterative pairs→components→keeper pipeline runs on the
+    exact-deduped survivors (cheapest order — exact copies never reach
+    the shingle mining) and only its keepers proceed to sampling. The
+    single-exchange plan promise holds only for the exact-only form;
+    near-dup adds the mining/CC shuffles its own entry
+    (``dedup_end_to_end``) documents and oracles.
     """
     fp = textstats.normalized_fingerprint(text_col)
     gated = df.withColumn("fp", fp).filter(
@@ -80,6 +88,16 @@ def build_corpus(
         .filter(F.col(id_col) == F.col("__keeper"))
         .drop("__keeper")
     )
+    if near_dup is not None:
+        from . import dedup as _dedup
+
+        labels = _dedup.dedup(kept, id_col, text_col, **near_dup)
+        nd_keepers = labels.filter(F.col("is_keeper")).select(
+            F.col("id").alias("__nd_id")
+        )
+        kept = kept.join(
+            nd_keepers, kept[id_col] == F.col("__nd_id"), "left_semi"
+        )
     sampled = sampling.stratified_sample(
         kept,
         id_col,

@@ -163,3 +163,25 @@ def test_build_corpus_single_shuffle(spark):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_build_corpus_near_dup_collapse(spark):
+    """With near_dup set, near-identical (not byte-identical-after-
+    normalization) docs collapse to one keeper; without it they all
+    survive the exact stage."""
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    rows = [
+        (1, "en", base),
+        (2, "en", base + " today"),          # near-dup of 1
+        (3, "en", base + " again today"),    # near-dup of 1/2
+        (4, "en", "completely unrelated text about database engines and columnar storage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, text string")
+    exact_only = corpus.build_corpus(df, "doc_id", "text", "lang", min_tokens=3)
+    assert {r["doc_id"] for r in exact_only.collect()} == {1, 2, 3, 4}
+    collapsed = corpus.build_corpus(
+        df, "doc_id", "text", "lang", min_tokens=3,
+        near_dup={"min_jaccard": 0.5},
+    )
+    got = {r["doc_id"] for r in collapsed.collect()}
+    assert 4 in got and len(got) == 2  # one keeper from {1,2,3} plus doc 4
