@@ -1,9 +1,30 @@
-from . import bloom, dedup, joins, multimodal, similarity, textstats
+from . import (
+    bloom,
+    corpus,
+    dedup,
+    joins,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    textstats,
+)
+from .corpus import build_corpus
+from .packing import pack_sequences
+from .sampling import assign_split, hash_sample, stratified_sample
 from .dedup import dropped_buckets, release
 from .joins import asof_join, asof_join_bucketed, interval_join
 
 __all__ = [
     "bloom",
+    "corpus",
+    "packing",
+    "sampling",
+    "build_corpus",
+    "pack_sequences",
+    "hash_sample",
+    "stratified_sample",
+    "assign_split",
     "dedup",
     "joins",
     "multimodal",
