@@ -46,6 +46,13 @@ def main() -> int:
                     help="after the replay, emit the net change feed of epochs (EPOCH, current]")
     ap.add_argument("--feed-out", default=None,
                     help="write the feed as JSON lines here instead of stdout")
+    ap.add_argument("--maintain-agg", default=None, metavar="STORE",
+                    help="after the replay, refresh the maintained aggregate "
+                         "stored at STORE (incremental, O(changed keys): "
+                         "per-group page count + total text length; "
+                         "group columns via --agg-group)")
+    ap.add_argument("--agg-group", default="lang",
+                    help="comma-separated group columns for --maintain-agg")
     args = ap.parse_args()
 
     from csv_cruncher_spark.session import get_spark
@@ -118,6 +125,22 @@ def main() -> int:
         if args.feed_out:
             out.close()
 
+    maintained_epoch = None
+    if args.maintain_agg:
+        from pyspark.sql import functions as F
+
+        from csv_cruncher_spark.lake.ivm import MaintainedAggregate
+
+        mv = MaintainedAggregate(
+            args.table,
+            args.maintain_agg,
+            args.agg_group.split(","),
+            {"sum_text_len": "text_len"},
+            count_col="n_pages",
+            derives={"text_len": lambda c: F.length(c("text"))},
+        )
+        maintained_epoch = mv.refresh(spark)
+
     print(
         json.dumps(
             {
@@ -125,6 +148,7 @@ def main() -> int:
                 "epoch_id": ckpt["epoch_id"],
                 "total_batches": len(ckpt["batches_applied"]),
                 "feed_rows": feed_rows,
+                "maintained_epoch": maintained_epoch,
                 "seconds": round(time.time() - t0, 2),
             }
         )

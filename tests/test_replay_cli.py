@@ -1,0 +1,143 @@
+"""End-to-end tests of the ``replay.py`` spark-submit entry point run
+in-process (``get_spark`` reuses the active test session, so no second
+JVM is spawned). Covers the operational loop a cluster user runs:
+replay the change log, then keep a downstream aggregate fresh with
+``--maintain-agg`` — the maintained view must equal a full recompute
+after every invocation, including an incremental second run that only
+folds the new epochs."""
+
+import json
+import os
+import sys
+
+import pytest
+
+from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log
+
+
+@pytest.fixture()
+def change_log(tmp_path):
+    spec = ChangeLogSpec(
+        n_urls=120,
+        n_batches=4,
+        events_per_batch=150,
+        seed=31,
+        out_dir=str(tmp_path / "batches"),
+    )
+    paths = generate_change_log(spec)
+    return tmp_path, paths
+
+
+def _run_replay(monkeypatch, capsys, argv):
+    import replay
+
+    monkeypatch.setattr(sys, "argv", ["replay.py", *argv])
+    rc = replay.main()
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(out)
+
+
+def _recomputed_agg(spark, table_path):
+    from pyspark.sql import functions as F
+
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    df = LakeTable.load(table_path).read(spark)
+    return {
+        r["lang"]: (r["n_pages"], r["sum_text_len"])
+        for r in df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .collect()
+    }
+
+
+def _stored_agg(spark, store):
+    from csv_cruncher_spark.lake.ivm import MaintainedAggregate
+
+    mv = MaintainedAggregate(None, store, ["lang"], {"sum_text_len": "text_len"})
+    df = mv.read(spark)
+    return {r["lang"]: (r["n_pages"], r["sum_text_len"]) for r in df.collect()}
+
+
+def test_replay_cli_maintain_agg_matches_recompute(
+    spark, change_log, monkeypatch, capsys
+):
+    tmp_path, paths = change_log
+    table = str(tmp_path / "lake")
+    store = str(tmp_path / "agg")
+    bdir = os.path.dirname(paths[0])
+
+    # first invocation: replay 3 of the 4 batches, bootstrap the aggregate
+    res = _run_replay(
+        monkeypatch,
+        capsys,
+        [
+            "--table", table, "--batches", bdir, "--buckets", "4",
+            "--max-batches", "3", "--maintain-agg", store,
+        ],
+    )
+    assert res["applied_batches"] == 3
+    assert res["maintained_epoch"] == res["epoch_id"]
+    assert _stored_agg(spark, store) == _recomputed_agg(spark, table)
+
+    # second invocation: the remaining batch lands; the refresh must fold
+    # only the new epochs (incremental, not a re-bootstrap) and still
+    # equal a full recompute
+    res2 = _run_replay(
+        monkeypatch,
+        capsys,
+        ["--table", table, "--batches", bdir, "--buckets", "4",
+         "--maintain-agg", store],
+    )
+    assert res2["applied_batches"] == 1
+    assert res2["maintained_epoch"] == res2["epoch_id"] > res["epoch_id"]
+    assert _stored_agg(spark, store) == _recomputed_agg(spark, table)
+
+    # idempotent: nothing new applied, epoch unchanged, state intact
+    res3 = _run_replay(
+        monkeypatch,
+        capsys,
+        ["--table", table, "--batches", bdir, "--buckets", "4",
+         "--maintain-agg", store],
+    )
+    assert res3["applied_batches"] == 0
+    assert res3["maintained_epoch"] == res2["maintained_epoch"]
+    assert _stored_agg(spark, store) == _recomputed_agg(spark, table)
+
+
+def test_replay_cli_agg_group_multi_column(spark, change_log, monkeypatch, capsys):
+    """--agg-group accepts a comma-separated list; grouping by a
+    two-column key exercises the split path end-to-end."""
+    from pyspark.sql import functions as F
+
+    from csv_cruncher_spark.lake.ivm import MaintainedAggregate
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    tmp_path, paths = change_log
+    table = str(tmp_path / "lake2")
+    store = str(tmp_path / "agg2")
+    bdir = os.path.dirname(paths[0])
+
+    _run_replay(
+        monkeypatch,
+        capsys,
+        ["--table", table, "--batches", bdir, "--buckets", "4",
+         "--maintain-agg", store, "--agg-group", "lang,url"],
+    )
+    mv = MaintainedAggregate(None, store, ["lang", "url"], {"sum_text_len": "text_len"})
+    got = {
+        (r["lang"], r["url"]): r["n_pages"] for r in mv.read(spark).collect()
+    }
+    want = {
+        (r["lang"], r["url"]): r["n"]
+        for r in LakeTable.load(table)
+        .read(spark)
+        .groupBy("lang", "url")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
