@@ -953,6 +953,33 @@ def dataset_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-registered function surface (functions/sql_registry.py)
+    driven the way a reference user drives it — ONE SQL string calling
+    jsonLeaf (reference argument order, SqlFunctions.kt:49), hashBucket,
+    hashKeep, and assignSplit. The bodies inline to Catalyst expressions
+    (plan-pinned Python-free by test_sql_functions), so this is a single
+    narrow projection+filter; the oracle re-derives every value from raw
+    md5/json math in DuckDB."""
+    from csv_cruncher_spark.functions import register_sql_functions
+
+    register_sql_functions(spark)
+    _t(spark, sf_dir, "events").filter(F.col("event_id") < 2000).createOrReplaceTempView(
+        "ev_sqlfn"
+    )
+    return spark.sql(
+        """
+        SELECT event_id,
+               jsonLeaf('k', props) AS k_text,
+               hashBucket(CAST(user_id AS STRING), 'cohort-v1') AS cohort_bucket,
+               assignSplit(CAST(event_id AS STRING), 0.8d, 0.1d, 'ev-split') AS split
+        FROM ev_sqlfn
+        WHERE hashKeep(CAST(event_id AS STRING), 0.5d, 'keep-v1')
+        ORDER BY event_id
+        """
+    )
+
+
 def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary (textstats.token_frequencies): exact tf + df
     for every token with tf >= 3, top 100 by frequency. Two-level hash
@@ -1053,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_event_type_stats": ivm_event_type_stats,
         "stratified_sample_docs": stratified_sample_docs,
         "dataset_split_stats": dataset_split_stats,
+        "sql_function_surface": sql_function_surface,
         "corpus_vocab_topk": corpus_vocab_topk,
         "corpus_build": corpus_build,
         "pack_documents": pack_documents,
@@ -1274,6 +1302,26 @@ def oracle_sql() -> dict[str, str]:
                        n_chars
                 FROM documents) h) s
             GROUP BY split ORDER BY split
+        """,
+        "sql_function_surface": f"""
+            SELECT event_id,
+                   json_extract_string(props, '$.k') AS k_text,
+                   substr(md5(CAST(user_id AS VARCHAR) || ':cohort-v1'),
+                          1, 8) AS cohort_bucket,
+                   CASE
+                     WHEN substr(md5(CAST(event_id AS VARCHAR) || ':ev-split'),
+                                 1, 8) < '{sampling._hex_threshold(0.8)}'
+                       THEN 'train'
+                     WHEN substr(md5(CAST(event_id AS VARCHAR) || ':ev-split'),
+                                 1, 8) < '{sampling._hex_threshold(0.8 + 0.1)}'
+                       THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM events
+            WHERE event_id < 2000
+              AND substr(md5(CAST(event_id AS VARCHAR) || ':keep-v1'),
+                         1, 8) < '{sampling._hex_threshold(0.5)}'
+            ORDER BY event_id
         """,
         "pack_documents": """
             SELECT doc_id, shard, start_offset,

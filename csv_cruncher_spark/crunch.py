@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .functions.infer import infer_and_cast
+from .functions.sql_registry import register_sql_functions
 from .sources import discovery
 from .sources.format import DataFormat, detect_format, parse_csv_header
 from .sources.json_flatten import flatten_columns, read_json_flat
@@ -472,6 +473,10 @@ class Cruncher:
     def run(self, spark: SparkSession) -> list[str]:
         opts = self.options
         opts.validate()
+        # the reference registers its SQL functions before anything else
+        # touches the engine (Cruncher.kt:112); same here so init-SQL
+        # scripts and the user query can both call them
+        register_sql_functions(spark)
         for script in opts.init_sql:
             run_init_sql(spark, script)
 

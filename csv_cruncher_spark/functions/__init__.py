@@ -7,6 +7,7 @@ from .json_funcs import (
 )
 from .infer import CandidateType, infer_and_cast, infer_column_types
 from .scalars import starts_with
+from .sql_registry import register_sql_functions
 from .urls import normalize_url, url_domain, url_host, url_path
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "infer_column_types",
     "infer_and_cast",
     "starts_with",
+    "register_sql_functions",
     "normalize_url",
     "url_host",
     "url_path",

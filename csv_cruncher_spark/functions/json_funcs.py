@@ -65,7 +65,13 @@ def json_leaf(
     missing → NULL; non-scalar → NULL (flag True) or error (flag False).
     """
     v = F.try_variant_get(_as_variant(json_col), slash_path_to_jsonpath(path), "variant")
-    scalar_text = F.try_variant_get(v, "$", "string")
+    # JSON null is a PRESENT scalar and must render as the 4-char text
+    # ``null`` (SqlFunctionsTest.kt:38), distinct from a missing path
+    # (SQL NULL). is_variant_null(NULL) is NULL, so the missing case
+    # falls through to the cast, which yields SQL NULL as before.
+    scalar_text = F.when(F.is_variant_null(v), F.lit("null")).otherwise(
+        F.try_variant_get(v, "$", "string")
+    )
     if null_on_nonscalar:
         return F.when(v.isNull() | _is_scalar_variant(v), scalar_text)
     return F.when(
