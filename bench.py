@@ -35,7 +35,7 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(spark, sf_dir: str, reps: int = 2) -> dict[str, float]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -44,13 +44,19 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     _materialize(next(iter(qs.values()))(spark, sf_dir))
     out: dict[str, float] = {}
     for name, fn in qs.items():
-        # per-query isolation: drop persisted frames the previous entry
-        # left cached (pair pipelines persist their sketch frames) so a
-        # query is timed against a clean executor-memory state
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(max(1, reps)):
+            # per-query isolation: drop persisted frames the previous
+            # rep/entry left cached (pair pipelines persist their sketch
+            # frames) so every rep is timed against a clean
+            # executor-memory state; best-of-N damps shared-host noise
+            # (same protocol as the CDC bench's timed_reps)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -308,6 +314,9 @@ def main() -> None:
     ap.add_argument("--queries-only", action="store_true")
     ap.add_argument("--no-scaling", action="store_true",
                     help="skip the two-parallelism-level scaling probe")
+    ap.add_argument("--query-reps", type=int, default=2,
+                    help="timed reps per headline query; best-of-N "
+                         "damps shared-host noise")
     args = ap.parse_args()
 
     from csv_cruncher_spark.session import get_spark
@@ -334,7 +343,7 @@ def main() -> None:
     queries: dict[str, float] = {}
     t_start = time.perf_counter()
     if not args.cdc_only:
-        queries = run_headline(spark, args.sf_dir)
+        queries = run_headline(spark, args.sf_dir, reps=args.query_reps)
     cdc: dict = {}
     if not args.queries_only:
         cdc = run_cdc_bench(
@@ -359,6 +368,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": queries,
+        "query_reps_best_of": args.query_reps,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         **cdc,
         **scaling,

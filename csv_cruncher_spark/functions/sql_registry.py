@@ -41,6 +41,11 @@ DataFrame callers select bit-identical row sets:
 - ``assignSplit(key, trainFrac, valFrac, salt)`` — leakage-safe
   train/val/test labels; fractions are absolute (test gets the rest).
 
+And the text-analysis gates (``tokenCount``, ``regexTokenCount``,
+``stopwordRatio``, ``alphaRatio``, ``meanTokenLen``, ``langId``,
+``docFingerprint``) as SQL twins of :mod:`..operators.textstats`, so the
+whole training-data admission gate runs from one ``-sql`` string.
+
 Registration is session-scoped and idempotent (CREATE OR REPLACE);
 :meth:`~csv_cruncher_spark.crunch.Cruncher.run` calls it before init-SQL
 scripts run, so scripts and user queries both see the functions.
@@ -82,6 +87,60 @@ _THR = (
     "CASE WHEN {f} >= 1.0d THEN 'g' WHEN {f} <= 0.0d THEN '' "
     "ELSE format_string('%08x', cast({f} * 4294967296d AS BIGINT)) END"
 )
+
+
+def _text_statements() -> list[str]:
+    """SQL twins of the text-analysis gates (operators/textstats.py) so
+    a ``-sql`` user can run the full training-data admission gate in
+    plain SQL (``WHERE tokenCount(text) >= 50 AND langId(text) = 'en'``).
+    Marker/stopword vocabularies and the token regex are imported from
+    textstats — one source of truth; bit-parity with the DataFrame
+    builders is pinned by test_sql_functions."""
+    from ..operators.textstats import LANG_MARKERS, STOPWORDS, TOKEN_REGEX
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    scores = {
+        lang: (
+            "size(filter(split(lower(text), ' '), x -> x IN ("
+            + ", ".join(f"'{w}'" for w in markers)
+            + ")))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    # strict-argmax, first-listed language wins ties (textstats.lang_id):
+    # the winner is the FIRST language whose score equals the max; all
+    # scores are >= 0, so max <= 0 means no votes at all -> 'und'
+    m = "greatest(" + ", ".join(scores.values()) + ")"
+    langs = list(LANG_MARKERS)
+    arms = " ".join(
+        f"WHEN {scores[lang]} = {m} THEN '{lang}'" for lang in langs[:-1]
+    )
+    lang_case = f"CASE WHEN {m} <= 0 THEN 'und' {arms} ELSE '{langs[-1]}' END"
+    return [
+        """CREATE OR REPLACE TEMPORARY FUNCTION tokenCount(text STRING)
+            RETURNS INT RETURN size(split(text, ' '))""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION regexTokenCount(
+              text STRING, pattern STRING DEFAULT '{TOKEN_REGEX}')
+            RETURNS INT RETURN regexp_count(lower(text), pattern)""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION stopwordRatio(text STRING)
+            RETURNS DOUBLE
+            RETURN size(filter(split(text, ' '), x -> x IN ({stops})))
+                   / size(split(text, ' '))""",
+        """CREATE OR REPLACE TEMPORARY FUNCTION alphaRatio(text STRING)
+            RETURNS DOUBLE
+            RETURN length(regexp_replace(text, '[^a-zA-Z]', ''))
+                   / length(text)""",
+        """CREATE OR REPLACE TEMPORARY FUNCTION meanTokenLen(text STRING)
+            RETURNS DOUBLE
+            RETURN (length(text) - (size(split(text, ' ')) - 1))
+                   / size(split(text, ' '))""",
+        f"""CREATE OR REPLACE TEMPORARY FUNCTION langId(text STRING)
+            RETURNS STRING RETURN {lang_case}""",
+        """CREATE OR REPLACE TEMPORARY FUNCTION docFingerprint(text STRING)
+            RETURNS STRING
+            RETURN md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', ''), ' +', ' ')))""",
+    ]
 
 
 def _statements() -> list[str]:
@@ -146,5 +205,5 @@ def register_sql_functions(spark: SparkSession) -> None:
     """Register the SQL-callable function surface on this session.
     Idempotent; temporary (session-scoped, like the reference's
     in-memory HSQLDB catalog)."""
-    for stmt in _statements():
+    for stmt in _statements() + _text_statements():
         spark.sql(stmt)

@@ -191,6 +191,74 @@ def test_sql_functions_stay_jvm_side(spark):
     assert "ArrowEvalPython" not in explained
 
 
+def test_textstats_sql_twins_bit_parity(spark):
+    """Every registered text-gate SQL function returns exactly what its
+    DataFrame builder returns, row for row, over real document text —
+    vocabularies are imported from textstats, so this pins that the SQL
+    bodies' MATH matches too."""
+    from csv_cruncher_spark.operators import textstats
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(200)
+    )
+    docs.createOrReplaceTempView("docs_sqlfn")
+    got = {
+        r["doc_id"]: r
+        for r in spark.sql(
+            """SELECT doc_id,
+                      tokenCount(text) AS n_tok,
+                      regexTokenCount(text) AS n_rtok,
+                      stopwordRatio(text) AS stop_r,
+                      alphaRatio(text) AS alpha_r,
+                      meanTokenLen(text) AS mean_len,
+                      langId(text) AS lang_guess,
+                      docFingerprint(text) AS fp
+               FROM docs_sqlfn"""
+        ).collect()
+    }
+    qdf = textstats.quality_metrics(docs, "text")
+    qdf = textstats.lang_id(qdf, "text")
+    want_rows = qdf.select(
+        "doc_id",
+        F.col("n_tokens").alias("n_tok"),
+        textstats.regex_token_count("text").alias("n_rtok"),
+        F.col("stopword_ratio").alias("stop_r"),
+        F.col("alpha_ratio").alias("alpha_r"),
+        F.col("mean_token_len").alias("mean_len"),
+        "lang_guess",
+        textstats.normalized_fingerprint("text").alias("fp"),
+    ).collect()
+    assert len(want_rows) == 200
+    for w in want_rows:
+        g = got[w["doc_id"]]
+        for f in ("n_tok", "n_rtok", "stop_r", "alpha_r", "mean_len",
+                  "lang_guess", "fp"):
+            assert g[f] == w[f], (w["doc_id"], f, g[f], w[f])
+
+
+def test_sql_text_gate_end_to_end(spark):
+    """The admission-gate shape a -sql user writes: filter + derive in
+    one SQL string using only registered functions."""
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        300
+    ).createOrReplaceTempView("docs_gate")
+    out = spark.sql(
+        """SELECT doc_id, langId(text) AS lang_guess,
+                  docFingerprint(text) AS fp
+           FROM docs_gate
+           WHERE tokenCount(text) >= 5 AND alphaRatio(text) > 0.3
+             AND hashKeep(CAST(doc_id AS STRING), 0.9d, 'gate')"""
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 300
+    assert all(len(r["fp"]) == 32 for r in rows)
+    explained = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in explained
+    assert "ArrowEvalPython" not in explained
+
+
 def test_crunch_sql_surface_accepts_reference_function_calls(spark, tmp_path):
     """End-to-end through the user surface: a -sql string calling
     jsonLeaf/jsonSubtree (reference argument order) over an imported
