@@ -277,6 +277,23 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_pairs(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
+def minhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banded MinHash-LSH pipeline in its cross-engine-exact form
+    (dedup.minhash_md5_pairs): per-permutation hashes are 8-hex md5
+    draws whose lexicographic MIN equals the numeric minhash, band keys
+    are the concatenated minima (no engine-specific band hash), and
+    est_jaccard = matches/16 is an exact binary fraction — so banding,
+    bucket cap, candidate join AND the estimate all replay in plain
+    DuckDB SQL. Full oracle for the sketch pipeline whose xxhash64
+    production form (minhash_near_dups) is rows-only-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_md5_pairs(docs, "doc_id", "text")
+    return (
+        pairs.filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signature per doc (non-SQL-expressible → rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1098,6 +1115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": embedding_cosine_topk,
         "knn_join_exact": knn_join_exact,
         "minhash_near_dups": minhash_near_dups,
+        "minhash_md5_near_dups": minhash_md5_near_dups,
         "incremental_near_dups": incremental_near_dups,
         "simhash_signatures": simhash_signatures,
         "ann_lsh_topk": ann_lsh_topk,
@@ -1148,6 +1166,63 @@ def oracle_sql() -> dict[str, str]:
         conds.append(f" WHEN {cond} THEN '{lang}'")
     lang_case += "".join(conds) + " ELSE 'und' END"
     lang_scores_sql = ", ".join(f"{expr} AS s_{lang}" for lang, expr in lang_score.items())
+
+    # md5-MinHash oracle (dedup.minhash_md5_pairs, n=16 bands=4 cap=500):
+    # every stage is the same math in both engines — hex MIN == numeric
+    # minhash, concatenated-minima band keys, matches/16 exact-binary est
+    mh_n, mh_bands, mh_rows, mh_cap = 16, 4, 4, 500
+    mh_mins = ",\n                     ".join(
+        f"min(substr(md5(shingle || ':mh{i}'), 1, 8)) AS mh{i}"
+        for i in range(mh_n)
+    )
+    mh_band_case = " ".join(
+        "WHEN {b} THEN {key}".format(
+            b=b,
+            key=" || '|' || ".join(f"mh{b * mh_rows + r}" for r in range(mh_rows)),
+        )
+        for b in range(mh_bands)
+    )
+    mh_matches = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(mh_n)
+    )
+    minhash_md5_sql = f"""
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     )) AS shingle
+              FROM documents
+            ),
+            sig AS (
+              SELECT id,
+                     {mh_mins}
+              FROM sh GROUP BY id
+            ),
+            banded AS (
+              SELECT id, bb.band,
+                     CASE bb.band {mh_band_case} END AS band_key
+              FROM sig CROSS JOIN (SELECT unnest(range({mh_bands})) AS band) bb
+            ),
+            kept AS (
+              SELECT band, band_key FROM banded
+              GROUP BY band, band_key HAVING count(*) <= {mh_cap}
+            ),
+            cand AS (
+              SELECT DISTINCT l.id AS id_a, r.id AS id_b
+              FROM banded l
+              JOIN kept USING (band, band_key)
+              JOIN banded r
+                ON l.band = r.band AND l.band_key = r.band_key AND l.id < r.id
+            )
+            SELECT c.id_a, c.id_b,
+                   ({mh_matches}) / {float(mh_n)} AS est_jaccard
+            FROM cand c
+            JOIN sig a ON a.id = c.id_a
+            JOIN sig b ON b.id = c.id_b
+            WHERE ({mh_matches}) / {float(mh_n)} >= 0.5
+            ORDER BY c.id_a, c.id_b
+        """
 
     cosine_topk_sql = f"""
             SELECT vec_id,
@@ -1693,6 +1768,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM events WHERE event_id < 500) t
             ORDER BY event_id
         """,
+        "minhash_md5_near_dups": minhash_md5_sql,
         "ngram_jaccard_near_dups": """
             WITH sh AS (
               SELECT doc_id AS id,

@@ -275,6 +275,112 @@ def minhash_dedup_pairs(
     return _pin(sig, _with_dropped(out, dropped_buckets(pairs)))
 
 
+def minhash_md5_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_k: int = 3
+) -> DataFrame:
+    """Cross-engine-EXACT MinHash signatures: permutation ``i``'s hash of
+    a shingle is the 8-lowercase-hex draw
+    ``substr(md5(shingle || ':mhi'), 1, 8)``, and fixed-width hex compares
+    lexicographically exactly like the uint32 it encodes (the
+    operators/sampling trick), so ``MIN`` over the hex strings IS the
+    numeric minhash — reproducible bit-for-bit in any engine with md5.
+    This exists so the banded-LSH pipeline has a FULL DuckDB oracle
+    (``minhash_md5_near_dups``); :func:`minhash_signatures` (xxhash64 +
+    affine permutations) stays the production-speed path — md5 is ~5-10×
+    the per-shingle cost, the right trade only for verification.
+
+    Output is WIDE — one ``mh{i}`` string column per permutation — which
+    keeps banding a plain ``concat_ws`` and the oracle plain SQL. Same
+    scale shape as the fast path: explode → n partial-combined MIN
+    aggregates, one shuffle on the id."""
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(text_col, shingle_k)).alias("shingle"),
+    )
+    aggs = [
+        F.min(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("shingle"), F.lit(f"mh{i}"))), 1, 8
+            )
+        ).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    max_bucket: int | None = 500,
+) -> DataFrame:
+    """Banded-LSH near-dup candidates over the md5 MinHash — the
+    oracle-exact twin of :func:`minhash_dedup_pairs`: band key is the
+    CONCATENATED hex minima themselves (no engine-specific band hash, so
+    the oracle's band grouping is identical, not identical-up-to-hash-
+    collisions), candidates are the per-band self-equi-join with the
+    same ``max_bucket`` degenerate-bucket cap, and ``est_jaccard`` is the
+    matching-minima fraction — k/n_hashes is an exact binary fraction
+    when n_hashes is a power of two, so even the double compares
+    bit-for-bit across engines. Returns (id_a, id_b, est_jaccard),
+    id_a < id_b.
+
+    Scale shape: signature frame pinned (feeds banding + both rerank
+    sides — release with :func:`release`), band join bucket-local and
+    capped, payloads never shuffle."""
+    rows = n_hashes // bands
+    sig = minhash_md5_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|", *[F.col(f"mh{b * rows + r}") for r in range(rows)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    banded, dropped = _cap_buckets(banded, ["band", "band_key"], max_bucket)
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)]
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    out = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+    )
+    return _pin(sig, _with_dropped(out, dropped))
+
+
 def _banded(sig_df: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
     """(id, band, band_hash) banding of a minhash signature frame —
     shared by the self-join (lsh_candidate_pairs) and the incremental
