@@ -554,6 +554,26 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_candidates(docs, "doc_id", "text").orderBy("id_a", "id_b")
 
 
+def simhash_md5_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL simhash pipeline — token hash → per-bit vote aggregation
+    → sign → banding → Hamming rerank — in its cross-engine-exact form
+    (dedup.simhash_md5 + hamming_banded_pairs): one md5 per token, its
+    first 15 hex chars as a 60-bit draw whose bit j is the vote for
+    signature bit j. hamming_near_dups oracles the banding/rerank over a
+    SURROGATE signature; this entry closes the remaining gap by oracling
+    the vote aggregation itself. The xxhash64 production form
+    (simhash_near_dups / simhash_signatures) stays rows-only-checkable."""
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.simhash_md5(docs, "doc_id", "text")
+    pairs = dedup.hamming_banded_pairs(
+        sig, "doc_id", "simhash", band_bits=15, max_bucket=None,
+        with_hamming=True, max_hamming=12,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id_a", "id_b")
+
+
 def hamming_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The simhash pipeline's banding + Hamming-rerank math
     (dedup.hamming_banded_pairs — the EXACT code path simhash_candidates
@@ -1131,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_leaves_props": json_leaves_props,
         "embedding_near_dup_pairs": embedding_near_dup_pairs,
         "simhash_near_dups": simhash_near_dups,
+        "simhash_md5_near_dups": simhash_md5_near_dups,
         "hamming_near_dups": hamming_near_dups,
         "ann_lsh_full_probe": ann_lsh_full_probe,
         "dual_constant_select": dual_constant_select,
@@ -1222,6 +1243,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN sig b ON b.id = c.id_b
             WHERE ({mh_matches}) / {float(mh_n)} >= 0.5
             ORDER BY c.id_a, c.id_b
+        """
+
+    # md5-SimHash oracle (dedup.simhash_md5 + hamming_banded_pairs,
+    # 60 bits, 4×15-bit bands, max_hamming=12): one md5 per token, bit j
+    # of its 60-bit prefix is the vote for signature bit j — the vote
+    # SUM, sign, banding, and bit_count rerank are the same math in both
+    # engines.
+    sh_bits, sh_band_bits, sh_maxham = 60, 15, 12
+    sh_votes = ",\n                     ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(sh_bits)
+    )
+    sh_sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (1::BIGINT << {j}) ELSE 0 END)"
+        for j in range(sh_bits)
+    )
+    sh_mask = (1 << sh_band_bits) - 1
+    sh_bands = " OR ".join(
+        f"((a.sig >> {b * sh_band_bits}) & {sh_mask}) = ((b.sig >> {b * sh_band_bits}) & {sh_mask})"
+        for b in range(sh_bits // sh_band_bits)
+    )
+    simhash_md5_sql = f"""
+            WITH tok AS (
+              SELECT doc_id AS id,
+                     unnest(string_split(lower(text), ' ')) AS tok
+              FROM documents
+            ),
+            hashed AS (
+              SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+              FROM tok
+            ),
+            votes AS (
+              SELECT id,
+                     {sh_votes}
+              FROM hashed GROUP BY id
+            ),
+            sig AS (
+              SELECT id, {sh_sig} AS sig FROM votes
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM sig a JOIN sig b ON a.id < b.id
+            WHERE ({sh_bands})
+              AND bit_count(xor(a.sig, b.sig)) <= {sh_maxham}
+            ORDER BY id_a, id_b
         """
 
     cosine_topk_sql = f"""
@@ -1769,6 +1835,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id
         """,
         "minhash_md5_near_dups": minhash_md5_sql,
+        "simhash_md5_near_dups": simhash_md5_sql,
         "ngram_jaccard_near_dups": """
             WITH sh AS (
               SELECT doc_id AS id,

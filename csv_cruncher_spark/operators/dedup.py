@@ -497,6 +497,44 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     return agg.select(id_col, sig.alias("simhash"))
 
 
+def simhash_md5(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Cross-engine-EXACT 60-bit SimHash: per token ONE md5, the first
+    15 hex chars parsed as an unsigned 60-bit integer (the
+    ``hamming_near_dups`` surrogate trick), and bit ``j`` of that integer
+    is the token's vote for signature bit ``j`` — so the whole vote/sign
+    aggregation (the one piece of the simhash pipeline
+    :func:`hamming_banded_pairs`'s surrogate entry could NOT oracle)
+    replays in plain DuckDB SQL: ``('0x' || substr(md5(tok),1,15))::
+    BIGINT`` then ``SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)``.
+    :func:`simhash` (xxhash64) stays the production path — same plan
+    shape (explode → 60 partial-combined vote sums, one shuffle on the
+    id), md5 only costs more per token.
+
+    Tie votes (sum == 0) set the bit to 0 in both engines (``> 0``).
+    Returns (id_col, simhash:long) with the top 4 bits always clear, so
+    60 bits never touch the sign bit in either engine."""
+    bits = 60
+    tok = _spread(df).select(
+        F.col(id_col), F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("tok")
+    )
+    h = tok.withColumn(
+        "h", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = h.groupBy(id_col).agg(*votes)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(0)
+        )
+    return agg.select(id_col, sig.alias("simhash"))
+
+
 def hamming_banded_pairs(
     sig_df: DataFrame,
     id_col: str,
