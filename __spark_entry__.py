@@ -31,6 +31,7 @@ from csv_cruncher_spark.lake import ivm, salt  # noqa: E402
 from csv_cruncher_spark.operators import (  # noqa: E402
     bloom,
     corpus,
+    decontam,
     dedup,
     multimodal,
     packing,
@@ -1050,6 +1051,34 @@ def corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "split").orderBy("doc_id")
 
 
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination screen (operators/decontam.py): every
+    40th document plays the eval benchmark; the report counts, per
+    contaminated corpus doc, how many distinct lowercase word 8-grams it
+    shares with the benchmark. Broadcast shape — the corpus n-gram
+    stream is filtered through the (tiny) benchmark n-gram set before
+    any shuffle. Benchmark members themselves surface as fully
+    contaminated; their planted near-copies surface via shared runs of
+    ≥8 words."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    rep = decontam.contamination_report(docs, bench, "doc_id", "text", n=8)
+    return rep.select(
+        F.col("id").alias("doc_id"), "n_hit_ngrams"
+    ).orderBy("doc_id")
+
+
+def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontam.decontaminate end-to-end: the corpus minus every doc
+    sharing ≥1 benchmark 8-gram — full schema passes through, the
+    removal is a broadcast anti join (no corpus shuffle). Row-level
+    oracle: NOT EXISTS over the same n-gram join in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    out = decontam.decontaminate(docs, bench, "doc_id", "text", n=8)
+    return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -1166,6 +1195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interval_join": events_interval_join,
         "incremental_jaccard_screen": incremental_jaccard_screen,
         "cdc_admission_screen": cdc_admission_screen,
+        "decontamination_report": decontamination_report,
+        "decontaminated_docs": decontaminated_docs,
     }
 
 
@@ -1288,6 +1319,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE ({sh_bands})
               AND bit_count(xor(a.sig, b.sig)) <= {sh_maxham}
             ORDER BY id_a, id_b
+        """
+
+    # decontamination oracles: same lowercase word 8-gram construction as
+    # the Spark side (shingles over lower(text), short docs -> whole text)
+    dc_n = 8
+    dc_grams = (
+        f"unnest(list_transform("
+        f"range(1, greatest(len(string_split(lower(text), ' ')) - {dc_n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + {dc_n - 1}), ' ')"
+        f")) AS ngram"
+    )
+    decontam_base = f"""
+            WITH bn AS (
+              SELECT DISTINCT ngram FROM (
+                SELECT {dc_grams} FROM documents WHERE doc_id % 40 = 0
+              )
+            ),
+            dn AS (
+              SELECT doc_id, {dc_grams} FROM documents
+            ),
+            hits AS (
+              SELECT doc_id, count(DISTINCT dn.ngram) AS n_hit_ngrams
+              FROM dn JOIN bn USING (ngram)
+              GROUP BY doc_id
+            )
+    """
+    decontam_report_sql = decontam_base + """
+            SELECT doc_id, n_hit_ngrams FROM hits ORDER BY doc_id
+        """
+    decontam_docs_sql = decontam_base + """
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d
+            WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.doc_id = d.doc_id)
+            ORDER BY d.doc_id
         """
 
     cosine_topk_sql = f"""
@@ -1836,6 +1901,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_md5_near_dups": minhash_md5_sql,
         "simhash_md5_near_dups": simhash_md5_sql,
+        "decontamination_report": decontam_report_sql,
+        "decontaminated_docs": decontam_docs_sql,
         "ngram_jaccard_near_dups": """
             WITH sh AS (
               SELECT doc_id AS id,

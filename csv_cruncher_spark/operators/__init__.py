@@ -1,6 +1,7 @@
 from . import (
     bloom,
     corpus,
+    decontam,
     dedup,
     joins,
     multimodal,
@@ -10,6 +11,7 @@ from . import (
     textstats,
 )
 from .corpus import build_corpus
+from .decontam import contamination_report, decontaminate
 from .packing import pack_sequences
 from .sampling import assign_split, hash_sample, stratified_sample
 from .dedup import dropped_buckets, release
@@ -18,9 +20,12 @@ from .joins import asof_join, asof_join_bucketed, interval_join
 __all__ = [
     "bloom",
     "corpus",
+    "decontam",
     "packing",
     "sampling",
     "build_corpus",
+    "contamination_report",
+    "decontaminate",
     "pack_sequences",
     "hash_sample",
     "stratified_sample",

@@ -1,0 +1,102 @@
+"""Test-set decontamination: find (and drop) training documents that
+share word n-grams with an evaluation benchmark — the GPT-3-style
+overlap screen every serious pretraining pipeline runs before training
+(13-gram collision in the GPT-3 appendix; the same screen at smaller n
+for short benchmarks).
+
+Scale shape (the part that matters at 100 TB): the benchmark side is
+always tiny — a few thousand eval documents, a few MB of distinct
+n-grams — so the corpus-side n-gram stream is filtered through a
+BROADCAST hash join BEFORE anything shuffles. The corpus itself never
+repartitions: only the (rare) hit rows reach the per-doc aggregation,
+and the final removal is a left-anti join against the (small) hit-id
+frame, which AQE plans as a broadcast. Contrast with the naive
+shuffle-join of two exploded n-gram streams, which repartitions the
+whole corpus by n-gram.
+
+No reference counterpart (csv-cruncher has no corpus tooling); this is
+part of the training-data layer built beyond the reference surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _spread, shingles
+
+
+def _ngram_stream(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(id, ngram) stream: lowercase word n-grams; docs shorter than n
+    words contribute their whole text as one gram (shingles' greatest(,1)
+    slice semantics), so short docs still screen instead of slipping
+    through."""
+    return _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(f"lower({text_col})", n)).alias("ngram"),
+    )
+
+
+def benchmark_ngrams(
+    bench: DataFrame, text_col: str = "text", n: int = 13
+) -> DataFrame:
+    """The distinct n-gram set of the benchmark — the small frame the
+    corpus is screened against. Compute once, reuse across corpus
+    batches (it only changes when the benchmark suite does)."""
+    return (
+        bench.select(F.explode(shingles(f"lower({text_col})", n)).alias("ngram"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    bench_ngrams: DataFrame | None = None,
+) -> DataFrame:
+    """Per-contaminated-doc hit counts: (id, n_hit_ngrams) for every
+    corpus document sharing at least one lowercase word n-gram with the
+    benchmark; clean documents are absent. Pass ``bench_ngrams=`` (from
+    :func:`benchmark_ngrams`) to amortize the benchmark scan across
+    many corpus batches — the per-change-batch CDC admission shape.
+
+    Plan: corpus n-gram stream → broadcast inner join with the distinct
+    benchmark n-grams (narrow — the corpus never shuffles) → per-doc
+    distinct-hit count over the surviving rows only (one small
+    exchange)."""
+    if bench_ngrams is None:
+        bench_ngrams = benchmark_ngrams(bench, bench_text_col or text_col, n)
+    hits = _ngram_stream(docs, id_col, text_col, n).join(
+        F.broadcast(bench_ngrams), "ngram"
+    )
+    return hits.groupBy("id").agg(
+        F.countDistinct("ngram").alias("n_hit_ngrams")
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 13,
+    min_hits: int = 1,
+    bench_ngrams: DataFrame | None = None,
+) -> DataFrame:
+    """The corpus minus contaminated documents (``>= min_hits`` distinct
+    benchmark n-grams). The hit-id frame is small by construction, so
+    the anti join broadcasts under AQE — full corpus schema passes
+    through untouched, no corpus shuffle anywhere in the plan."""
+    rep = contamination_report(
+        docs, bench, id_col, text_col, bench_text_col, n, bench_ngrams
+    )
+    bad = rep.filter(F.col("n_hit_ngrams") >= min_hits).select(
+        F.col("id").alias("__contaminated_id")
+    )
+    return docs.join(
+        bad, docs[id_col] == bad["__contaminated_id"], "left_anti"
+    )
