@@ -1079,6 +1079,19 @@ def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-mixed corpus (sampling.temperature_sample, α=0.5,
+    target = 60% of rows): per-language keep fractions ∝ √n_g flatten
+    the language distribution; membership is the deterministic md5
+    threshold, so DuckDB re-derives the EXACT surviving row set from the
+    same histogram → sqrt → round(·,6) → '%08x' threshold math."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_sample(
+        docs, "doc_id", "lang", alpha=0.5, target_fraction=0.6
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -1197,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_admission_screen": cdc_admission_screen,
         "decontamination_report": decontamination_report,
         "decontaminated_docs": decontaminated_docs,
+        "temperature_mix_docs": temperature_mix_docs,
     }
 
 
@@ -1903,6 +1917,29 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5_near_dups": simhash_md5_sql,
         "decontamination_report": decontam_report_sql,
         "decontaminated_docs": decontam_docs_sql,
+        "temperature_mix_docs": """
+            WITH c AS (
+              SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang
+            ),
+            t AS (SELECT sum(n) AS total, sum(sqrt(n)) AS denom FROM c),
+            f AS (
+              SELECT c.lang,
+                     round(least(1.0,
+                       ((t.total * 0.6) * (sqrt(c.n) / t.denom)) / c.n), 6) AS frac
+              FROM c, t
+            ),
+            thr AS (
+              SELECT lang,
+                     CASE WHEN frac >= 1.0 THEN 'g'
+                          ELSE printf('%08x', CAST(floor(frac * 4294967296) AS BIGINT))
+                     END AS thr
+              FROM f
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr USING (lang)
+            WHERE substr(md5(d.doc_id || ':temp-v1'), 1, 8) < thr.thr
+            ORDER BY d.doc_id
+        """,
         "ngram_jaccard_near_dups": """
             WITH sh AS (
               SELECT doc_id AS id,

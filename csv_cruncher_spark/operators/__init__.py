@@ -13,7 +13,13 @@ from . import (
 from .corpus import build_corpus
 from .decontam import contamination_report, decontaminate
 from .packing import pack_sequences
-from .sampling import assign_split, hash_sample, stratified_sample
+from .sampling import (
+    assign_split,
+    hash_sample,
+    stratified_sample,
+    temperature_fractions,
+    temperature_sample,
+)
 from .dedup import dropped_buckets, release
 from .joins import asof_join, asof_join_bucketed, interval_join
 
@@ -30,6 +36,8 @@ __all__ = [
     "hash_sample",
     "stratified_sample",
     "assign_split",
+    "temperature_fractions",
+    "temperature_sample",
     "dedup",
     "joins",
     "multimodal",

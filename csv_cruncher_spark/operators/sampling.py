@@ -27,9 +27,18 @@ beyond-reference training-data layer.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_bucket", "hash_sample", "stratified_sample", "assign_split"]
+__all__ = [
+    "hash_bucket",
+    "hash_sample",
+    "stratified_sample",
+    "assign_split",
+    "temperature_fractions",
+    "temperature_sample",
+]
 
 
 def _hex_threshold(fraction: float) -> str:
@@ -85,6 +94,71 @@ def stratified_sample(
         F.lit(_hex_threshold(default_fraction)),
     )
     return df.filter(hash_bucket(F.col(key_col), salt) < thr)
+
+
+def temperature_fractions(
+    counts: dict[str, int],
+    alpha: float = 0.5,
+    target_fraction: float | None = None,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Per-stratum keep fractions for temperature sampling (the
+    multilingual mixing rule of mT5/XLM-R): sampling probability
+    ``p_g ∝ n_g^alpha``, so ``alpha < 1`` flattens the distribution —
+    low-resource strata keep a larger share of themselves than dominant
+    ones. The target size is ``target_rows`` (or ``target_fraction`` of
+    the total); each stratum's fraction is ``min(1, target·p_g / n_g)``,
+    clipped per stratum (small strata that would need upsampling cap at
+    keep-all — this operator mixes down, it does not duplicate rows).
+
+    Fractions are rounded to 6 decimals: quantizing at 1e-6 makes the
+    realized rates printable/configurable AND absorbs last-ulp libm
+    differences so an external engine (the DuckDB oracle) re-deriving
+    them from the same counts lands on the identical threshold.
+    ``alpha=0.5`` uses ``sqrt`` — IEEE-correctly-rounded in every
+    engine, unlike ``pow``."""
+    if (target_fraction is None) == (target_rows is None):
+        raise ValueError("pass exactly one of target_fraction / target_rows")
+    if not counts:
+        return {}
+    total = sum(counts.values())
+    target = float(target_rows) if target_rows is not None else total * target_fraction
+    weight = {
+        s: (math.sqrt(n) if alpha == 0.5 else float(n) ** alpha)
+        for s, n in counts.items()
+    }
+    denom = sum(weight[s] for s in sorted(weight))
+    return {
+        s: round(min(1.0, target * (weight[s] / denom) / counts[s]), 6)
+        for s in sorted(counts)
+    }
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_fraction: float | None = None,
+    target_rows: int | None = None,
+    salt: str = "temp-v1",
+) -> DataFrame:
+    """Deterministic temperature-mixed corpus: derive per-stratum keep
+    fractions from the stratum histogram (``n_g^alpha`` flattening, see
+    :func:`temperature_fractions`) and apply them with
+    :func:`stratified_sample`. The histogram collect is bounded by the
+    number of strata (languages/domains — dozens, never rows), and the
+    applied plan is the same single narrow literal-map filter as every
+    sampler here: no join, no shuffle, layout-independent membership."""
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.groupBy(F.col(stratum_col).alias("__s"))
+        .agg(F.count("*").alias("__n"))
+        .collect()
+        if r["__s"] is not None
+    }
+    fracs = temperature_fractions(counts, alpha, target_fraction, target_rows)
+    return stratified_sample(df, key_col, stratum_col, fracs, 0.0, salt)
 
 
 def assign_split(

@@ -115,3 +115,74 @@ def test_split_input_validation(spark):
     # single split: everything gets the one label
     one = sampling.assign_split(df, "doc_id", {"all": 3})
     assert {r["split"] for r in one.collect()} == {"all"}
+
+
+def _skewed_docs(spark):
+    """1600 en, 320 de, 64 fr, 16 zh — a skewed language histogram."""
+    sizes = {"en": 1600, "de": 320, "fr": 64, "zh": 16}
+    frames = []
+    base = 0
+    for lang, n in sizes.items():
+        frames.append(
+            spark.range(base, base + n).select(
+                F.col("id").alias("doc_id"), F.lit(lang).alias("lang")
+            )
+        )
+        base += n
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    return df, sizes
+
+
+def test_temperature_fractions_flatten(spark):
+    """alpha < 1 must keep a HIGHER fraction of small strata than large
+    ones (the whole point of temperature mixing), and alpha = 1 must
+    keep the same fraction everywhere (proportional = no flattening)."""
+    counts = {"en": 1600, "de": 320, "fr": 64, "zh": 16}
+    # target small enough that no stratum clips at keep-all
+    f_half = sampling.temperature_fractions(counts, 0.5, target_fraction=0.05)
+    assert f_half["zh"] > f_half["fr"] > f_half["de"] > f_half["en"]
+    f_one = sampling.temperature_fractions(counts, 1.0, target_fraction=0.5)
+    assert len({round(v, 6) for v in f_one.values()}) == 1
+
+
+def test_temperature_fractions_target_and_clip(spark):
+    counts = {"big": 10_000, "tiny": 10}
+    # aggressive flattening wants more tiny rows than exist -> clip at 1.0
+    f = sampling.temperature_fractions(counts, 0.2, target_rows=5_000)
+    assert f["tiny"] == 1.0
+    assert 0.0 < f["big"] < 1.0
+    import pytest
+
+    with pytest.raises(ValueError):
+        sampling.temperature_fractions(counts, 0.5)
+    with pytest.raises(ValueError):
+        sampling.temperature_fractions(counts, 0.5, 0.5, 100)
+
+
+def test_temperature_sample_realized_mix(spark):
+    """The realized sample hits the per-stratum expectations (md5 is
+    uniform; tolerance = 4 sigma of the binomial) and total ≈ target."""
+    df, sizes = _skewed_docs(spark)
+    out = sampling.temperature_sample(
+        df, "doc_id", "lang", alpha=0.5, target_fraction=0.5
+    )
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    fracs = sampling.temperature_fractions(sizes, 0.5, target_fraction=0.5)
+    for lang, n in sizes.items():
+        exp = fracs[lang] * n
+        sd = (n * fracs[lang] * (1 - fracs[lang])) ** 0.5
+        assert abs(got.get(lang, 0) - exp) <= 4 * sd + 1, (lang, got.get(lang), exp)
+
+
+def test_temperature_sample_deterministic_across_layouts(spark):
+    df, _ = _skewed_docs(spark)
+    ids = lambda d: {r[0] for r in d.select("doc_id").collect()}  # noqa: E731
+    a = ids(sampling.temperature_sample(df, "doc_id", "lang", 0.5, target_fraction=0.4))
+    b = ids(
+        sampling.temperature_sample(
+            df.repartition(13, "doc_id"), "doc_id", "lang", 0.5, target_fraction=0.4
+        )
+    )
+    assert a == b and a
