@@ -1092,6 +1092,21 @@ def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-1 training order (operators/shuffle.py):
+    sharded md5 permutation — per-shard ordered window + literal-map
+    offsets, never a single global sort. DuckDB re-derives the identical
+    (shard, pos_in_shard, global_pos) for every doc from the same draw
+    math (prefix-sum offsets instead of the literal map)."""
+    from csv_cruncher_spark.operators import shuffle as shuffle_op
+
+    docs = _t(spark, sf_dir, "documents")
+    out = shuffle_op.epoch_shuffle(docs, "doc_id", epoch=1, n_shards=16)
+    return out.select("doc_id", "shard", "pos_in_shard", "global_pos").orderBy(
+        "global_pos"
+    )
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -1211,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_report": decontamination_report,
         "decontaminated_docs": decontaminated_docs,
         "temperature_mix_docs": temperature_mix_docs,
+        "epoch_shuffle_docs": epoch_shuffle_docs,
     }
 
 
@@ -1917,6 +1933,34 @@ def oracle_sql() -> dict[str, str]:
         "simhash_md5_near_dups": simhash_md5_sql,
         "decontamination_report": decontam_report_sql,
         "decontaminated_docs": decontam_docs_sql,
+        "epoch_shuffle_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     substr(md5(doc_id || ':shuffle-v1:e1'), 1, 8) AS draw
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, draw,
+                     ('0x' || substr(draw, 1, 4))::BIGINT % 16 AS shard
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id, shard,
+                     CAST(row_number() OVER (PARTITION BY shard ORDER BY draw, doc_id) AS BIGINT)
+                       AS pos_in_shard
+              FROM s
+            ),
+            off AS (
+              SELECT shard,
+                     COALESCE(SUM(n) OVER (ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM (SELECT shard, count(*) AS n FROM r GROUP BY shard)
+            )
+            SELECT r.doc_id, r.shard, r.pos_in_shard,
+                   CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
+            FROM r JOIN off USING (shard)
+            ORDER BY global_pos
+        """,
         "temperature_mix_docs": """
             WITH c AS (
               SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang

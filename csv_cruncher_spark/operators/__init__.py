@@ -7,6 +7,7 @@ from . import (
     multimodal,
     packing,
     sampling,
+    shuffle,
     similarity,
     textstats,
 )
@@ -21,6 +22,7 @@ from .sampling import (
     temperature_sample,
 )
 from .dedup import dropped_buckets, release
+from .shuffle import epoch_shuffle
 from .joins import asof_join, asof_join_bucketed, interval_join
 
 __all__ = [
@@ -29,6 +31,8 @@ __all__ = [
     "decontam",
     "packing",
     "sampling",
+    "shuffle",
+    "epoch_shuffle",
     "build_corpus",
     "contamination_report",
     "decontaminate",
