@@ -446,6 +446,28 @@ def media_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal pipeline's oracled companion: the REAL mapInPandas
+    decode + Arrow pandas-UDF feature extraction run end-to-end, and
+    because the deterministic stand-in features are sha256-derived
+    (uint32 windows of the digest / 2^32 as float32), DuckDB re-derives
+    byte count, sniffed format, and the first two feature lanes exactly
+    (sha256 + little-endian hex reassembly + FLOAT cast). The pixel
+    decode stays an env boundary; the Spark-side plumbing — schema, Arrow
+    batching, UDF math — is what this verifies cross-engine."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("media"))
+    decoded = multimodal.decode_metadata(media, "media")
+    feats = multimodal.media_features(decoded, "media", dim=8)
+    return feats.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("f1"),
+    ).orderBy("doc_id")
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (approximate → rows-only check)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1227,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminated_docs": decontaminated_docs,
         "temperature_mix_docs": temperature_mix_docs,
         "epoch_shuffle_docs": epoch_shuffle_docs,
+        "media_features_exact": media_features_exact,
     }
 
 
@@ -1960,6 +1983,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
             FROM r JOIN off USING (shard)
             ORDER BY global_pos
+        """,
+        "media_features_exact": """
+            WITH m AS (
+              SELECT doc_id, sha256(text) AS h,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents WHERE doc_id < 200
+            )
+            SELECT doc_id,
+                   'unknown' AS format,
+                   n_bytes,
+                   round(CAST(CAST(
+                     ('0x' || substr(h, 7, 2) || substr(h, 5, 2)
+                            || substr(h, 3, 2) || substr(h, 1, 2))::BIGINT
+                     AS DOUBLE) / 4294967296 AS FLOAT)::DOUBLE, 6) AS f0,
+                   round(CAST(CAST(
+                     ('0x' || substr(h, 15, 2) || substr(h, 13, 2)
+                            || substr(h, 11, 2) || substr(h, 9, 2))::BIGINT
+                     AS DOUBLE) / 4294967296 AS FLOAT)::DOUBLE, 6) AS f1
+            FROM m ORDER BY doc_id
         """,
         "temperature_mix_docs": """
             WITH c AS (
