@@ -30,6 +30,7 @@ from csv_cruncher_spark.functions import normalize_url, url_domain, url_host  # 
 from csv_cruncher_spark.lake import ivm, salt  # noqa: E402
 from csv_cruncher_spark.operators import (  # noqa: E402
     bloom,
+    boilerplate,
     corpus,
     decontam,
     dedup,
@@ -1101,6 +1102,31 @@ def decontaminated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate line removal (operators/boilerplate.py)
+    end-to-end: the newline-free synthetic docs get deterministic
+    'lines' (12-word chunks — same derivation in both engines), then the
+    REAL mine → mark → order-preserving rebuild runs with min_docs=3.
+    Near-dup docs share aligned chunks, so the mined set is non-trivial.
+    Row-level oracle: DuckDB replays the chunking, the two-level distinct
+    frequency, and the ordered string_agg rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, int(ceil(size(split(text, ' ')) / 12.0))),"
+                " i -> concat_ws(' ', slice(split(text, ' '), (i-1)*12 + 1, 12)))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = boilerplate.remove_boilerplate_lines(lined, "doc_id", "text", min_docs=3)
+    return out.select(
+        "doc_id", "text", "n_kept_lines", "n_removed_lines"
+    ).orderBy("doc_id")
+
+
 def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixed corpus (sampling.temperature_sample, α=0.5,
     target = 60% of rows): per-language keep fractions ∝ √n_g flatten
@@ -1250,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": temperature_mix_docs,
         "epoch_shuffle_docs": epoch_shuffle_docs,
         "media_features_exact": media_features_exact,
+        "boilerplate_removed_docs": boilerplate_removed_docs,
     }
 
 
@@ -1983,6 +2010,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
             FROM r JOIN off USING (shard)
             ORDER BY global_pos
+        """,
+        "boilerplate_removed_docs": """
+            WITH lined AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) + 1),
+                       i -> array_to_string(
+                         list_slice(string_split(text, ' '), (i-1)*12 + 1, (i-1)*12 + 12), ' ')
+                     ) AS ls
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     unnest(range(1, len(ls) + 1)) AS line_no,
+                     unnest(ls) AS line
+              FROM lined
+            ),
+            freq AS (
+              SELECT line FROM (SELECT DISTINCT line, doc_id FROM l)
+              GROUP BY line HAVING count(*) >= 3
+            )
+            SELECT l.doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN f.line IS NULL THEN l.line END,
+                     chr(10) ORDER BY l.line_no), '') AS text,
+                   CAST(SUM(CASE WHEN f.line IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept_lines,
+                   CAST(SUM(CASE WHEN f.line IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+                     AS n_removed_lines
+            FROM l LEFT JOIN freq f USING (line)
+            GROUP BY l.doc_id
+            ORDER BY l.doc_id
         """,
         "media_features_exact": """
             WITH m AS (

@@ -1,5 +1,6 @@
 from . import (
     bloom,
+    boilerplate,
     corpus,
     decontam,
     dedup,
@@ -11,6 +12,7 @@ from . import (
     similarity,
     textstats,
 )
+from .boilerplate import boilerplate_lines, remove_boilerplate_lines
 from .corpus import build_corpus
 from .decontam import contamination_report, decontaminate
 from .packing import pack_sequences
@@ -27,6 +29,9 @@ from .joins import asof_join, asof_join_bucketed, interval_join
 
 __all__ = [
     "bloom",
+    "boilerplate",
+    "boilerplate_lines",
+    "remove_boilerplate_lines",
     "corpus",
     "decontam",
     "packing",

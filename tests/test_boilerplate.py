@@ -1,0 +1,81 @@
+"""Boilerplate line removal (operators/boilerplate.py): mining
+threshold, order-preserving rebuild, within-doc repeats counted once,
+reusable mined set, and the single-exchange rebuild plan."""
+
+from pyspark.sql import Row, functions as F
+
+from csv_cruncher_spark.operators import boilerplate
+
+DOCS = [
+    (1, "COOKIE BANNER\nreal content one\nFOOTER\nmore real text"),
+    (2, "COOKIE BANNER\nreal content two\nFOOTER"),
+    (3, "COOKIE BANNER\nunique stuff here"),
+    # within-doc repeat of a unique line: must NOT count as cross-doc
+    (4, "only here\nonly here\nsomething else"),
+    (5, "entirely original document"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in DOCS])
+
+
+def test_mining_threshold_and_distinct_docs(spark):
+    df = _docs(spark)
+    b2 = {r["line"]: r["n_docs"]
+          for r in boilerplate.boilerplate_lines(df, "doc_id", "text", min_docs=2).collect()}
+    assert b2 == {"COOKIE BANNER": 3, "FOOTER": 2}
+    # 'only here' repeats within doc 4 only -> 1 distinct doc -> excluded
+    b3 = {r["line"] for r in
+          boilerplate.boilerplate_lines(df, "doc_id", "text", min_docs=3).collect()}
+    assert b3 == {"COOKIE BANNER"}
+
+
+def test_removal_preserves_order_and_counts(spark):
+    df = _docs(spark)
+    out = {r["doc_id"]: r for r in
+           boilerplate.remove_boilerplate_lines(df, "doc_id", "text", min_docs=2).collect()}
+    assert out[1]["text"] == "real content one\nmore real text"
+    assert out[1]["n_kept_lines"] == 2 and out[1]["n_removed_lines"] == 2
+    assert out[2]["text"] == "real content two"
+    assert out[4]["text"] == "only here\nonly here\nsomething else"
+    assert out[4]["n_removed_lines"] == 0
+    assert set(out) == {1, 2, 3, 4, 5}
+
+
+def test_all_boilerplate_doc_survives_empty(spark):
+    df = _docs(spark).unionByName(
+        _docs(spark).sparkSession.createDataFrame(
+            [Row(doc_id=6, text="COOKIE BANNER\nFOOTER")]
+        )
+    )
+    out = {r["doc_id"]: r for r in
+           boilerplate.remove_boilerplate_lines(df, "doc_id", "text", min_docs=2).collect()}
+    assert out[6]["text"] == "" and out[6]["n_kept_lines"] == 0
+
+
+def test_premined_set_reused_across_batches(spark):
+    df = _docs(spark)
+    mined = boilerplate.boilerplate_lines(df, "doc_id", "text", min_docs=2)
+    batch = df.sparkSession.createDataFrame(
+        [Row(doc_id=99, text="COOKIE BANNER\nnew arrival")]
+    )
+    out = boilerplate.remove_boilerplate_lines(
+        batch, "doc_id", "text", boiler=mined
+    ).collect()
+    assert out[0]["text"] == "new arrival" and out[0]["n_removed_lines"] == 1
+
+
+def test_rebuild_is_single_exchange(spark):
+    """The rebuild aggregates once on the doc id: exactly one
+    hash-partitioning exchange on the line stream side (the mined-set
+    side may shuffle for its own aggregation — that frame is tiny)."""
+    df = _docs(spark)
+    mined = boilerplate.boilerplate_lines(df, "doc_id", "text", min_docs=2)
+    out = boilerplate.remove_boilerplate_lines(df, "doc_id", "text", boiler=mined)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    id_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "id#" in ln.split("hashpartitioning")[1].split(",")[0]
+    ]
+    assert len(id_exchanges) == 1, plan
