@@ -1155,6 +1155,29 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone pipeline with the round's new stages wired in:
+    token gate → test-set DECONTAMINATION (broadcast n-gram screen,
+    every 40th doc as the benchmark) → exact-fingerprint dedup →
+    TEMPERATURE mixing (α=0.5 over the deduped survivors' histogram)
+    → train/val/test split. One corpus shuffle total (the fp keeper
+    window; the decontam stage is a broadcast anti join). DuckDB
+    replays every stage row-level."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 40 == 0)
+    out = corpus.build_corpus(
+        docs,
+        "doc_id",
+        "text",
+        "lang",
+        min_tokens=10,
+        decontam={"bench": bench, "n": 8},
+        temperature={"alpha": 0.5, "target_fraction": 0.5},
+        splits={"train": 8, "val": 1, "test": 1},
+    )
+    return out.select("doc_id", "lang", "split").orderBy("doc_id")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -1277,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_docs": epoch_shuffle_docs,
         "media_features_exact": media_features_exact,
         "boilerplate_removed_docs": boilerplate_removed_docs,
+        "corpus_build_full": corpus_build_full,
     }
 
 
@@ -2010,6 +2034,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
             FROM r JOIN off USING (shard)
             ORDER BY global_pos
+        """,
+        "corpus_build_full": f"""
+            WITH bn AS (
+              SELECT DISTINCT ngram FROM (
+                SELECT {dc_grams} FROM documents WHERE doc_id % 40 = 0
+              )
+            ),
+            hit AS (
+              SELECT DISTINCT doc_id FROM (
+                SELECT doc_id, {dc_grams} FROM documents
+              ) dn JOIN bn USING (ngram)
+            ),
+            gated AS (
+              SELECT doc_id, lang,
+                     md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+              FROM documents
+              WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 10
+                AND doc_id NOT IN (SELECT doc_id FROM hit)
+            ),
+            kept AS (
+              SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       MIN(doc_id) OVER (PARTITION BY fp) AS keeper
+                FROM gated) k
+              WHERE doc_id = keeper
+            ),
+            c AS (SELECT lang, count(*)::BIGINT AS n FROM kept GROUP BY lang),
+            t AS (SELECT sum(n) AS total, sum(sqrt(n)) AS denom FROM c),
+            thr AS (
+              SELECT lang,
+                     CASE WHEN frac >= 1.0 THEN 'g'
+                          ELSE printf('%08x', CAST(floor(frac * 4294967296) AS BIGINT))
+                     END AS thr
+              FROM (
+                SELECT c.lang,
+                       round(least(1.0,
+                         ((t.total * 0.5) * (sqrt(c.n) / t.denom)) / c.n), 6) AS frac
+                FROM c, t)
+            ),
+            sampled AS (
+              SELECT k.doc_id, k.lang FROM kept k JOIN thr USING (lang)
+              WHERE substr(md5(CAST(k.doc_id AS VARCHAR) || ':mix-v1'), 1, 8)
+                    < thr.thr
+            )
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN u < '{sampling._hex_threshold(0.8)}' THEN 'train'
+                     WHEN u < '{sampling._hex_threshold(0.9)}' THEN 'val'
+                     ELSE 'test'
+                   END AS split
+            FROM (
+              SELECT doc_id, lang,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':split-v1'),
+                            1, 8) AS u
+              FROM sampled) s
+            ORDER BY doc_id
         """,
         "boilerplate_removed_docs": """
             WITH lined AS (

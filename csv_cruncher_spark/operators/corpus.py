@@ -45,6 +45,8 @@ def build_corpus(
     sample_salt: str = "mix-v1",
     split_salt: str = "split-v1",
     near_dup: dict | None = None,
+    decontam: dict | None = None,
+    temperature: dict | None = None,
 ) -> DataFrame:
     """Select and label a training corpus. Returns the surviving rows of
     ``df`` plus ``fp`` (content fingerprint) and ``split``.
@@ -67,7 +69,23 @@ def build_corpus(
     single-exchange plan promise holds only for the exact-only form;
     near-dup adds the mining/CC shuffles its own entry
     (``dedup_end_to_end``) documents and oracles.
+
+    ``decontam`` (kwargs for
+    :func:`csv_cruncher_spark.operators.decontam.decontaminate` minus
+    the frames, plus ``"bench"``: the benchmark DataFrame, e.g.
+    ``{"bench": eval_df, "n": 13}``) drops benchmark-overlapping docs
+    right after the gate — a broadcast anti join, so the plan stays
+    corpus-shuffle-free through this stage.
+
+    ``temperature`` (kwargs for
+    :func:`csv_cruncher_spark.operators.sampling.temperature_sample`
+    minus frame/key/stratum, e.g. ``{"alpha": 0.5, "target_fraction":
+    0.6}``) replaces the fixed per-stratum ``quotas`` with the
+    n_g^α-flattened mix derived from the DEDUPED survivors' histogram;
+    passing both is an error.
     """
+    if temperature is not None and quotas:
+        raise ValueError("pass either quotas or temperature, not both")
     fp = textstats.normalized_fingerprint(text_col)
     gated = df.withColumn("fp", fp).filter(
         textstats.regex_token_count(text_col) >= F.lit(min_tokens)
@@ -75,6 +93,14 @@ def build_corpus(
     if max_tokens is not None:
         gated = gated.filter(
             textstats.regex_token_count(text_col) <= F.lit(max_tokens)
+        )
+    if decontam is not None:
+        from . import decontam as _decontam
+
+        kw = dict(decontam)
+        bench = kw.pop("bench")
+        gated = _decontam.decontaminate(
+            gated, bench, id_col, text_col, **kw
         )
     # keeper election over the gated set: min id per fingerprint group
     # via an unordered window, so election AND the keep-filter happen in
@@ -98,14 +124,19 @@ def build_corpus(
         kept = kept.join(
             nd_keepers, kept[id_col] == F.col("__nd_id"), "left_semi"
         )
-    sampled = sampling.stratified_sample(
-        kept,
-        id_col,
-        stratum_col,
-        quotas or {},
-        default_fraction=default_quota,
-        salt=sample_salt,
-    )
+    if temperature is not None:
+        sampled = sampling.temperature_sample(
+            kept, id_col, stratum_col, salt=sample_salt, **temperature
+        )
+    else:
+        sampled = sampling.stratified_sample(
+            kept,
+            id_col,
+            stratum_col,
+            quotas or {},
+            default_fraction=default_quota,
+            salt=sample_salt,
+        )
     return sampling.assign_split(
         sampled, id_col, splits or {"train": 1.0}, salt=split_salt
     )
