@@ -53,6 +53,17 @@ def main() -> int:
                          "group columns via --agg-group)")
     ap.add_argument("--agg-group", default="lang",
                     help="comma-separated group columns for --maintain-agg")
+    ap.add_argument("--build-corpus", default=None, metavar="OUT",
+                    help="after replay, run the corpus builder over the "
+                         "table state and write (url, lang, split) parquet "
+                         "to OUT — the one-command CDC-to-training-corpus "
+                         "path")
+    ap.add_argument("--corpus-min-tokens", type=int, default=10)
+    ap.add_argument("--corpus-target", type=float, default=None,
+                    help="temperature-mix target fraction (alpha 0.5); "
+                         "omit for keep-all quotas")
+    ap.add_argument("--corpus-splits", default="train:8,val:1,test:1",
+                    help="split weights, e.g. train:8,val:1,test:1")
     args = ap.parse_args()
 
     from csv_cruncher_spark.session import get_spark
@@ -141,6 +152,33 @@ def main() -> int:
         )
         maintained_epoch = mv.refresh(spark)
 
+    corpus_rows = None
+    if args.build_corpus:
+        from csv_cruncher_spark.lake.table import LakeTable
+        from csv_cruncher_spark.operators import corpus as corpus_mod
+
+        pages = LakeTable.load(args.table).read(spark)
+        splits = {
+            name: float(w)
+            for name, w in (p.split(":") for p in args.corpus_splits.split(","))
+        }
+        temperature = (
+            {"alpha": 0.5, "target_fraction": args.corpus_target}
+            if args.corpus_target is not None
+            else None
+        )
+        selected = corpus_mod.build_corpus(
+            pages,
+            "url",
+            "text",
+            "lang",
+            min_tokens=args.corpus_min_tokens,
+            temperature=temperature,
+            splits=splits,
+        ).select("url", "lang", "split")
+        selected.write.mode("overwrite").parquet(args.build_corpus)
+        corpus_rows = spark.read.parquet(args.build_corpus).count()
+
     print(
         json.dumps(
             {
@@ -149,6 +187,7 @@ def main() -> int:
                 "total_batches": len(ckpt["batches_applied"]),
                 "feed_rows": feed_rows,
                 "maintained_epoch": maintained_epoch,
+                "corpus_rows": corpus_rows,
                 "seconds": round(time.time() - t0, 2),
             }
         )

@@ -141,3 +141,34 @@ def test_replay_cli_agg_group_multi_column(spark, change_log, monkeypatch, capsy
         .collect()
     }
     assert got == want
+
+
+def test_replay_build_corpus(spark, change_log, monkeypatch, capsys, tmp_path):
+    """--build-corpus: one command from change batches to a labeled
+    training corpus. The written parquet must equal build_corpus run by
+    hand over the final table state (same salts -> same membership)."""
+    base, _ = change_log
+    table = str(base / "lake_corpus")
+    out_dir = str(tmp_path / "corpus_out")
+    res = _run_replay(
+        monkeypatch,
+        capsys,
+        ["--table", table, "--batches", str(base / "batches"),
+         "--buckets", "4", "--build-corpus", out_dir,
+         "--corpus-min-tokens", "2", "--corpus-target", "0.5"],
+    )
+    assert res["corpus_rows"] is not None and res["corpus_rows"] > 0
+
+    from csv_cruncher_spark.lake.table import LakeTable
+    from csv_cruncher_spark.operators import corpus as corpus_mod
+
+    pages = LakeTable.load(table).read(spark)
+    expect = corpus_mod.build_corpus(
+        pages, "url", "text", "lang", min_tokens=2,
+        temperature={"alpha": 0.5, "target_fraction": 0.5},
+        splits={"train": 8.0, "val": 1.0, "test": 1.0},
+    ).select("url", "lang", "split")
+    got = spark.read.parquet(out_dir)
+    assert got.count() == res["corpus_rows"] == expect.count()
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
