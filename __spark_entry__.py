@@ -1155,6 +1155,29 @@ def epoch_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_percentile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-threshold quality selection (operators/ranking.py):
+    keep each language's top half by token count via ONE
+    partial-combined exact percentile aggregate + a broadcast threshold
+    join — never a per-stratum sort window. Integer scores at p=0.5 make
+    the interpolated threshold exact in both engines (the established
+    quantile-oracle trick), so DuckDB reproduces the row set and the
+    applied thresholds bit-for-bit."""
+    from csv_cruncher_spark.operators import ranking
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "score", textstats.regex_token_count("text").cast("long")
+    )
+    out = ranking.percentile_filter(
+        scored, "score", keep_fraction=0.5, stratum_col="lang",
+        threshold_out="thr",
+    )
+    return out.select(
+        "doc_id", "lang", "score", F.round("thr", 6).alias("thr")
+    ).orderBy("doc_id")
+
+
 def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone pipeline with the round's new stages wired in:
     token gate → test-set DECONTAMINATION (broadcast n-gram screen,
@@ -1301,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features_exact": media_features_exact,
         "boilerplate_removed_docs": boilerplate_removed_docs,
         "corpus_build_full": corpus_build_full,
+        "quality_percentile_docs": quality_percentile_docs,
     }
 
 
@@ -2034,6 +2058,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
             FROM r JOIN off USING (shard)
             ORDER BY global_pos
+        """,
+        "quality_percentile_docs": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                       AS score
+              FROM documents
+            ),
+            t AS (
+              SELECT lang, quantile_cont(score, 0.5) AS thr FROM s GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.score, round(t.thr, 6) AS thr
+            FROM s JOIN t USING (lang)
+            WHERE s.score >= t.thr
+            ORDER BY s.doc_id
         """,
         "corpus_build_full": f"""
             WITH bn AS (

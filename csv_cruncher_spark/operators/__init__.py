@@ -7,6 +7,7 @@ from . import (
     joins,
     multimodal,
     packing,
+    ranking,
     sampling,
     shuffle,
     similarity,
@@ -16,6 +17,7 @@ from .boilerplate import boilerplate_lines, remove_boilerplate_lines
 from .corpus import build_corpus
 from .decontam import contamination_report, decontaminate
 from .packing import pack_sequences
+from .ranking import percentile_filter
 from .sampling import (
     assign_split,
     hash_sample,
@@ -35,6 +37,8 @@ __all__ = [
     "corpus",
     "decontam",
     "packing",
+    "ranking",
+    "percentile_filter",
     "sampling",
     "shuffle",
     "epoch_shuffle",

@@ -1,0 +1,65 @@
+"""Percentile-threshold selection (operators/ranking.py): exact
+semantics against a pure-Python percentile, tie handling, global vs
+per-stratum thresholds, and the no-sort plan contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.operators import ranking
+
+
+def _scored(spark):
+    # lang a: scores 1..10 (p50 threshold = 5.5 -> keep 6..10)
+    # lang b: scores all 7 (ties: everything >= threshold survives)
+    rows = [(i, "a", i) for i in range(1, 11)] + [(100 + i, "b", 7) for i in range(4)]
+    return spark.createDataFrame(rows, "doc_id int, lang string, score int")
+
+
+def test_per_stratum_threshold_and_ties(spark):
+    out = ranking.percentile_filter(
+        _scored(spark), "score", keep_fraction=0.5, stratum_col="lang"
+    )
+    got = {(r["lang"], r["doc_id"]) for r in out.collect()}
+    assert {d for (s, d) in got if s == "a"} == {6, 7, 8, 9, 10}
+    # all of b ties at its own median -> all kept
+    assert len([1 for (s, _) in got if s == "b"]) == 4
+
+
+def test_global_threshold(spark):
+    out = ranking.percentile_filter(_scored(spark), "score", keep_fraction=0.5)
+    # global median of [1..10, 7,7,7,7] = 7 -> keep scores >= 7
+    assert sorted(r["score"] for r in out.collect()) == [7] * 5 + [8, 9, 10]
+
+
+def test_keep_all_and_validation(spark):
+    df = _scored(spark)
+    assert ranking.percentile_filter(df, "score", 1.0).count() == df.count()
+    with pytest.raises(ValueError):
+        ranking.percentile_filter(df, "score", 0.0)
+    with pytest.raises(ValueError):
+        ranking.percentile_filter(df, "score", 1.5)
+
+
+def test_threshold_out_column(spark):
+    out = ranking.percentile_filter(
+        _scored(spark), "score", 0.5, stratum_col="lang", threshold_out="thr"
+    )
+    thr = {r["lang"]: r["thr"] for r in out.select("lang", "thr").distinct().collect()}
+    assert thr == {"a": 5.5, "b": 7.0}
+
+
+def test_plan_has_no_sort_and_broadcasts_thresholds(spark):
+    out = ranking.percentile_filter(
+        _scored(spark), "score", 0.5, stratum_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_score_expression_column(spark):
+    df = _scored(spark).withColumn("text", F.concat(F.lit("x "), F.col("score")))
+    out = ranking.percentile_filter(
+        df, F.col("score") * 2, keep_fraction=0.3, stratum_col="lang"
+    )
+    assert {r["doc_id"] for r in out.filter("lang = 'a'").collect()} == {8, 9, 10}
