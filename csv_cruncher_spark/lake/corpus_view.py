@@ -1,0 +1,267 @@
+"""An incrementally-maintained training corpus over a
+:class:`~csv_cruncher_spark.lake.table.LakeTable` — the CDC capstone:
+pair it with the change-log tailer and the SELECTED corpus (gate →
+exact-dedup keeper → quota → split, the same semantics as
+:func:`csv_cruncher_spark.operators.corpus.build_corpus` with fixed
+quotas) follows the table at O(changed fingerprint groups) per poll,
+never a table rescan after bootstrap.
+
+Why this needs state of its own: every build_corpus decision is a pure
+row function EXCEPT keeper election — "min url per content
+fingerprint" depends on the OTHER members of the group, so a delete of
+the current keeper must promote the next-smallest member, and the lake
+table (bucketed by url) cannot find a fingerprint's members without a
+full scan. The store therefore keeps every GATE-PASSING row's
+(url, fp, lang) — tiny columns, one row per live doc — bucketed by
+``pmod(xxhash64(fp), n_buckets)``, so a fingerprint group always lives
+in exactly one bucket and election is bucket-local. A refresh touches
+only the buckets containing fingerprints present in the epoch range's
+change feed (old image AND new image, so moves between groups update
+both sides), rewrites those buckets with flags recomputed, and
+atomically swaps a state pointer — write-new + rename, the lake's
+crash discipline; refresh is idempotent per epoch.
+
+Deliberately NOT supported: ``temperature=`` mixing — its per-stratum
+fractions depend on the global histogram, so a single changed row can
+re-threshold every stratum; that is a rebuild-time decision, not an
+incremental one. Fixed quotas are pure per-row and maintain exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators import sampling, textstats
+
+__all__ = ["MaintainedCorpus"]
+
+
+class MaintainedCorpus:
+    def __init__(
+        self,
+        table_path: str,
+        store_path: str,
+        *,
+        min_tokens: int = 1,
+        quotas: dict[str, float] | None = None,
+        default_quota: float = 1.0,
+        splits: dict[str, float] | None = None,
+        sample_salt: str = "mix-v1",
+        split_salt: str = "split-v1",
+        n_buckets: int = 16,
+    ):
+        self.table_path = table_path
+        self.store_path = store_path
+        self.min_tokens = min_tokens
+        self.quotas = quotas or {}
+        self.default_quota = default_quota
+        self.splits = splits or {"train": 1.0}
+        self.sample_salt = sample_salt
+        self.split_salt = split_salt
+        self.n_buckets = n_buckets
+
+    # -- state -----------------------------------------------------------
+    def _state_file(self) -> str:
+        return os.path.join(self.store_path, "state.json")
+
+    def state(self) -> dict | None:
+        if not os.path.exists(self._state_file()):
+            return None
+        with open(self._state_file()) as f:
+            return json.load(f)
+
+    def _swap_state(self, new_state: dict, prev: dict | None) -> None:
+        os.makedirs(self.store_path, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.store_path, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_state, f)
+        os.replace(tmp, self._state_file())
+        # prune member versions no longer referenced by current or the
+        # immediately previous state (a reader holding the old pointer
+        # may still be scanning)
+        keep = {p.split("/")[0] for p in new_state["buckets"].values()}
+        if prev is not None:
+            keep |= {p.split("/")[0] for p in prev["buckets"].values()}
+        for name in os.listdir(self.store_path):
+            if name.startswith("m-") and name not in keep:
+                shutil.rmtree(os.path.join(self.store_path, name), ignore_errors=True)
+
+    # -- plan pieces -------------------------------------------------------
+    def _gate_members(self, df: DataFrame) -> DataFrame:
+        """(url, lang, fp, bucket) for gate-passing rows of ``df``."""
+        return (
+            df.filter(
+                textstats.regex_token_count("text") >= F.lit(self.min_tokens)
+            )
+            .select(
+                "url",
+                "lang",
+                textstats.normalized_fingerprint("text").alias("fp"),
+            )
+            .withColumn(
+                "bucket", F.pmod(F.xxhash64("fp"), F.lit(self.n_buckets))
+            )
+        )
+
+    def _decorate(self, members: DataFrame) -> DataFrame:
+        """Election + quota + split flags — bucket-local (fp groups never
+        span buckets), all other decisions pure row functions."""
+        keeper = F.min("url").over(Window.partitionBy("fp"))
+        out = members.withColumn("is_keeper", F.col("url") == keeper)
+        pairs = []
+        for stratum, frac in sorted(self.quotas.items()):
+            pairs += [F.lit(stratum), F.lit(sampling._hex_threshold(frac))]
+        thr = (
+            F.coalesce(
+                F.element_at(F.create_map(*pairs), F.col("lang")),
+                F.lit(sampling._hex_threshold(self.default_quota)),
+            )
+            if pairs
+            else F.lit(sampling._hex_threshold(self.default_quota))
+        )
+        out = out.withColumn(
+            "selected",
+            F.col("is_keeper")
+            & (sampling.hash_bucket(F.col("url"), self.sample_salt) < thr),
+        )
+        return sampling.assign_split(
+            out, "url", self.splits, salt=self.split_salt
+        )
+
+    def _write_buckets(self, decorated: DataFrame, epoch: int) -> dict[str, str]:
+        rel = f"m-{epoch:08d}"
+        out_dir = os.path.join(self.store_path, rel)
+        decorated.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(out_dir)
+        written: dict[str, str] = {}
+        for name in os.listdir(out_dir):
+            if name.startswith("bucket="):
+                written[name.split("=")[1]] = f"{rel}/{name}"
+        return written
+
+    def _read_buckets(self, spark: SparkSession, bucket_ids=None) -> DataFrame:
+        st = self.state()
+        if st is None:
+            raise ValueError(
+                f"no maintained corpus at {self.store_path}; bootstrap first"
+            )
+        paths = [
+            os.path.join(self.store_path, p)
+            for b, p in st["buckets"].items()
+            if bucket_ids is None or int(b) in bucket_ids
+        ]
+        if not paths:
+            return None
+        # bucket is a partition column — reading the bucket=N dirs
+        # directly drops it, so re-derive it (pure function of fp)
+        return spark.read.parquet(*paths).withColumn(
+            "bucket", F.pmod(F.xxhash64("fp"), F.lit(st["n_buckets"]))
+        )
+
+    # -- lifecycle ---------------------------------------------------------
+    def bootstrap(self, spark: SparkSession) -> int:
+        """Full-scan initialization at the table's current epoch."""
+        from .table import LakeTable
+
+        table = LakeTable.load(self.table_path)
+        epoch = table.snapshot()["epoch_id"]
+        decorated = self._decorate(self._gate_members(table.read(spark)))
+        buckets = self._write_buckets(decorated, epoch)
+        prev = self.state()
+        self._swap_state(
+            {"epoch": epoch, "n_buckets": self.n_buckets, "buckets": buckets},
+            prev,
+        )
+        return epoch
+
+    def refresh(self, spark: SparkSession) -> int:
+        """Fold every epoch committed since the last refresh; returns the
+        epoch now reflected. First call bootstraps; nothing-new is a
+        no-op. Cost: feed-sized work + a rewrite of ONLY the buckets
+        whose fingerprint groups the feed touches (old or new image)."""
+        st = self.state()
+        if st is None:
+            return self.bootstrap(spark)
+        from .table import LakeTable
+
+        table = LakeTable.load(self.table_path)
+        cur = table.snapshot()["epoch_id"]
+        last = st["epoch"]
+        if cur == last:
+            return last
+        # the store's bucketing is fixed at bootstrap — a constructor
+        # passed a different n_buckets must not split fingerprint groups
+        # across two schemes
+        self.n_buckets = st["n_buckets"]
+        feed = table.changes_between(
+            spark, from_epoch=last, to_epoch=cur, with_before=True
+        )
+        fp_new = textstats.normalized_fingerprint("text")
+        fp_old = textstats.normalized_fingerprint("__before.text")
+        touched_fp = (
+            feed.select(
+                F.explode(
+                    F.array_compact(
+                        F.array(
+                            F.when(F.col("__op") != "D", fp_new),
+                            F.when(F.col("__before").isNotNull(), fp_old),
+                        )
+                    )
+                ).alias("fp")
+            )
+            .distinct()
+            .withColumn("bucket", F.pmod(F.xxhash64("fp"), F.lit(self.n_buckets)))
+        )
+        affected = {
+            r["bucket"] for r in touched_fp.select("bucket").distinct().collect()
+        }
+        if not affected:
+            # feed had only rows with no gate-relevant images (possible
+            # when every change is a delete of a never-inserted key)
+            self._swap_state({**st, "epoch": cur}, st)
+            return cur
+        changed_urls = feed.select("url").distinct()
+        stored = self._read_buckets(spark, affected)
+        survivors = (
+            stored.drop("is_keeper", "selected", "split").join(
+                changed_urls, "url", "left_anti"
+            )
+            if stored is not None
+            else None
+        )
+        additions = self._gate_members(
+            feed.filter(F.col("__op") != "D").drop("__op", "__before")
+        )
+        members = (
+            additions
+            if survivors is None
+            else survivors.unionByName(additions)
+        )
+        decorated = self._decorate(members)
+        written = self._write_buckets(decorated, cur)
+        new_buckets = dict(st["buckets"])
+        # buckets the rewrite produced no rows for (group emptied) must
+        # drop out of the pointer map, not keep serving stale rows
+        for b in affected:
+            new_buckets.pop(str(b), None)
+        new_buckets.update(written)
+        self._swap_state(
+            {"epoch": cur, "n_buckets": st["n_buckets"], "buckets": new_buckets},
+            st,
+        )
+        return cur
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """The selected corpus: (url, lang, fp, split) of every keeper
+        that passed its stratum quota — a narrow scan of the bucket
+        store, no recompute."""
+        df = self._read_buckets(spark)
+        if df is None:
+            raise ValueError(f"maintained corpus at {self.store_path} is empty")
+        return df.filter("selected").select("url", "lang", "fp", "split")

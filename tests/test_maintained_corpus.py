@@ -1,0 +1,162 @@
+"""MaintainedCorpus (lake/corpus_view.py): the incrementally-maintained
+selected corpus must EQUAL a from-scratch build_corpus over the table
+state after every refresh — including keeper succession when the
+current keeper of a fingerprint group is deleted — while rewriting only
+the buckets the feed touches."""
+
+import base64
+import csv
+import os
+
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.cdc.fixtures import _ts_str
+from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+from csv_cruncher_spark.lake.corpus_view import MaintainedCorpus
+from csv_cruncher_spark.lake.table import LakeTable
+from csv_cruncher_spark.operators import corpus
+
+CFG = dict(min_tokens=3, quotas={"en": 0.9}, default_quota=0.8,
+           splits={"train": 8.0, "val": 1.0, "test": 1.0})
+
+
+def _html(text: str) -> str:
+    return base64.b64encode(
+        f"<html><body><p>{text}</p></body></html>".encode()
+    ).decode("ascii")
+
+
+def _write_batch(dirpath: str, seq: int, rows: list[tuple[str, str, int, str, str]]):
+    """rows: (op, url, ts_s, text, lang); html derived from text so two
+    urls given the same text share a fingerprint."""
+    os.makedirs(dirpath, exist_ok=True)
+    path = os.path.join(dirpath, f"batch-{seq:05d}.csv")
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["op", "url", "warc_ts", "html", "lang"])
+        w.writeheader()
+        for op, url, ts_s, text, lang in rows:
+            w.writerow({
+                "op": op, "url": url, "warc_ts": _ts_str(ts_s),
+                "html": "" if op == "D" else _html(text),
+                "lang": "" if op == "D" else lang,
+            })
+    return path
+
+
+T0 = 1_704_067_200
+DOC = "alpha beta gamma delta epsilon zeta eta theta"
+SHORT = "too short"  # 2 tokens: fails the min_tokens=3 gate
+
+
+def _expected(spark, table_path):
+    pages = LakeTable.load(table_path).read(spark)
+    return {
+        (r["url"], r["lang"], r["split"])
+        for r in corpus.build_corpus(pages, "url", "text", "lang", **CFG)
+        .select("url", "lang", "split").collect()
+    }
+
+
+def _got(spark, mc):
+    return {
+        (r["url"], r["lang"], r["split"]) for r in mc.read(spark).collect()
+    }
+
+
+def test_maintained_corpus_follows_table(spark, tmp_path):
+    batches = str(tmp_path / "batches")
+    table = str(tmp_path / "lake")
+    store = str(tmp_path / "corpus_store")
+    # batch 0: u1/u2 share a fingerprint (u1 keeper), u3 unique, u4 gated out
+    _write_batch(batches, 0, [
+        ("I", "https://a.example/1", T0 + 10, DOC + " one", "en"),
+        ("I", "https://a.example/2a", T0 + 11, DOC + " one", "en"),
+        ("I", "https://b.example/3", T0 + 12, DOC + " three", "de"),
+        ("I", "https://b.example/4", T0 + 13, SHORT, "en"),
+    ])
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.run(spark, batches)
+    mc = MaintainedCorpus(table, store, n_buckets=8, **CFG)
+    assert mc.refresh(spark) == LakeTable.load(table).snapshot()["epoch_id"]
+    assert _got(spark, mc) == _expected(spark, table)
+
+    # batch 1: DELETE the keeper u1 -> u2 must be promoted; add u5
+    _write_batch(batches, 1, [
+        ("D", "https://a.example/1", T0 + 3600, "", ""),
+        ("I", "https://c.example/5", T0 + 3601, DOC + " five", "fr"),
+    ])
+    pipe.run(spark, batches)
+    mc.refresh(spark)
+    got = _got(spark, mc)
+    assert got == _expected(spark, table)
+    assert any(u == "https://a.example/2a" for (u, _, _) in got), (
+        "keeper succession: the surviving twin must be promoted"
+    )
+
+    # batch 2: UPDATE u3's text (fingerprint moves groups), u5 text now
+    # collides with u2's group -> u5 loses election (u2 < u5 is false...
+    # election is min url, 'https://a.example/2a' < 'https://c.example/5')
+    _write_batch(batches, 2, [
+        ("U", "https://b.example/3", T0 + 7200, DOC + " three changed", "de"),
+        ("U", "https://c.example/5", T0 + 7201, DOC + " one", "fr"),
+    ])
+    pipe.run(spark, batches)
+    mc.refresh(spark)
+    assert _got(spark, mc) == _expected(spark, table)
+
+
+def test_refresh_idempotent_and_bucket_scoped(spark, tmp_path):
+    batches = str(tmp_path / "b2")
+    table = str(tmp_path / "lake2")
+    store = str(tmp_path / "store2")
+    _write_batch(batches, 0, [
+        ("I", f"https://d.example/{i}", T0 + i, DOC + f" v{i}", "en")
+        for i in range(12)
+    ])
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.run(spark, batches)
+    mc = MaintainedCorpus(table, store, n_buckets=8, **CFG)
+    e1 = mc.refresh(spark)
+    st1 = mc.state()
+    # no new epochs -> no-op, state file pointer map unchanged
+    assert mc.refresh(spark) == e1
+    assert mc.state() == st1
+
+    # one changed url -> only the buckets of its old/new fingerprint move
+    _write_batch(batches, 1, [
+        ("U", "https://d.example/3", T0 + 9000, DOC + " v3 edited", "en"),
+    ])
+    pipe.run(spark, batches)
+    mc.refresh(spark)
+    st2 = mc.state()
+    moved = {b for b in st1["buckets"]
+             if st2["buckets"].get(b) != st1["buckets"][b]}
+    untouched = {b for b in st1["buckets"]
+                 if st2["buckets"].get(b) == st1["buckets"][b]}
+    assert 1 <= len(moved) <= 2, (st1["buckets"], st2["buckets"])
+    assert untouched, "unaffected buckets must keep their old data paths"
+    assert _got(spark, mc) == _expected(spark, table)
+
+
+def test_bootstrap_after_many_epochs_equals_refresh_path(spark, tmp_path):
+    """A fresh bootstrap at epoch N and a refresh-maintained store that
+    followed epochs 0..N must read identically."""
+    batches = str(tmp_path / "b3")
+    table = str(tmp_path / "lake3")
+    _write_batch(batches, 0, [
+        ("I", f"https://e.example/{i}", T0 + i, DOC + f" w{i % 5}", "en")
+        for i in range(10)
+    ])
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.run(spark, batches)
+    mc_inc = MaintainedCorpus(table, str(tmp_path / "inc"), n_buckets=8, **CFG)
+    mc_inc.refresh(spark)
+    _write_batch(batches, 1, [
+        ("D", "https://e.example/0", T0 + 5000, "", ""),
+        ("I", "https://e.example/99", T0 + 5001, DOC + " w99", "de"),
+    ])
+    pipe.run(spark, batches)
+    mc_inc.refresh(spark)
+    mc_full = MaintainedCorpus(table, str(tmp_path / "full"), n_buckets=8, **CFG)
+    mc_full.bootstrap(spark)
+    assert _got(spark, mc_inc) == _got(spark, mc_full) == _expected(spark, table)
