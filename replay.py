@@ -53,6 +53,11 @@ def main() -> int:
                          "group columns via --agg-group)")
     ap.add_argument("--agg-group", default="lang",
                     help="comma-separated group columns for --maintain-agg")
+    ap.add_argument("--maintain-corpus", default=None, metavar="STORE",
+                    help="after replay, refresh an incrementally-"
+                         "maintained corpus store (lake/corpus_view.py) "
+                         "— O(changed fingerprint groups), no table "
+                         "rescan; fixed quotas only")
     ap.add_argument("--build-corpus", default=None, metavar="OUT",
                     help="after replay, run the corpus builder over the "
                          "table state and write (url, lang, split) parquet "
@@ -152,6 +157,22 @@ def main() -> int:
         )
         maintained_epoch = mv.refresh(spark)
 
+    corpus_epoch = None
+    if args.maintain_corpus:
+        from csv_cruncher_spark.lake.corpus_view import MaintainedCorpus
+
+        splits = {
+            name: float(w)
+            for name, w in (p.split(":") for p in args.corpus_splits.split(","))
+        }
+        mc = MaintainedCorpus(
+            args.table,
+            args.maintain_corpus,
+            min_tokens=args.corpus_min_tokens,
+            splits=splits,
+        )
+        corpus_epoch = mc.refresh(spark)
+
     corpus_rows = None
     if args.build_corpus:
         from csv_cruncher_spark.lake.table import LakeTable
@@ -187,6 +208,7 @@ def main() -> int:
                 "total_batches": len(ckpt["batches_applied"]),
                 "feed_rows": feed_rows,
                 "maintained_epoch": maintained_epoch,
+                "corpus_epoch": corpus_epoch,
                 "corpus_rows": corpus_rows,
                 "seconds": round(time.time() - t0, 2),
             }

@@ -172,3 +172,36 @@ def test_replay_build_corpus(spark, change_log, monkeypatch, capsys, tmp_path):
     assert got.count() == res["corpus_rows"] == expect.count()
     assert got.exceptAll(expect).count() == 0
     assert expect.exceptAll(got).count() == 0
+
+
+def test_replay_maintain_corpus_incremental(spark, change_log, monkeypatch, capsys, tmp_path):
+    """--maintain-corpus across two invocations: the second replays only
+    the remaining batches and the refreshed store must equal a full
+    build_corpus (fixed quotas) over the final table state."""
+    base, _ = change_log
+    table = str(base / "lake_mc")
+    store = str(tmp_path / "mc_store")
+    common = ["--table", table, "--batches", str(base / "batches"),
+              "--buckets", "4", "--maintain-corpus", store,
+              "--corpus-min-tokens", "2"]
+    r1 = _run_replay(monkeypatch, capsys, [*common, "--max-batches", "2"])
+    assert r1["corpus_epoch"] == r1["epoch_id"]
+    r2 = _run_replay(monkeypatch, capsys, common)
+    assert r2["corpus_epoch"] == r2["epoch_id"] > r1["corpus_epoch"]
+
+    from csv_cruncher_spark.lake.corpus_view import MaintainedCorpus
+    from csv_cruncher_spark.lake.table import LakeTable
+    from csv_cruncher_spark.operators import corpus as corpus_mod
+
+    mc = MaintainedCorpus(table, store, min_tokens=2,
+                          splits={"train": 8.0, "val": 1.0, "test": 1.0})
+    got = {(r["url"], r["split"]) for r in mc.read(spark).collect()}
+    pages = LakeTable.load(table).read(spark)
+    expect = {
+        (r["url"], r["split"])
+        for r in corpus_mod.build_corpus(
+            pages, "url", "text", "lang", min_tokens=2,
+            splits={"train": 8.0, "val": 1.0, "test": 1.0},
+        ).select("url", "split").collect()
+    }
+    assert got == expect and got
