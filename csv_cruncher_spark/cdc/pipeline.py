@@ -42,7 +42,9 @@ PAGES_FIELDS: list[tuple[str, str]] = [
 ]
 
 
-def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
+def read_change_batch(
+    spark: SparkSession, path: str, with_reject_reason: bool = False
+) -> DataFrame:
     """Read one change-batch file into the canonical event frame:
     op, url, warc_ts(timestamp), html(binary), lang/…extras, row_idx.
 
@@ -78,12 +80,30 @@ def read_change_batch(spark: SparkSession, path: str) -> DataFrame:
     # try_to_timestamp: malformed warc_ts → NULL (ANSI to_timestamp would
     # kill the replay); a null-version event loses LWW to any non-null
     # existing row — identical rule in all three merge strategies
-    df = df.withColumn("warc_ts", F.try_to_timestamp("warc_ts"))
-    # a keyless event is undeliverable: it can't hash to a bucket and
-    # can't match any row — drop it with the same malformed-input
-    # tolerance as try_to_timestamp (Spark reads an empty CSV field as
-    # null; FAILFAST only checks token counts)
-    df = df.filter(F.col("url").isNotNull())
+    df = df.withColumn("__ts_raw", F.col("warc_ts")).withColumn(
+        "warc_ts", F.try_to_timestamp("warc_ts")
+    )
+    if with_reject_reason:
+        # classification instead of silent tolerance — the DLQ path
+        # (CdcPipeline(on_malformed="dlq")) quarantines these rows
+        reject = (
+            F.when(F.col("url").isNull(), "null_key")
+            .when(~F.col("op").isin("I", "U", "D"), "unknown_op")
+            .when(
+                (F.col("op") != "D")
+                & F.col("__ts_raw").isNotNull()
+                & F.col("warc_ts").isNull(),
+                "bad_timestamp",
+            )
+        )
+        df = df.withColumn("__reject", reject)
+    else:
+        # a keyless event is undeliverable: it can't hash to a bucket and
+        # can't match any row — drop it with the same malformed-input
+        # tolerance as try_to_timestamp (Spark reads an empty CSV field as
+        # null; FAILFAST only checks token counts)
+        df = df.filter(F.col("url").isNotNull())
+    df = df.drop("__ts_raw")
     df = df.withColumn("html", F.unbase64(F.col("html")))
     for c in cols:
         if c in ("op", "url", "warc_ts", "html"):
@@ -146,6 +166,7 @@ class CdcPipeline:
         compact_delta_bytes: int = 4 << 30,
         keep_snapshots: int | None = None,
         catalog=None,
+        on_malformed: str = "drop",
     ):
         """``mode='mor'`` (default): O(batch) delta appends with read-time
         LWW resolution, auto-compacted every ``compact_every`` stacked
@@ -158,11 +179,21 @@ class CdcPipeline:
         — bounds on-disk history for long replays. ``catalog``: a
         :class:`~csv_cruncher_spark.lake.catalog.SnapshotCatalog` for the
         table's snapshot-pointer storage (default: local-FS flock+rename;
-        pass a conditional-write catalog on object stores)."""
+        pass a conditional-write catalog on object stores).
+        ``on_malformed``: ``'drop'`` (default) keeps the lenient
+        semantics — keyless rows silently dropped, unparseable
+        timestamps become null versions; ``'dlq'`` quarantines keyless /
+        unknown-op / bad-timestamp rows to ``<table>/dlq/<batch_id>``
+        parquet with a ``__reject`` reason instead of applying them, and
+        records per-batch rejected counts in the checkpoint."""
         from ..lake.merge import BROADCAST_WINNER_LIMIT
 
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
+        if on_malformed not in ("drop", "dlq"):
+            raise ValueError(
+                f"on_malformed must be 'drop' or 'dlq', got {on_malformed!r}"
+            )
         self.table_path = table_path
         self.checkpoint_path = checkpoint_path or os.path.join(table_path, "checkpoint.json")
         self.n_buckets = n_buckets
@@ -171,6 +202,7 @@ class CdcPipeline:
         self.compact_delta_bytes = compact_delta_bytes
         self.keep_snapshots = keep_snapshots
         self.catalog = catalog
+        self.on_malformed = on_malformed
         self.broadcast_winner_limit = (
             BROADCAST_WINNER_LIMIT if broadcast_winner_limit is None else broadcast_winner_limit
         )
@@ -262,7 +294,18 @@ class CdcPipeline:
     def _apply_one(
         self, spark: SparkSession, table: LakeTable, path: str, batch_id: str, ckpt: dict
     ) -> None:
-        df = read_change_batch(spark, path)
+        rejected = 0
+        if self.on_malformed == "dlq":
+            df = read_change_batch(spark, path, with_reject_reason=True)
+            bad = df.filter(F.col("__reject").isNotNull())
+            rejected = bad.count()
+            if rejected:
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(self.table_path, "dlq", batch_id)
+                )
+            df = df.filter(F.col("__reject").isNull()).drop("__reject")
+        else:
+            df = read_change_batch(spark, path)
         meta = batch_meta(path)
 
         # --- schema evolution in lockstep with the stream ---
@@ -339,6 +382,10 @@ class CdcPipeline:
             slot["files"] += 1
         ckpt["epoch_id"] = new_snap["epoch_id"]
         ckpt["batches_applied"] = ckpt["batches_applied"] + [batch_id]
+        if self.on_malformed == "dlq":
+            rej = dict(ckpt.get("rejected_rows", {}))
+            rej[batch_id] = rejected
+            ckpt["rejected_rows"] = rej
         ckpt["per_partition"] = per_part
         ckpt["lineage"] = new_snap["lineage"]
         ckpt["schema_version"] = new_snap["schema_version"]
