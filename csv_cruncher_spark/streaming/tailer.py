@@ -38,8 +38,11 @@ class ChangeLogTailer:
         n_buckets: int = 16,
         include: str | None = None,
         exclude: str | None = None,
+        on_malformed: str = "drop",
     ):
-        self.pipeline = CdcPipeline(table_path, n_buckets=n_buckets)
+        self.pipeline = CdcPipeline(
+            table_path, n_buckets=n_buckets, on_malformed=on_malformed
+        )
         self.batch_dir = batch_dir
         self.include = include
         self.exclude = exclude

@@ -53,6 +53,10 @@ def main() -> int:
                          "group columns via --agg-group)")
     ap.add_argument("--agg-group", default="lang",
                     help="comma-separated group columns for --maintain-agg")
+    ap.add_argument("--on-malformed", choices=["drop", "dlq"], default="drop",
+                    help="dlq: quarantine keyless/unknown-op/bad-timestamp "
+                         "rows to <table>/dlq/<batch> instead of lenient "
+                         "apply; counts land in the checkpoint")
     ap.add_argument("--maintain-corpus", default=None, metavar="STORE",
                     help="after replay, refresh an incrementally-"
                          "maintained corpus store (lake/corpus_view.py) "
@@ -85,6 +89,7 @@ def main() -> int:
             n_buckets=args.buckets,
             include=args.include,
             exclude=args.exclude,
+            on_malformed=args.on_malformed,
         )
         tailer.pipeline.mode = args.mode
         tailer.pipeline.compact_every = args.compact_every
@@ -101,6 +106,7 @@ def main() -> int:
             mode=args.mode,
             compact_every=args.compact_every,
             compact_delta_bytes=args.compact_delta_bytes,
+            on_malformed=args.on_malformed,
         )
         before = set(pipe.load_checkpoint()["batches_applied"])
         ckpt = pipe.run(
@@ -209,6 +215,8 @@ def main() -> int:
                 "feed_rows": feed_rows,
                 "maintained_epoch": maintained_epoch,
                 "corpus_epoch": corpus_epoch,
+                "rejected_rows": sum((ckpt.get("rejected_rows") or {}).values())
+                if args.on_malformed == "dlq" else None,
                 "corpus_rows": corpus_rows,
                 "seconds": round(time.time() - t0, 2),
             }
