@@ -1178,6 +1178,19 @@ def quality_percentile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus cap (ranking.cap_per_group, the C4/Gopher
+    max-pages-per-domain rule): at most 30 docs per source, picked by
+    the deterministic epoch-salted md5 draw with doc_id tiebreak — so
+    DuckDB's row_number over the identical (draw, doc_id) order
+    reproduces the exact survivor set."""
+    from csv_cruncher_spark.operators import ranking
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ranking.cap_per_group(docs, "source", k=15, id_col="doc_id")
+    return out.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
 def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The capstone pipeline with the round's new stages wired in:
     token gate → test-set DECONTAMINATION (broadcast n-gram screen,
@@ -1325,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_removed_docs": boilerplate_removed_docs,
         "corpus_build_full": corpus_build_full,
         "quality_percentile_docs": quality_percentile_docs,
+        "source_capped_docs": source_capped_docs,
     }
 
 
@@ -2058,6 +2072,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
             FROM r JOIN off USING (shard)
             ORDER BY global_pos
+        """,
+        "source_capped_docs": """
+            SELECT doc_id, source, lang FROM (
+              SELECT doc_id, source, lang,
+                     row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':cap-v1'), 1, 8),
+                                doc_id
+                     ) AS rn
+              FROM documents
+            ) WHERE rn <= 15
+            ORDER BY doc_id
         """,
         "quality_percentile_docs": """
             WITH s AS (

@@ -17,7 +17,7 @@ from .boilerplate import boilerplate_lines, remove_boilerplate_lines
 from .corpus import build_corpus
 from .decontam import contamination_report, decontaminate
 from .packing import pack_sequences
-from .ranking import percentile_filter
+from .ranking import cap_per_group, percentile_filter
 from .sampling import (
     assign_split,
     hash_sample,
@@ -39,6 +39,7 @@ __all__ = [
     "packing",
     "ranking",
     "percentile_filter",
+    "cap_per_group",
     "sampling",
     "shuffle",
     "epoch_shuffle",

@@ -17,9 +17,11 @@ honest semantics for discrete scores.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["percentile_filter"]
+from .sampling import hash_bucket
+
+__all__ = ["percentile_filter", "cap_per_group"]
 
 
 def percentile_filter(
@@ -52,3 +54,39 @@ def percentile_filter(
     if threshold_out is not None:
         out = out.withColumn(threshold_out, F.col("__thr"))
     return out.drop("__score", "__thr")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str,
+    order: Column | None = None,
+    salt: str = "cap-v1",
+) -> DataFrame:
+    """At most ``k`` rows per group — the C4/Gopher-style per-domain cap
+    that stops a handful of giant hosts from dominating a web corpus.
+
+    Which ``k`` survive: the first by ``order`` (ascending; pass e.g.
+    ``F.desc("quality")`` semantics via a negated column) with the id as
+    the tiebreak; with no ``order`` the pick is a deterministic
+    hash-random draw (epoch-salted md5 of the id — layout-independent
+    and re-derivable in SQL, unlike a ``rand()`` sample).
+
+    Scale shape: one ``row_number`` window partitioned by the group —
+    the window carries only (group, order, id), and each partition is
+    bounded by the group's size, so the hot-domain worst case is a sort
+    of that domain's keys, never the corpus. Appends with new ids CAN
+    displace previously-kept rows (a cap is a competition, not a
+    sample; use :func:`~csv_cruncher_spark.operators.sampling.
+    hash_sample` when stability under growth matters more than an exact
+    cap)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    order_c = order if order is not None else hash_bucket(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(order_c, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -63,3 +63,34 @@ def test_score_expression_column(spark):
         df, F.col("score") * 2, keep_fraction=0.3, stratum_col="lang"
     )
     assert {r["doc_id"] for r in out.filter("lang = 'a'").collect()} == {8, 9, 10}
+
+
+def test_cap_per_group_hash_order(spark):
+    import hashlib
+
+    rows = [(i, "s1" if i < 20 else "s2") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, src string")
+    out = ranking.cap_per_group(df, "src", k=5, id_col="doc_id")
+    got = {r["src"]: sorted(x["doc_id"] for x in out.filter(F.col("src") == r["src"]).collect())
+           for r in out.select("src").distinct().collect()}
+    # pure-Python twin of the deterministic draw
+    def draw(i):
+        return hashlib.md5(f"{i}:cap-v1".encode()).hexdigest()[:8]
+    exp1 = sorted(sorted(range(20), key=lambda i: (draw(i), i))[:5])
+    exp2 = sorted(sorted(range(20, 30), key=lambda i: (draw(i), i))[:5])
+    assert got == {"s1": exp1, "s2": exp2}
+    assert out.count() == 10
+
+
+def test_cap_per_group_explicit_order_and_small_groups(spark):
+    import pytest
+
+    rows = [(1, "a", 9.0), (2, "a", 1.0), (3, "a", 5.0), (4, "b", 2.0)]
+    df = spark.createDataFrame(rows, "doc_id int, src string, score double")
+    # keep the 2 LOWEST scores per group (explicit ascending order)
+    out = ranking.cap_per_group(df, "src", k=2, id_col="doc_id", order=F.col("score"))
+    assert {r["doc_id"] for r in out.collect()} == {2, 3, 4}
+    # groups under the cap pass through whole
+    assert out.filter("src = 'b'").count() == 1
+    with pytest.raises(ValueError):
+        ranking.cap_per_group(df, "src", k=0, id_col="doc_id")
