@@ -12,12 +12,20 @@ Reimagines the capabilities of OndraZizka/csv-cruncher (reference surveyed in
                   trial-cast type-inference ladder (util/SqlTypeReducer.kt).
 - ``operators`` — dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
                   similarity search, text analysis, row-counter parity,
-                  multimodal column plumbing.
+                  multimodal column plumbing; the training-corpus layer:
+                  deterministic sampling + temperature mixing, test-set
+                  decontamination, boilerplate removal, percentile quality
+                  selection, per-domain caps, epoch shuffling, sequence
+                  packing, one-call corpus builds.
 - ``lake``      — LakeTable: Iceberg-style snapshot/manifest table on Parquet
                   with bucket layout, schema evolution (field ids), atomic
                   epoch-fenced commits; keyed LWW MERGE.
 - ``cdc``       — change-batch replay pipeline: discovery → schema evolution →
-                  LWW upsert → exactly-once commit → checkpoint/resume.
+                  LWW upsert → exactly-once commit → checkpoint/resume;
+                  optional dead-letter quarantine for malformed events.
+                  ``lake.ivm`` / ``lake.corpus_view`` keep downstream
+                  aggregates and the selected training corpus incrementally
+                  maintained off the change feed.
 - ``crunch``    — csv-cruncher-equivalent "files in, SQL, file out" API
                   (Options/Cruncher; $table substitution, crunchCounter,
                   CSV/JSON exports, init SQL); ``cli`` wraps it with the
