@@ -1178,6 +1178,27 @@ def quality_percentile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (textstats.clean_text): NFC via the
+    Arrow pandas UDF, then JVM-regex control strip + whitespace
+    collapse. The ASCII corpus would make NFC vacuous, so each doc gets
+    a planted suffix — decomposed e+COMBINING ACUTE, a BEL control, a
+    doubled space — built with the identical expression in both engines;
+    DuckDB's nfc_normalize must compose it to the same bytes the Python
+    unicodedata UDF produces."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" caf"), F.lit("e\u0301"), F.lit(" \x07x  y")
+        ).alias("text"),
+    )
+    out = textstats.clean_text(dirty, "text")
+    return out.select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars_clean")
+    ).orderBy("doc_id")
+
+
 def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus cap (ranking.cap_per_group, the C4/Gopher
     max-pages-per-domain rule): at most 30 docs per source, picked by
@@ -1339,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build_full": corpus_build_full,
         "quality_percentile_docs": quality_percentile_docs,
         "source_capped_docs": source_capped_docs,
+        "doc_text_clean": doc_text_clean,
     }
 
 
@@ -2072,6 +2094,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
             FROM r JOIN off USING (shard)
             ORDER BY global_pos
+        """,
+        "doc_text_clean": """
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_clean
+            FROM (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text || ' caf' || 'e' || chr(769)
+                                     || ' ' || chr(7) || 'x  y'),
+                       '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+                       '[ \\t\\n\\r]+', ' ', 'g')) AS text
+              FROM documents
+            )
+            ORDER BY doc_id
         """,
         "source_capped_docs": """
             SELECT doc_id, source, lang FROM (

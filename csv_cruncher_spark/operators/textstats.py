@@ -272,3 +272,49 @@ def token_frequencies(
     if min_tf > 1:
         out = out.filter(F.col("tf") >= min_tf)
     return out
+
+
+_CONTROL_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"  # C0 minus \t\n\r, plus DEL
+_WS_CLASS = "[ \\t\\n\\r]+"
+
+
+def nfc_normalize(text_col: str | Column) -> Column:
+    """Unicode NFC normalization — the one text-canonicalization step
+    Spark has no built-in for, so it runs as an Arrow-batched pandas UDF
+    (defined lazily per plan; the UDF does ONLY normalization so the
+    Python stage stays minimal — everything else in :func:`clean_text`
+    is a JVM regex). DuckDB's ``nfc_normalize`` is the byte-exact oracle
+    twin (both implement the Unicode standard's composition)."""
+    import pandas as pd  # noqa: F401 (typing of the UDF signature)
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.StringType())
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return _nfc(c)
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Standard web-text canonicalization: Unicode NFC (combining marks
+    composed, fullwidth/compat sequences left alone — NFC, not NFKC, so
+    legitimate distinctions survive), C0/DEL control characters stripped
+    (tab/newline/CR kept — they are whitespace, handled next), runs of
+    whitespace collapsed to single spaces, ends trimmed. Idempotent.
+    Everything after the NFC UDF is whole-stage-codegen JVM regex."""
+    out_col = out_col or text_col
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(nfc_normalize(text_col), _CONTROL_CLASS, ""),
+            _WS_CLASS,
+            " ",
+        )
+    )
+    return df.withColumn(out_col, cleaned)
