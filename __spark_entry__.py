@@ -1178,6 +1178,20 @@ def quality_percentile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram LM quality scoring (textstats.unigram_logprob): docs
+    self-scored against the corpus' top-400 vocabulary, rarer tokens
+    taking the OOV half-occurrence penalty. The per-doc total
+    accumulates in FIXED POINT (micro-units of ln p, 64-bit integer
+    sum — order-independent, so shuffle order can't move the hash), and
+    DuckDB reproduces vocabulary, smoothing, and the score bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.unigram_logprob(docs, "doc_id", "text", top_k=400)
+    return out.select(
+        "doc_id", "n_tokens", "n_oov", "avg_logprob"
+    ).orderBy("doc_id")
+
+
 def doc_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization (textstats.clean_text): NFC via the
     Arrow pandas UDF, then JVM-regex control strip + whitespace
@@ -1361,6 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_docs": quality_percentile_docs,
         "source_capped_docs": source_capped_docs,
         "doc_text_clean": doc_text_clean,
+        "doc_unigram_logprob": doc_unigram_logprob,
     }
 
 
@@ -2094,6 +2109,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
             FROM r JOIN off USING (shard)
             ORDER BY global_pos
+        """,
+        "doc_unigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents
+            ),
+            vocab AS (
+              SELECT token, count(*)::BIGINT AS tf FROM tok GROUP BY token
+              ORDER BY tf DESC, token LIMIT 400
+            ),
+            t AS (SELECT SUM(tf) AS total FROM vocab),
+            lut AS (
+              SELECT token,
+                     CAST(round(ln(CAST(tf AS DOUBLE) / t.total) * 1000000) AS BIGINT)
+                       AS micro
+              FROM vocab, t
+            ),
+            oov AS (
+              SELECT CAST(round(ln(0.5 / total) * 1000000) AS BIGINT) AS m FROM t
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   CAST(SUM(CASE WHEN lut.micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_oov,
+                   round(CAST(SUM(COALESCE(lut.micro, oov.m)) AS DOUBLE)
+                         / count(*) / 1000000, 6) AS avg_logprob
+            FROM tok LEFT JOIN lut USING (token), oov
+            GROUP BY doc_id
+            ORDER BY doc_id
         """,
         "doc_text_clean": """
             SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_clean

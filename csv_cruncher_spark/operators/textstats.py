@@ -8,6 +8,8 @@ ANSI-SQL twin in __spark_entry__.oracle_sql for the DuckDB gate.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -318,3 +320,61 @@ def clean_text(
         )
     )
     return df.withColumn(out_col, cleaned)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab: DataFrame | None = None,
+    top_k: int | None = None,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """Unigram language-model scoring — the classic perplexity-proxy
+    quality signal (gibberish and boilerplate-mangled docs score low
+    because their tokens are rare in the corpus): per doc,
+    ``avg_logprob`` = mean over tokens of ln(tf_token / total_tokens),
+    out-of-vocabulary tokens smoothed at half an occurrence
+    (ln(0.5 / total)).
+
+    ``vocab`` defaults to :func:`token_frequencies` over ``df`` itself
+    (self-scoring); pass a precomputed (token, tf) frame to score new
+    batches against a reference corpus — the CDC admission shape.
+    ``top_k`` keeps only the most frequent tokens in-vocabulary (rarer
+    ones take the OOV penalty), which is also what keeps the broadcast
+    small at 100 TB.
+
+    Determinism across engines and layouts: floating summation is not
+    associative, so the per-doc total is accumulated in FIXED POINT —
+    each token's logprob is rounded once to micro units
+    (``round(ln(p)·1e6)`` as a 64-bit integer) and the integer sum is
+    order-independent; the single final division happens per doc. The
+    DuckDB oracle reproduces the score bit-for-bit. Plan: explode →
+    broadcast vocab join → one partial-combined aggregation."""
+    vocab = vocab if vocab is not None else token_frequencies(df, id_col, text_col, pattern)
+    if top_k is not None:
+        vocab = vocab.orderBy(F.desc("tf"), "token").limit(top_k)
+    totals = vocab.agg(F.sum("tf").alias("t")).collect()[0]
+    total = int(totals["t"] or 0)
+    if total <= 0:
+        raise ValueError("empty vocabulary: nothing to score against")
+    micro = F.round(F.log(F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0).cast("long")
+    lut = vocab.select("token", micro.alias("__micro"))
+    oov_micro = int(round(math.log(0.5 / total) * 1e6))
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    scored = exploded.join(F.broadcast(lut), "token", "left")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__micro"), F.lit(oov_micro))).alias("__sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("__micro").isNull(), 1).otherwise(0)).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("__sum") / F.col("n_tokens") / F.lit(1e6), 6).alias("avg_logprob"),
+        )
+    )

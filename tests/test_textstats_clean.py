@@ -43,3 +43,55 @@ def test_clean_text_idempotent_and_null(spark):
     b = {r["i"]: r["text"] for r in twice.collect()}
     assert a == b
     assert a[1] is None
+
+
+def test_unigram_logprob_semantics(spark):
+    """Pure-Python twin on a tiny corpus: common-token docs score higher
+    than rare/OOV-heavy docs; fixed-point math matches exactly."""
+    import math
+
+    from pyspark.sql import Row
+
+    docs = [
+        (1, "common common common words"),
+        (2, "common words"),
+        (3, "zzz qqq vvv"),  # all outside top_k -> pure OOV
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    out = {r["doc_id"]: r for r in
+           textstats.unigram_logprob(df, "doc_id", "text", top_k=2).collect()}
+    # vocab = top-2 by tf: common(4), words(2); total = 6
+    total = 6
+    micro = {
+        "common": round(math.log(4 / total) * 1e6),
+        "words": round(math.log(2 / total) * 1e6),
+    }
+    oov = round(math.log(0.5 / total) * 1e6)
+
+    def score(text):
+        toks = text.split()
+        ms = [micro.get(t, oov) for t in toks]
+        return round(sum(ms) / len(ms) / 1e6, 6)
+
+    for i, t in docs:
+        assert out[i]["avg_logprob"] == score(t), i
+    assert out[3]["n_oov"] == 3 and out[1]["n_oov"] == 0
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"] > out[3]["avg_logprob"]
+
+
+def test_unigram_logprob_external_vocab_and_layout(spark):
+    from pyspark.sql import Row
+
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma alpha") for i in range(5)]
+    )
+    vocab = textstats.token_frequencies(ref, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [Row(doc_id=100, text="alpha beta unseen")]
+    )
+    a = textstats.unigram_logprob(batch, "doc_id", "text", vocab=vocab).collect()[0]
+    b = textstats.unigram_logprob(
+        batch.repartition(7), "doc_id", "text", vocab=vocab.coalesce(1)
+    ).collect()[0]
+    assert a["avg_logprob"] == b["avg_logprob"]
+    assert a["n_oov"] == 1
