@@ -1215,7 +1215,7 @@ def doc_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def source_capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus cap (ranking.cap_per_group, the C4/Gopher
-    max-pages-per-domain rule): at most 30 docs per source, picked by
+    max-pages-per-domain rule): at most 15 docs per source, picked by
     the deterministic epoch-salted md5 draw with doc_id tiebreak — so
     DuckDB's row_number over the identical (draw, doc_id) order
     reproduces the exact survivor set."""

@@ -85,17 +85,28 @@ def read_change_batch(
     )
     if with_reject_reason:
         # classification instead of silent tolerance — the DLQ path
-        # (CdcPipeline(on_malformed="dlq")) quarantines these rows
+        # (CdcPipeline(on_malformed="dlq")) quarantines these rows.
+        # Null-handling is load-bearing: a NULL op makes isin() NULL
+        # (not true), so the null test comes first or the row slips
+        # through as clean; and a D-row's unparseable timestamp is NOT
+        # exempt — a null-version delete silently loses LWW to any
+        # existing row, which is exactly the kind of no-op the DLQ must
+        # surface (empty timestamps stay fine: __ts_raw null ⇒ no claim
+        # a value was malformed).
         reject = (
             F.when(F.col("url").isNull(), "null_key")
-            .when(~F.col("op").isin("I", "U", "D"), "unknown_op")
             .when(
-                (F.col("op") != "D")
-                & F.col("__ts_raw").isNotNull()
-                & F.col("warc_ts").isNull(),
+                F.col("op").isNull() | ~F.col("op").isin("I", "U", "D"),
+                "unknown_op",
+            )
+            .when(
+                F.col("__ts_raw").isNotNull() & F.col("warc_ts").isNull(),
                 "bad_timestamp",
             )
         )
+        # __ts_raw is kept: the raw malformed value must travel with the
+        # quarantined row — a DLQ entry whose bad timestamp was already
+        # nulled can't be inspected or repaired
         df = df.withColumn("__reject", reject)
     else:
         # a keyless event is undeliverable: it can't hash to a bucket and
@@ -103,7 +114,7 @@ def read_change_batch(
         # tolerance as try_to_timestamp (Spark reads an empty CSV field as
         # null; FAILFAST only checks token counts)
         df = df.filter(F.col("url").isNotNull())
-    df = df.drop("__ts_raw")
+        df = df.drop("__ts_raw")
     df = df.withColumn("html", F.unbase64(F.col("html")))
     for c in cols:
         if c in ("op", "url", "warc_ts", "html"):
@@ -295,15 +306,22 @@ class CdcPipeline:
         self, spark: SparkSession, table: LakeTable, path: str, batch_id: str, ckpt: dict
     ) -> None:
         rejected = 0
+        parsed = None
         if self.on_malformed == "dlq":
-            df = read_change_batch(spark, path, with_reject_reason=True)
-            bad = df.filter(F.col("__reject").isNotNull())
+            # persist the parsed batch: the quarantine write, its count,
+            # and the apply below would otherwise each rescan the source
+            parsed = read_change_batch(spark, path, with_reject_reason=True).persist()
+            bad = parsed.filter(F.col("__reject").isNotNull()).withColumnRenamed(
+                "__ts_raw", "warc_ts_raw"
+            )
             rejected = bad.count()
             if rejected:
                 bad.write.mode("overwrite").parquet(
                     os.path.join(self.table_path, "dlq", batch_id)
                 )
-            df = df.filter(F.col("__reject").isNull()).drop("__reject")
+            df = parsed.filter(F.col("__reject").isNull()).drop(
+                "__reject", "__ts_raw"
+            )
         else:
             df = read_change_batch(spark, path)
         meta = batch_meta(path)
@@ -380,6 +398,8 @@ class CdcPipeline:
             slot["rows"] = None if (r is None or slot["rows"] is None) else slot["rows"] + r
             slot["bytes"] += int(f.get("bytes", 0))
             slot["files"] += 1
+        if parsed is not None:
+            parsed.unpersist()
         ckpt["epoch_id"] = new_snap["epoch_id"]
         ckpt["batches_applied"] = ckpt["batches_applied"] + [batch_id]
         if self.on_malformed == "dlq":

@@ -199,9 +199,12 @@ class MaintainedCorpus:
         # passed a different n_buckets must not split fingerprint groups
         # across two schemes
         self.n_buckets = st["n_buckets"]
+        # the feed feeds THREE consumers (touched-fp collect, changed-url
+        # anti join, gated additions) — persist it or each re-executes
+        # the delta discovery and both keyed endpoint reads
         feed = table.changes_between(
             spark, from_epoch=last, to_epoch=cur, with_before=True
-        )
+        ).persist()
         fp_new = textstats.normalized_fingerprint("text")
         fp_old = textstats.normalized_fingerprint("__before.text")
         touched_fp = (
@@ -224,6 +227,7 @@ class MaintainedCorpus:
         if not affected:
             # feed had only rows with no gate-relevant images (possible
             # when every change is a delete of a never-inserted key)
+            feed.unpersist()
             self._swap_state({**st, "epoch": cur}, st)
             return cur
         changed_urls = feed.select("url").distinct()
@@ -245,6 +249,7 @@ class MaintainedCorpus:
         )
         decorated = self._decorate(members)
         written = self._write_buckets(decorated, cur)
+        feed.unpersist()
         new_buckets = dict(st["buckets"])
         # buckets the rewrite produced no rows for (group emptied) must
         # drop out of the pointer map, not keep serving stale rows

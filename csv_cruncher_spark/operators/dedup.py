@@ -229,20 +229,33 @@ def lsh_candidate_pairs(
     id_a < id_b. The self-join shuffles on (band, band_hash) — bucket-local;
     buckets larger than ``max_bucket`` are dropped first (see _cap_buckets)."""
     banded = _banded(sig_df, id_col, n_hashes, bands)
-    banded, dropped = _cap_buckets(banded, ["band", "band_hash"], max_bucket)
+    pairs, dropped = _capped_self_pairs(banded, "band_hash", max_bucket)
+    return _with_dropped(pairs, dropped)
+
+
+def _capped_self_pairs(
+    banded: DataFrame, band_val_col: str, max_bucket: int | None
+) -> tuple[DataFrame, DataFrame | None]:
+    """Distinct candidate pairs (id_a, id_b), id_a < id_b, from a
+    (id, band, <band value>) banding frame — the capped bucket-local
+    self-equi-join every banded-LSH pipeline shares, whether the band
+    value is a numeric hash (production xxhash64 path) or the raw
+    concatenated-minima string (the oracle-exact md5 twin). One copy of
+    the cap + join + distinct logic, so a fix lands everywhere."""
+    banded, dropped = _cap_buckets(banded, ["band", band_val_col], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
         left.join(
             right,
             (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{band_val_col}") == F.col(f"r.{band_val_col}"))
             & (F.col("l.id") < F.col("r.id")),
         )
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    return _with_dropped(pairs, dropped)
+    return pairs, dropped
 
 
 def minhash_dedup_pairs(
@@ -346,19 +359,7 @@ def minhash_md5_pairs(
             )
         ).alias("band", "band_key"),
     )
-    banded, dropped = _cap_buckets(banded, ["band", "band_key"], max_bucket)
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    pairs, dropped = _capped_self_pairs(banded, "band_key", max_bucket)
     a = sig.select(
         F.col("id").alias("id_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)]
     )

@@ -46,10 +46,16 @@ def percentile_filter(
         thr = df.agg(F.percentile("__score", p).alias("__thr"))
         out = df.join(F.broadcast(thr))
     else:
-        thr = df.groupBy(stratum_col).agg(
+        thr = df.groupBy(F.col(stratum_col).alias("__stratum")).agg(
             F.percentile("__score", p).alias("__thr")
         )
-        out = df.join(F.broadcast(thr), stratum_col)
+        # null-SAFE join: groupBy computes a threshold for the NULL
+        # stratum, and a plain equi-join would silently drop every
+        # NULL-stratum row no matter its score
+        out = df.join(
+            F.broadcast(thr),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        ).drop("__stratum")
     out = out.filter(F.col("__score") >= F.col("__thr"))
     if threshold_out is not None:
         out = out.withColumn(threshold_out, F.col("__thr"))

@@ -150,15 +150,25 @@ def temperature_sample(
     number of strata (languages/domains — dozens, never rows), and the
     applied plan is the same single narrow literal-map filter as every
     sampler here: no join, no shuffle, layout-independent membership."""
-    counts = {
+    hist = {
         r["__s"]: r["__n"]
         for r in df.groupBy(F.col(stratum_col).alias("__s"))
         .agg(F.count("*").alias("__n"))
         .collect()
-        if r["__s"] is not None
     }
+    # a NULL stratum is a stratum: it participates in the n_g^alpha math
+    # like any other (under a sentinel name, since the fraction dict is
+    # sorted), and its fraction is applied through stratified_sample's
+    # default (the literal-map lookup yields null exactly for the NULL
+    # rows — every non-null stratum has an explicit entry)
+    null_n = hist.pop(None, 0)
+    sentinel = "\x00null-stratum"
+    counts = dict(hist)
+    if null_n:
+        counts[sentinel] = null_n
     fracs = temperature_fractions(counts, alpha, target_fraction, target_rows)
-    return stratified_sample(df, key_col, stratum_col, fracs, 0.0, salt)
+    null_frac = fracs.pop(sentinel, 0.0)
+    return stratified_sample(df, key_col, stratum_col, fracs, null_frac, salt)
 
 
 def assign_split(

@@ -351,9 +351,15 @@ def unigram_logprob(
     order-independent; the single final division happens per doc. The
     DuckDB oracle reproduces the score bit-for-bit. Plan: explode →
     broadcast vocab join → one partial-combined aggregation."""
+    from .dedup import _pin
+
     vocab = vocab if vocab is not None else token_frequencies(df, id_col, text_col, pattern)
     if top_k is not None:
         vocab = vocab.orderBy(F.desc("tf"), "token").limit(top_k)
+    # the vocabulary aggregation feeds BOTH the totals action and the
+    # scoring join below — persist it so the corpus-wide token count
+    # runs once, with a release point on the returned frame
+    vocab = vocab.persist()
     totals = vocab.agg(F.sum("tf").alias("t")).collect()[0]
     total = int(totals["t"] or 0)
     if total <= 0:
@@ -364,7 +370,7 @@ def unigram_logprob(
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
     scored = exploded.join(F.broadcast(lut), "token", "left")
-    return (
+    out = (
         scored.groupBy(id_col)
         .agg(
             F.sum(F.coalesce(F.col("__micro"), F.lit(oov_micro))).alias("__sum"),
@@ -378,3 +384,4 @@ def unigram_logprob(
             F.round(F.col("__sum") / F.col("n_tokens") / F.lit(1e6), 6).alias("avg_logprob"),
         )
     )
+    return _pin(vocab, out)

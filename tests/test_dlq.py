@@ -36,7 +36,11 @@ def _row(op="I", url="https://x.example/1", ts="2024-01-01 00:00:10",
 BAD = [
     _row(url=""),                                  # null_key
     _row(op="X", url="https://x.example/op"),      # unknown_op
+    _row(op="", url="https://x.example/nullop"),   # NULL op -> unknown_op
     _row(url="https://x.example/ts", ts="not-a-time"),  # bad_timestamp
+    # a DELETE with a garbage timestamp would apply as a null-version
+    # no-op delete -> must be quarantined, not silently lost
+    _row(op="D", url="https://x.example/dts", ts="bogus"),
 ]
 GOOD = [
     _row(url="https://x.example/a"),
@@ -53,13 +57,21 @@ def test_dlq_quarantines_and_counts(spark, tmp_path):
     # only the good rows applied
     urls = {r["url"] for r in LakeTable.load(table).read(spark).select("url").collect()}
     assert urls == {"https://x.example/a", "https://x.example/b"}
-    # quarantine holds the 3 bad rows with their reasons
+    # quarantine holds the 5 bad rows with reasons AND the raw value
     dlq = spark.read.parquet(os.path.join(table, "dlq", "batch-00000.csv"))
-    reasons = {r["__reject"] for r in dlq.collect()}
-    assert reasons == {"null_key", "unknown_op", "bad_timestamp"}
-    assert dlq.count() == 3
+    rows = {(r["url"], r["__reject"]) for r in dlq.collect()}
+    assert rows == {
+        (None, "null_key"),
+        ("https://x.example/op", "unknown_op"),
+        ("https://x.example/nullop", "unknown_op"),
+        ("https://x.example/ts", "bad_timestamp"),
+        ("https://x.example/dts", "bad_timestamp"),
+    }
+    raw = {r["url"]: r["warc_ts_raw"] for r in dlq.collect()}
+    assert raw["https://x.example/ts"] == "not-a-time"
+    assert raw["https://x.example/dts"] == "bogus"
     # checkpoint records the count per batch
-    assert ckpt["rejected_rows"] == {"batch-00000.csv": 3}
+    assert ckpt["rejected_rows"] == {"batch-00000.csv": 5}
 
 
 def test_dlq_clean_batch_writes_nothing(spark, tmp_path):
@@ -73,9 +85,9 @@ def test_dlq_clean_batch_writes_nothing(spark, tmp_path):
 
 
 def test_drop_mode_keeps_lenient_semantics(spark, tmp_path):
-    """Default mode: keyless rows silently dropped; the bad-timestamp row
-    APPLIES with a null version (losing LWW ties) and the unknown-op row
-    applies as an upsert — the pre-DLQ behavior, unchanged."""
+    """Default mode: keyless rows silently dropped; bad-timestamp rows
+    APPLY with a null version (losing LWW ties) and unknown/null-op rows
+    apply as upserts — the pre-DLQ behavior, unchanged."""
     batches = str(tmp_path / "b3")
     table = str(tmp_path / "lake3")
     _write_batch(batches, 0, GOOD + BAD)
@@ -84,7 +96,8 @@ def test_drop_mode_keeps_lenient_semantics(spark, tmp_path):
     urls = {r["url"] for r in LakeTable.load(table).read(spark).select("url").collect()}
     assert urls == {
         "https://x.example/a", "https://x.example/b",
-        "https://x.example/op", "https://x.example/ts",
+        "https://x.example/op", "https://x.example/nullop",
+        "https://x.example/ts",
     }
     assert not os.path.exists(os.path.join(table, "dlq"))
 

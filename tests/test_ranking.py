@@ -94,3 +94,13 @@ def test_cap_per_group_explicit_order_and_small_groups(spark):
     assert out.filter("src = 'b'").count() == 1
     with pytest.raises(ValueError):
         ranking.cap_per_group(df, "src", k=0, id_col="doc_id")
+
+
+def test_percentile_filter_null_stratum_kept(spark):
+    """NULL strata form their own group: top-scoring NULL-stratum rows
+    must survive, not vanish in the threshold equi-join."""
+    rows = [(1, None, 10), (2, None, 1), (3, "a", 5), (4, "a", 6)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, score int")
+    out = ranking.percentile_filter(df, "score", 0.5, stratum_col="lang")
+    got = {r["doc_id"] for r in out.collect()}
+    assert 1 in got and 4 in got and 2 not in got

@@ -186,3 +186,24 @@ def test_temperature_sample_deterministic_across_layouts(spark):
         )
     )
     assert a == b and a
+
+
+def test_temperature_sample_null_stratum_participates(spark):
+    """NULL strata are real strata: they enter the n_g^alpha histogram
+    and keep ~their flattened share — not silently dropped (which would
+    make the temperature path disagree with the quotas path)."""
+    df = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(
+            F.when(F.col("id") % 3 == 1, "en").otherwise("de")
+        ).alias("lang"),
+    )
+    out = sampling.temperature_sample(
+        df, "doc_id", "lang", alpha=0.5, target_fraction=0.5
+    )
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # equal-sized strata -> each keeps ~half; the NULL stratum included
+    assert None in got
+    for k in (None, "en", "de"):
+        assert 140 <= got.get(k, 0) <= 260, got
