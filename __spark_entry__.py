@@ -1935,10 +1935,14 @@ def oracle_sql() -> dict[str, str]:
                           THEN ' or call 555 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                           ELSE '' END AS text
               FROM documents)
+            -- n_phones is counted on the email-redacted intermediate
+            -- (mirrors redact_pii: counts == replacements performed)
             SELECT doc_id,
                    len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-                   len(regexp_extract_all(text,
+                   len(regexp_extract_all(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '\\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
                    regexp_replace(regexp_replace(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),

@@ -241,7 +241,14 @@ class Cruncher:
             # gate the one range shuffle on it and keep the default plain
             # read shuffle-free (the documented 100-TB posture: leave
             # row_numbers off at scale, add_crunch_counter docstring).
-            if len(files) > 1 and self.options.row_numbers not in (None, False):
+            # explicit identity checks: `not in (None, False)` used == and
+            # treated --rowNumbers=0 as disabled (0 == False in Python),
+            # skipping the discovery-order sort while crunchCounter
+            # numbering still ran (round-4 advice)
+            if len(files) > 1 and not (
+                self.options.row_numbers is None
+                or self.options.row_numbers is False
+            ):
                 raw = _sort_by_discovery_order(spark, raw, files)
             df = raw.toDF(*header)
         else:

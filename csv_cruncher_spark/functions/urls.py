@@ -4,9 +4,13 @@ The north-rule CDC engine keys pages by url; at Common-Crawl scale the
 same page arrives under trivially different spellings (scheme case,
 host case, default ports, fragments, trailing slashes), and un-normalized
 keys fracture LWW dedup groups and skew salting decisions. These are all
-JVM built-ins (`parse_url`, `regexp_replace`, codegen'd) — no Python.
+JVM built-ins (`try_parse_url`, `regexp_replace`, codegen'd) — no Python.
 
-`parse_url` is Spark's native URL decomposer; the normalization formula
+`try_parse_url` is Spark's native URL decomposer (the `try_` form:
+Spark 4 runs ANSI mode by default, where plain `parse_url` THROWS on a
+malformed URL — a single bad row would fail a 100-TB scan; NULL-on-fail
+plus the raw-input fallback below is the scale-safe posture); the
+normalization formula
 is deliberately regex-expressible so the driver entry (url_host_stats)
 can be oracle-checked in DuckDB with plain string SQL.
 
@@ -20,20 +24,37 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _bare_host(c: Column) -> Column:
+    """Lowercased host, no port (parse_url's HOST is Java URI getHost —
+    it NEVER carries the port; the port lives in AUTHORITY)."""
+    return F.lower(F.try_parse_url(c, F.lit("HOST")))
+
+
 def url_host(url: str | Column) -> Column:
-    """Lowercased host, default-port stripped (parse_url keeps the port
-    in HOST only when nonstandard — strip :80/:443 defensively for
-    inputs that spell them)."""
+    """Lowercased host, keeping the port only when it differs from the
+    scheme's OWN default (:80 for http, :443 for https). ``http://h:443``
+    keeps its genuinely non-default port (round-4 advice: the old
+    unconditional :80/:443 strip merged distinct keys — and was in fact
+    doubly wrong, since HOST never carries the port at all: the port has
+    to be recovered from AUTHORITY and re-attached)."""
     c = F.col(url) if isinstance(url, str) else url
-    host = F.lower(F.parse_url(c, F.lit("HOST")))
-    return F.regexp_replace(host, ":(80|443)$", "")
+    host = _bare_host(c)
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    port = F.regexp_extract(F.try_parse_url(c, F.lit("AUTHORITY")), ":([0-9]+)$", 1)
+    default = (
+        F.when(scheme == "http", F.lit("80"))
+        .when(scheme == "https", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
+    keep = host.isNotNull() & (port != "") & (port != default)
+    return F.when(keep, F.concat(host, F.lit(":"), port)).otherwise(host)
 
 
 def url_path(url: str | Column) -> Column:
     """Path with the trailing slash folded ('' and '/' both → '/'):
     /a/b/ and /a/b are the same resource for dedup keying."""
     c = F.col(url) if isinstance(url, str) else url
-    p = F.parse_url(c, F.lit("PATH"))
+    p = F.try_parse_url(c, F.lit("PATH"))
     trimmed = F.regexp_replace(p, "/+$", "")
     return F.when(
         (p.isNull()) | (trimmed == ""), F.lit("/")
@@ -43,8 +64,10 @@ def url_path(url: str | Column) -> Column:
 def url_domain(url: str | Column, levels: int = 2) -> Column:
     """Last ``levels`` labels of the host — the hot-DOMAIN skew key the
     CDC salting path groups by (a true public-suffix list is a lookup
-    table join; last-2-labels is the deterministic approximation)."""
-    host = url_host(url)
+    table join; last-2-labels is the deterministic approximation).
+    Port-free: ``h:8080`` and ``h`` are the same domain for skew grouping."""
+    c = F.col(url) if isinstance(url, str) else url
+    host = _bare_host(c)
     parts = F.split(host, "\\.")
     n = F.size(parts)
     return F.when(n <= levels, host).otherwise(
@@ -54,18 +77,24 @@ def url_domain(url: str | Column, levels: int = 2) -> Column:
 
 def normalize_url(url: str | Column) -> Column:
     """Canonical form for keying: lowercase scheme and host, strip
-    fragment, strip default port, fold trailing slashes on the path,
-    keep the query verbatim (query-param reordering changes semantics
-    for many sites — not folded). NULL-safe: a null url stays null."""
+    fragment, strip the scheme's default port, fold trailing slashes on
+    the path, keep the query verbatim (query-param reordering changes
+    semantics for many sites — not folded). NULL-safe both ways: a null
+    url stays null, and a non-null url that ``parse_url`` cannot
+    decompose (no scheme/host) falls back to the RAW input instead of
+    NULL — the old concat-over-NULL silently collapsed every malformed
+    URL onto one NULL key, merging unrelated rows in keyed dedup
+    (round-4 advice)."""
     c = F.col(url) if isinstance(url, str) else url
-    scheme = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
-    query = F.parse_url(c, F.lit("QUERY"))
-    return F.when(c.isNull(), F.lit(None)).otherwise(
-        F.concat(
-            scheme,
-            F.lit("://"),
-            url_host(c),
-            url_path(c),
-            F.when(query.isNull(), F.lit("")).otherwise(F.concat(F.lit("?"), query)),
-        )
+    scheme = F.lower(F.try_parse_url(c, F.lit("PROTOCOL")))
+    query = F.try_parse_url(c, F.lit("QUERY"))
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        url_host(c),
+        url_path(c),
+        F.when(query.isNull(), F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
+    # concat is NULL if scheme or host is NULL → coalesce keeps malformed
+    # URLs as their own distinct raw-spelled keys
+    return F.coalesce(canonical, c)

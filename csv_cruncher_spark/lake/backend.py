@@ -26,6 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .table import LakeTable
 
+# Batch-id namespace reserved for the facade's own schema-evolve lineage
+# entries; apply_batch rejects user ids spelling it (see applied_batches).
+RESERVED_BATCH_PREFIX = "schema-evolve-"
+
 
 class TableBackend(ABC):
     """Batch-level table-store contract. Implementations must make
@@ -152,16 +156,23 @@ class ManifestBackend(TableBackend):
                 "last_batch_files": 0,
                 "last_batch_rows": 0,
             },
+            lineage_kind="schema",
         )
 
     def applied_batches(self) -> list[str]:
-        # schema-evolve commits carry a synthetic lineage tag (see evolve);
-        # they are not change batches, so the exactly-once fence surface
-        # must not report them
+        # schema-evolve commits are not change batches, so the
+        # exactly-once fence surface must not report them. The filter is
+        # STRUCTURAL (lineage kind="schema", written by evolve) with the
+        # legacy name-prefix kept only for snapshots written before the
+        # field existed — safe because apply_batch rejects user batch ids
+        # spelling the reserved prefix (round-4 advice: a change-batch
+        # file named schema-evolve-*.csv used to vanish from this list
+        # and re-apply on every replay)
         return [
             e["batch"]
             for e in self._table().snapshot()["lineage"]
-            if not str(e["batch"]).startswith("schema-evolve-")
+            if e.get("kind", "data") != "schema"
+            and not str(e["batch"]).startswith(RESERVED_BATCH_PREFIX)
         ]
 
     def apply_batch(
@@ -169,6 +180,13 @@ class ManifestBackend(TableBackend):
     ) -> dict:
         from .merge import apply_batch_mor
 
+        if str(batch_id).startswith(RESERVED_BATCH_PREFIX):
+            raise ValueError(
+                f"batch id {batch_id!r} uses the reserved prefix "
+                f"{RESERVED_BATCH_PREFIX!r} (schema-evolve commits) — "
+                "rename the change-batch file; a reserved-prefix id would "
+                "be invisible to the exactly-once fence on legacy snapshots"
+            )
         t = self._table()
         snap = t.snapshot()
         if batch_id in {e["batch"] for e in snap["lineage"]}:

@@ -237,9 +237,17 @@ class IcebergBackend(TableBackend):
     def apply_batch(
         self, spark: SparkSession, events: DataFrame, batch_id: str, epoch_id: int
     ) -> dict:
+        from .backend import RESERVED_BATCH_PREFIX
         from .merge import lww_winners
 
         _validate_batch_id(batch_id)
+        if str(batch_id).startswith(RESERVED_BATCH_PREFIX):
+            # contract symmetry with ManifestBackend: the prefix namespace
+            # is reserved for schema-evolve lineage entries
+            raise ValueError(
+                f"batch id {batch_id!r} uses the reserved prefix "
+                f"{RESERVED_BATCH_PREFIX!r} (schema-evolve commits)"
+            )
         if batch_id in self.applied_batches():
             return {"applied": False, "reason": "already-in-lineage"}
 

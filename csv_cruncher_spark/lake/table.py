@@ -1090,6 +1090,7 @@ class LakeTable:
         batch_id: str | None,
         staged_snapshot: dict | None = None,
         metrics: dict | None = None,
+        lineage_kind: str = "data",
     ) -> dict:
         """Publish a new snapshot: keep files of untouched buckets, swap in
         ``new_files`` for ``replaced_buckets``. Idempotent: if ``batch_id``
@@ -1115,8 +1116,20 @@ class LakeTable:
         new_snap["epoch_id"] = epoch_id
         new_snap["batch_id"] = batch_id
         new_snap["files"] = kept + new_files
+        # `kind` distinguishes change batches ("data") from schema-evolve
+        # commits ("schema") STRUCTURALLY — the old name-prefix convention
+        # let a user batch file named schema-evolve-*.csv slip past the
+        # exactly-once fence (round-4 advice); entries written before this
+        # field default to "data" on read
         new_snap["lineage"] = snap["lineage"] + (
-            [{"batch": batch_id, "snapshot": snap["snapshot_id"] + 1, "epoch": epoch_id}]
+            [
+                {
+                    "batch": batch_id,
+                    "snapshot": snap["snapshot_id"] + 1,
+                    "epoch": epoch_id,
+                    "kind": lineage_kind,
+                }
+            ]
             if batch_id is not None
             else []
         )

@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # fixed affine-permutation constants for minhash (deterministic, seedless).
@@ -756,11 +756,11 @@ def dedup(
     ``max_df`` stop-shingle cutoff) become the edge list, connected
     components labels every document with its group's min id, and the
     keeper per group is the member maximizing ``score`` (default: token
-    count; ties → lowest id) via one partial-combined ``max_by`` — no
-    window over documents. The mining runs once: connected_components
-    checkpoints the edge list eagerly, after which the shingle cache is
-    released; the (id, group, score) frame feeding both the keeper agg
-    and the final join is pinned with a release point on the result.
+    count; ties → lowest id, exact for string ids too) via a row_number
+    window over the narrow (id, group, score) frame — no payload column
+    rides the exchange, and dup groups are small so no window partition
+    is hot. The mining runs once: connected_components checkpoints the
+    edge list eagerly, after which the shingle cache is released.
 
     Returns (id, group_id, is_keeper) — filter ``is_keeper`` to get the
     deduplicated corpus, or join back to ``df`` for payloads."""
@@ -782,19 +782,21 @@ def dedup(
     j = groups.join(scored, groups["id"] == F.col("__sid")).select(
         "id", "group_id", "__score"
     )
-    keepers = j.groupBy("group_id").agg(
-        F.max_by(
-            "id", F.struct(F.col("__score"), (-F.col("id")).alias("nd"))
-        ).alias("__keeper_id")
+    # Keeper = row_number()==1 over (score DESC, id ASC) per group. The
+    # window frame is the already-narrow (id, group_id, __score) — no
+    # payload rides the exchange — and the (score DESC, id ASC) sort is
+    # total for ANY orderable id type. The previous max_by keyed on
+    # struct(score, -id): unary minus on a STRING id casts to double and
+    # yields NULL, so equal-score ties picked a nondeterministic keeper
+    # (round-4 advice) — string doc ids are the common case.
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("__score").desc(), F.col("id").asc()
     )
-    out = j.join(keepers, "group_id").select(
+    return j.select(
         "id",
         "group_id",
-        (F.col("id") == F.col("__keeper_id")).alias("is_keeper"),
+        (F.row_number().over(w) == 1).alias("is_keeper"),
     )
-    # j feeds two branches (keeper agg + membership join) — pin it so the
-    # labels-to-score join runs once per action
-    return _pin(j, out)
 
 
 def ngram_jaccard_pairs(

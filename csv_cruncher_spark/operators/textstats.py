@@ -213,17 +213,19 @@ def redact_pii(
 ) -> DataFrame:
     """Append ``out_col`` (text with emails/phones replaced by tokens)
     plus per-row ``n_emails`` / ``n_phones`` counts. Order matters:
-    emails first so a phone-ish local part never double-redacts."""
+    emails first so a phone-ish local part never double-redacts — and
+    ``n_phones`` is counted on the email-redacted INTERMEDIATE, not the
+    raw text, so the count always equals the number of phone replacements
+    actually performed (round-4 advice: counting on raw text tallied
+    phone-shaped digits inside an email address that the phone pass then
+    never saw)."""
     c = F.col(text_col)
+    emails_gone = F.regexp_replace(c, EMAIL_RE, email_token)
     return df.withColumns(
         {
             "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
-            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
-            out_col: F.regexp_replace(
-                F.regexp_replace(c, EMAIL_RE, email_token),
-                PHONE_RE,
-                phone_token,
-            ),
+            "n_phones": F.regexp_count(emails_gone, F.lit(PHONE_RE)),
+            out_col: F.regexp_replace(emails_gone, PHONE_RE, phone_token),
         }
     )
 

@@ -109,6 +109,29 @@ def test_reapply_is_fenced_noop(spark, be):
     assert _state(spark, be) == before
 
 
+def test_reserved_batch_prefix_rejected_and_kind_field(spark, be):
+    """Round-4 advice: a user change-batch named schema-evolve-*.csv used
+    to vanish from applied_batches (the filter was a name prefix) and
+    re-apply on every replay. Now evolve commits carry lineage
+    kind='schema' and user ids spelling the reserved prefix are rejected
+    at the apply boundary."""
+    with pytest.raises(ValueError, match="reserved prefix"):
+        be.apply_batch(
+            spark,
+            _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")]),
+            "schema-evolve-2024.csv",
+            0,
+        )
+    b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
+    be.apply_batch(spark, b0, "batch-0", 0)
+    be.evolve(add_columns=[("status", "int")])
+    assert be.applied_batches() == ["batch-0"]
+    if isinstance(be, ManifestBackend):
+        kinds = {e["batch"]: e.get("kind", "data") for e in be._table().snapshot()["lineage"]}
+        assert kinds["batch-0"] == "data"
+        assert [k for k in kinds.values() if k == "schema"] == ["schema"]
+
+
 def test_additive_evolution_then_apply(spark, be):
     b0 = _events(spark, [("I", 0, "u/a", 10, b"<p>a</p>", "en")])
     be.apply_batch(spark, b0, "batch-0", 0)

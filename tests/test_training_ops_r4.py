@@ -111,6 +111,10 @@ def test_redact_pii_bytes_and_counts(spark):
             Row(id=1, text="write a.b_c%d+e@mail-srv.example.co or call 123 456-7890 now"),
             Row(id=2, text="no pii here"),
             Row(id=3, text="two mails x@y.org z@w.io and +999-888 7777x"),
+            # phone-shaped digits inside an email: the email pass consumes
+            # them, so n_phones must be 0 (count == replacements performed;
+            # round-4 advice — counting on raw text said 1 here)
+            Row(id=4, text="mail me at 123 456-7890@phone-mail.example.com ok"),
         ]
     )
     out = {r.id: r for r in textstats.redact_pii(df, "text").collect()}
@@ -120,6 +124,8 @@ def test_redact_pii_bytes_and_counts(spark):
     assert out[2].redacted == "no pii here"
     assert out[3].n_emails == 2 and out[3].n_phones == 1
     assert out[3].redacted == "two mails <EMAIL> <EMAIL> and <PHONE>x"
+    assert out[4].n_emails == 1 and out[4].n_phones == 0
+    assert out[4].redacted == "mail me at 123 <EMAIL> ok"
 
 
 # ------------------------------------------------------------------ URL
@@ -132,6 +138,12 @@ def test_url_parts_and_normalize(spark):
             Row(id=2, url="http://sub.deep.example.org/path/"),
             Row(id=3, url="https://example.io"),
             Row(id=4, url=None),
+            # :443 on an http URL is NOT the scheme's default — keep it
+            # (round-4 advice: unconditional strip merged distinct keys)
+            Row(id=5, url="http://h.example.com:443/x"),
+            # parse_url can't decompose this: normalize must fall back to
+            # the raw spelling, not collapse onto a NULL key
+            Row(id=6, url="not a url at all"),
         ]
     )
     out = {
@@ -152,6 +164,9 @@ def test_url_parts_and_normalize(spark):
     assert out[2].n == "http://sub.deep.example.org/path"
     assert out[3].p == "/" and out[3].n == "https://example.io/"
     assert out[4].n is None
+    assert out[5].h == "h.example.com:443"
+    assert out[5].n == "http://h.example.com:443/x"
+    assert out[6].n == "not a url at all"
 
 
 def test_normalize_url_folds_equivalent_spellings(spark):
