@@ -30,24 +30,39 @@ def percentile_filter(
     keep_fraction: float,
     stratum_col: str | None = None,
     threshold_out: str | None = None,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Rows whose ``score`` is at or above the per-stratum
-    ``(1 - keep_fraction)`` percentile (exact interpolated percentile,
-    NOT an approximation — correctness first; swap in
-    ``percentile_approx`` at the call site when a sketch suffices).
-    With ``stratum_col=None`` one global threshold applies. Pass
-    ``threshold_out`` to keep the applied threshold as a column."""
+    ``(1 - keep_fraction)`` percentile. With ``stratum_col=None`` one
+    global threshold applies. Pass ``threshold_out`` to keep the applied
+    threshold as a column.
+
+    ``approx=False`` (default) uses the exact interpolated percentile —
+    its aggregation state is a per-group map of distinct score values,
+    the one unbounded piece of state in the corpus layer when scores are
+    continuous. ``approx=True`` swaps in ``percentile_approx`` (bounded
+    KLL-style sketch, state O(accuracy) regardless of cardinality — the
+    100-TB-continuous-score posture); rank error ≤ 1/accuracy, so the
+    realized kept fraction is within ~``1/accuracy`` of ``q`` (property-
+    tested in tests/test_ranking.py)."""
     if not 0.0 < keep_fraction <= 1.0:
         raise ValueError(f"keep_fraction must be in (0, 1], got {keep_fraction}")
     score_c = F.col(score) if isinstance(score, str) else score
     p = 1.0 - keep_fraction
+
+    def _pct(col: str) -> Column:
+        if approx:
+            return F.percentile_approx(col, p, accuracy)
+        return F.percentile(col, p)
+
     df = df.withColumn("__score", score_c)
     if stratum_col is None:
-        thr = df.agg(F.percentile("__score", p).alias("__thr"))
+        thr = df.agg(_pct("__score").alias("__thr"))
         out = df.join(F.broadcast(thr))
     else:
         thr = df.groupBy(F.col(stratum_col).alias("__stratum")).agg(
-            F.percentile("__score", p).alias("__thr")
+            _pct("__score").alias("__thr")
         )
         # null-SAFE join: groupBy computes a threshold for the NULL
         # stratum, and a plain equi-join would silently drop every
@@ -79,20 +94,29 @@ def cap_per_group(
     hash-random draw (epoch-salted md5 of the id — layout-independent
     and re-derivable in SQL, unlike a ``rand()`` sample).
 
-    Scale shape: one ``row_number`` window partitioned by the group —
-    the window carries only (group, order, id), and each partition is
-    bounded by the group's size, so the hot-domain worst case is a sort
-    of that domain's keys, never the corpus. Appends with new ids CAN
-    displace previously-kept rows (a cap is a competition, not a
-    sample; use :func:`~csv_cruncher_spark.operators.sampling.
-    hash_sample` when stability under growth matters more than an exact
-    cap)."""
+    Scale shape: the ``row_number`` window runs over a PROJECTED
+    (group, order, id) frame — no payload column (document text!) rides
+    the skewed-group exchange or the per-group sort — and survivors
+    rejoin the full frame with a semi-join on the id, which shuffles the
+    payload by the UNIFORM id key, never by the hot group (round-4
+    verdict: the old code windowed the whole frame, serializing a giant
+    domain's entire payload through one window task). ``id_col`` must be
+    unique (it is the join-back key). Appends with new ids CAN displace
+    previously-kept rows (a cap is a competition, not a sample; use
+    :func:`~csv_cruncher_spark.operators.sampling.hash_sample` when
+    stability under growth matters more than an exact cap)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     order_c = order if order is not None else hash_bucket(F.col(id_col), salt)
-    w = Window.partitionBy(group_col).orderBy(order_c, F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    narrow = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("__id"),
+        order_c.alias("__ord"),
     )
+    w = Window.partitionBy("__g").orderBy("__ord", "__id")
+    survivors = (
+        narrow.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("__id")
+    )
+    return df.join(survivors, df[id_col] == survivors["__id"], "left_semi")

@@ -329,7 +329,7 @@ def unigram_logprob(
     id_col: str,
     text_col: str,
     vocab: DataFrame | None = None,
-    top_k: int | None = None,
+    top_k: int | None = 1 << 20,
     pattern: str = TOKEN_REGEX,
 ) -> DataFrame:
     """Unigram language-model scoring — the classic perplexity-proxy
@@ -344,7 +344,13 @@ def unigram_logprob(
     batches against a reference corpus — the CDC admission shape.
     ``top_k`` keeps only the most frequent tokens in-vocabulary (rarer
     ones take the OOV penalty), which is also what keeps the broadcast
-    small at 100 TB.
+    small at 100 TB — BOUNDED BY DEFAULT at 2^20 tokens (round-4
+    verdict: an unbounded default broadcast the full corpus vocabulary,
+    fine at bench scale, unbounded at 100 TB; a ~1M-token LM vocabulary
+    loses nothing, since everything rarer scores ≈ the OOV penalty
+    anyway). Pass ``top_k=None`` to opt into the exact unbounded
+    vocabulary. The cut itself is a TakeOrdered top-k heap (tf DESC,
+    token ASC — deterministic under ties), never a full vocab sort.
 
     Determinism across engines and layouts: floating summation is not
     associative, so the per-doc total is accumulated in FIXED POINT —
