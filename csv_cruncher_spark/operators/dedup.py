@@ -418,6 +418,7 @@ def incremental_lsh_pairs(
     shingle_k: int = 3,
     max_bucket: int | None = 500,
     corpus_sigs: DataFrame | None = None,
+    batch_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup screening of NEW documents against an EXISTING corpus —
     the CDC-ingest × training-data shape: each change-feed batch is
@@ -433,7 +434,10 @@ def incremental_lsh_pairs(
     :func:`minhash_signatures`, persisted or stored as a lake side
     table) to amortize the corpus sketch across batches — the
     production pattern; recomputing it per batch is the O(corpus) cost
-    this operator otherwise avoids.
+    this operator otherwise avoids. ``batch_sigs`` analogously lets a
+    caller that already sketched the batch (to store the signatures,
+    e.g. MaintainedCorpus) share that frame instead of re-exploding the
+    batch text; caller-supplied frames are the caller's to persist.
 
     Returns (batch_id, corpus_id, est_jaccard), batch ids vs corpus ids
     only (within-batch dedup is :func:`minhash_dedup_pairs`'s job).
@@ -446,7 +450,9 @@ def incremental_lsh_pairs(
         # on the returned frame; a caller-supplied corpus_sigs frame is
         # the caller's to persist (the amortized production pattern)
         corpus_sigs = minhash_signatures(corpus, id_col, text_col, n_hashes, shingle_k)
-    batch_sigs = minhash_signatures(batch, id_col, text_col, n_hashes, shingle_k)
+    own_batch_sigs = batch_sigs is None
+    if own_batch_sigs:
+        batch_sigs = minhash_signatures(batch, id_col, text_col, n_hashes, shingle_k)
     banded_c = _banded(corpus_sigs, id_col, n_hashes, bands)
     banded_c, dropped = _cap_buckets(banded_c, ["band", "band_hash"], max_bucket)
     banded_b = _banded(batch_sigs, id_col, n_hashes, bands)
@@ -470,7 +476,9 @@ def incremental_lsh_pairs(
         .join(sc, "corpus_id")
         .select("batch_id", "corpus_id", est.alias("est_jaccard"))
     )
-    out = _pin(batch_sigs, _with_dropped(out, dropped))
+    out = _with_dropped(out, dropped)
+    if own_batch_sigs:
+        out = _pin(batch_sigs, out)
     if own_corpus_sigs:
         out = _pin(corpus_sigs, out)
     return out

@@ -138,6 +138,100 @@ def test_refresh_idempotent_and_bucket_scoped(spark, tmp_path):
     assert _got(spark, mc) == _expected(spark, table)
 
 
+BASE16 = ("alpha beta gamma delta epsilon zeta eta theta "
+          "iota kappa lambda mu nu xi omicron pi")
+NEAR16 = BASE16.replace("theta", "CHANGED")  # 1 of 16 tokens differs:
+# shingle Jaccard ≈ 11/17 ≈ 0.65 — near-dup at the 0.5 threshold, but a
+# DIFFERENT fingerprint (so not the keeper election's case)
+OTHER = "one two three four five six seven eight nine ten eleven twelve"
+
+
+def test_near_dup_change_screened_at_refresh(spark, tmp_path):
+    """Round-4 verdict #6: a near-duplicate arriving through the change
+    feed must be rejected at refresh — the batch build_corpus(near_dup=)
+    collapse is no longer the only guard. Exact-fp duplicates stay
+    members (keeper succession intact); in-batch near-dups keep the
+    smaller url; genuinely novel docs are admitted."""
+    batches = str(tmp_path / "b4")
+    table = str(tmp_path / "lake4")
+    store = str(tmp_path / "store4")
+    _write_batch(batches, 0, [
+        ("I", "https://n.example/base", T0 + 1, BASE16, "en"),
+        ("I", "https://n.example/other", T0 + 2, OTHER, "en"),
+    ])
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.run(spark, batches)
+    mc = MaintainedCorpus(table, store, n_buckets=8, near_dup=True,
+                          min_tokens=3, default_quota=1.0)
+    mc.refresh(spark)
+    assert {u for (u, _, _) in _got(spark, mc)} == {
+        "https://n.example/base", "https://n.example/other"
+    }
+
+    # batch 1: one near-dup of /base (rejected), one exact dup of /base
+    # (admitted as member, loses election), one novel doc (admitted),
+    # and an in-batch near-dup pair (smaller url wins)
+    _write_batch(batches, 1, [
+        ("I", "https://x.example/near", T0 + 100, NEAR16, "en"),
+        ("I", "https://x.example/exact", T0 + 101, BASE16, "en"),
+        ("I", "https://x.example/novel", T0 + 102,
+         "red orange yellow green blue indigo violet colors rainbow", "en"),
+        ("I", "https://y.example/pair-a", T0 + 103,
+         "sun moon stars comet nebula galaxy quasar pulsar meteor asteroid planet dust", "en"),
+        ("I", "https://y.example/pair-b", T0 + 104,
+         "sun moon stars comet nebula galaxy quasar pulsar meteor asteroid planet CHANGED", "en"),
+    ])
+    pipe.run(spark, batches)
+    mc.refresh(spark)
+    urls = {u for (u, _, _) in _got(spark, mc)}
+    assert "https://x.example/near" not in urls, "cross-fp near-dup must be screened"
+    assert "https://x.example/novel" in urls
+    assert "https://y.example/pair-a" in urls
+    assert "https://y.example/pair-b" not in urls, "in-batch near-dup: smaller url wins"
+    # exact dup entered the store (non-keeper), so /base still keeps
+    assert "https://n.example/base" in urls and "https://x.example/exact" not in urls
+
+    # batch 2: delete the keeper of the exact-fp group -> succession to
+    # the exact twin (which near-dup screening deliberately exempted)
+    _write_batch(batches, 2, [
+        ("D", "https://n.example/base", T0 + 200, "", ""),
+    ])
+    pipe.run(spark, batches)
+    mc.refresh(spark)
+    urls = {u for (u, _, _) in _got(spark, mc)}
+    assert "https://x.example/exact" in urls, "same-fp twin must be promoted"
+    assert "https://n.example/base" not in urls
+    # documented limitation: /near does NOT resurrect (it was never stored)
+    assert "https://x.example/near" not in urls
+
+    # a FRESH handle with no near_dup args adopts the stored config
+    mc2 = MaintainedCorpus(table, store, n_buckets=8, min_tokens=3, default_quota=1.0)
+    _write_batch(batches, 3, [
+        ("I", "https://z.example/near2", T0 + 300,
+         OTHER.replace("seven", "CHANGED"), "en"),
+    ])
+    pipe.run(spark, batches)
+    mc2.refresh(spark)
+    assert mc2.near_dup is True
+    assert "https://z.example/near2" not in {u for (u, _, _) in _got(spark, mc2)}
+
+
+def test_near_dup_requires_bootstrap_with_signatures(spark, tmp_path):
+    import pytest
+
+    batches = str(tmp_path / "b5")
+    table = str(tmp_path / "lake5")
+    store = str(tmp_path / "store5")
+    _write_batch(batches, 0, [("I", "https://q.example/1", T0 + 1, BASE16, "en")])
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.run(spark, batches)
+    MaintainedCorpus(table, store, n_buckets=8, **CFG).refresh(spark)
+    _write_batch(batches, 1, [("I", "https://q.example/2", T0 + 2, OTHER, "en")])
+    pipe.run(spark, batches)
+    with pytest.raises(ValueError, match="re-bootstrap"):
+        MaintainedCorpus(table, store, n_buckets=8, near_dup=True, **CFG).refresh(spark)
+
+
 def test_bootstrap_after_many_epochs_equals_refresh_path(spark, tmp_path):
     """A fresh bootstrap at epoch N and a refresh-maintained store that
     followed epochs 0..N must read identically."""
