@@ -316,7 +316,7 @@ def run_scaling_probe(
             )
             if len(pairs) >= min_pairs:
                 cleans = [p for p in pairs if p["clean"]]
-                best_so_far, median_so_far = _summary(cleans if len(cleans) >= 2 else pairs)
+                best_so_far, median_so_far = _summary(cleans if cleans else pairs)
                 if (
                     best_so_far is not None
                     and best_so_far >= target_best
@@ -324,7 +324,7 @@ def run_scaling_probe(
                 ):
                     break  # quiet window: evidence in hand, stop burning wall
         cleans = [p for p in pairs if p["clean"]]
-        considered = cleans if len(cleans) >= 2 else pairs
+        considered = cleans if cleans else pairs
         best, median = _summary(considered)
         best_pair = max(
             (p for p in considered if p["efficiency"] is not None),
@@ -351,14 +351,14 @@ def run_scaling_probe(
             "scaling_best_leg_ratio": best_leg_ratio,
             "scaling_pairs": pairs,
             "scaling_pairs_clean": len(cleans),
-            "scaling_summary_basis": "clean" if len(cleans) >= 2 else "all",
+            "scaling_summary_basis": "clean" if cleans else "all",
             "scaling_events": events,
             "scaling_core_pinned": have_taskset,
             "scaling_note": (
                 "ABBA-interleaved matched pairs, each level taskset-pinned to "
                 "its core budget (JVM + Arrow python workers share it, like an "
                 "executor cgroup); per-leg load at start+end; pairs whose legs "
-                f"started under load {load_gate} are 'clean' and, when >=2 "
+                f"started under load {load_gate} are 'clean' and, when any "
                 "exist, the only ones summarized; noisy windows trigger extra "
                 "pairs instead of a false fail. The 16M-event controlled study "
                 "is in BASELINE.md 'Measured results'"
