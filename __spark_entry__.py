@@ -1249,6 +1249,80 @@ def corpus_build_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "split").orderBy("doc_id")
 
 
+def curriculum_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call curriculum layout (operators/curriculum.py): quality
+    score → per-language exact-percentile selection (top half, integer
+    scores at p=0.5 = cross-engine-exact threshold) → per-source cap
+    (k=20, payload-free window + semi-join) → sequence packing into
+    1024-token chunks over 8 shards → epoch-1 shuffle over 16 shards.
+    Every stage deterministic and replayed row-level by DuckDB — the
+    composed (selection ∘ geometry ∘ order) answer hashes bit-for-bit."""
+    from csv_cruncher_spark.operators import curriculum
+
+    docs = _t(spark, sf_dir, "documents")
+    out = curriculum.build_curriculum(
+        docs,
+        "doc_id",
+        "text",
+        stratum_col="lang",
+        source_col="source",
+        keep_fraction=0.5,
+        cap_k=20,
+        budget=1024,
+        n_shards=8,
+        epoch=1,
+        shuffle_shards=16,
+    )
+    return out.select(
+        "doc_id", "lang", "score", "pack_shard", "start_offset",
+        "first_chunk", "last_chunk", "shuffle_shard", "pos_in_shard",
+        "global_pos",
+    ).orderBy("doc_id")
+
+
+def url_snapshot_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy URL dedup across crawl snapshots — the CDC keying loop
+    closed end-to-end: every page arrives twice under trivially
+    different spellings (scheme/host case, :443 default port, trailing
+    slash, fragment) with different warc_ts; ``normalize_url`` folds
+    both onto ONE canonical key and the engine's in-batch LWW
+    (``lww_winners`` — the same partial-aggregating max_by the merge
+    path runs) keeps the newer snapshot's content. The oracle constructs
+    the canonical key independently and replays the arg_max, so a
+    normalization drift OR a wrong winner both flip the hash."""
+    from csv_cruncher_spark.lake.merge import lww_winners
+
+    docs = _t(spark, sf_dir, "documents")
+    t0 = F.lit(1_700_000_000).cast("long")
+    old = docs.select(
+        F.concat(
+            F.lit("https://www."), "source", F.lit(".example.com/"),
+            "lang", F.lit("/"), "doc_id",
+        ).alias("url"),
+        (t0 + F.col("doc_id")).alias("warc_ts"),
+        (F.col("doc_id") * 2).cast("long").alias("row_idx"),
+        F.lit("old").alias("crawl"),
+        "doc_id",
+    )
+    new = docs.select(
+        F.concat(
+            F.lit("HTTPS://WWW."), F.upper("source"),
+            F.lit(".EXAMPLE.COM:443/"), "lang", F.lit("/"), "doc_id",
+            F.lit("/#frag"),
+        ).alias("url"),
+        (t0 + F.col("doc_id") + 86400).alias("warc_ts"),
+        (F.col("doc_id") * 2 + 1).cast("long").alias("row_idx"),
+        F.lit("new").alias("crawl"),
+        "doc_id",
+    )
+    snaps = old.unionByName(new).withColumn("nurl", normalize_url(F.col("url")))
+    winners = lww_winners(
+        snaps.select("nurl", "warc_ts", "row_idx", "crawl", "doc_id"),
+        key_col="nurl",
+    )
+    return winners.select("nurl", "doc_id", "crawl", "warc_ts").orderBy("nurl")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -1374,6 +1448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_build_full": corpus_build_full,
         "quality_percentile_docs": quality_percentile_docs,
         "source_capped_docs": source_capped_docs,
+        "curriculum_docs": curriculum_docs,
+        "url_snapshot_lww": url_snapshot_lww,
         "doc_text_clean": doc_text_clean,
         "doc_unigram_logprob": doc_unigram_logprob,
     }
@@ -2168,6 +2244,99 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) WHERE rn <= 15
             ORDER BY doc_id
+        """,
+        "curriculum_docs": """
+            WITH s AS (
+              SELECT doc_id, lang, source,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                       AS score
+              FROM documents
+            ),
+            t AS (
+              SELECT lang, quantile_cont(score, 0.5) AS thr FROM s GROUP BY lang
+            ),
+            kept AS (
+              SELECT s.doc_id, s.lang, s.source, s.score
+              FROM s JOIN t USING (lang) WHERE s.score >= t.thr
+            ),
+            capped AS (
+              SELECT doc_id, lang, score FROM (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':cap-v1'), 1, 8),
+                                  doc_id
+                       ) AS rn
+                FROM kept) WHERE rn <= 20
+            ),
+            pack AS (
+              SELECT doc_id,
+                     CAST(doc_id % 8 AS BIGINT) AS pack_shard,
+                     CAST(COALESCE(SUM(score) OVER (
+                       PARTITION BY doc_id % 8 ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start_offset,
+                     score AS n_tok
+              FROM capped
+            ),
+            sh AS (
+              SELECT doc_id,
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':shuffle-v1:e1'), 1, 8)
+                       AS draw
+              FROM capped
+            ),
+            s2 AS (
+              SELECT doc_id, draw,
+                     ('0x' || substr(draw, 1, 4))::BIGINT % 16 AS shuffle_shard
+              FROM sh
+            ),
+            r AS (
+              SELECT doc_id, shuffle_shard,
+                     CAST(row_number() OVER (
+                       PARTITION BY shuffle_shard ORDER BY draw, doc_id) AS BIGINT)
+                       AS pos_in_shard
+              FROM s2
+            ),
+            off AS (
+              SELECT shuffle_shard,
+                     COALESCE(SUM(n) OVER (ORDER BY shuffle_shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+              FROM (SELECT shuffle_shard, count(*) AS n FROM r GROUP BY shuffle_shard)
+            )
+            SELECT capped.doc_id, capped.lang, capped.score,
+                   pack.pack_shard, pack.start_offset,
+                   CAST(floor(pack.start_offset / 1024.0) AS BIGINT) AS first_chunk,
+                   CAST(floor((pack.start_offset + greatest(pack.n_tok, 1) - 1)
+                              / 1024.0) AS BIGINT) AS last_chunk,
+                   r.shuffle_shard, r.pos_in_shard,
+                   CAST(off.off + r.pos_in_shard - 1 AS BIGINT) AS global_pos
+            FROM capped JOIN pack USING (doc_id) JOIN r USING (doc_id)
+                 JOIN off USING (shuffle_shard)
+            ORDER BY capped.doc_id
+        """,
+        "url_snapshot_lww": """
+            -- nurl below is the canonical spelling constructed
+            -- INDEPENDENTLY of the engine (lowercase scheme+host, default
+            -- port and fragment stripped, trailing slash folded): the
+            -- Spark side derives it by normalize_url over BOTH raw
+            -- spellings, so a normalization drift desyncs the key column
+            -- and flips the hash, and arg_max replays the LWW winner
+            WITH snaps AS (
+              SELECT 'https://www.' || source || '.example.com/' || lang
+                       || '/' || doc_id AS nurl,
+                     1700000000 + doc_id AS warc_ts, 'old' AS crawl, doc_id
+              FROM documents
+              UNION ALL
+              SELECT 'https://www.' || source || '.example.com/' || lang
+                       || '/' || doc_id AS nurl,
+                     1700000000 + doc_id + 86400 AS warc_ts, 'new' AS crawl,
+                     doc_id
+              FROM documents)
+            SELECT nurl,
+                   arg_max(doc_id, warc_ts) AS doc_id,
+                   arg_max(crawl, warc_ts) AS crawl,
+                   CAST(max(warc_ts) AS BIGINT) AS warc_ts
+            FROM snaps GROUP BY nurl ORDER BY nurl
         """,
         "quality_percentile_docs": """
             WITH s AS (
