@@ -62,6 +62,11 @@ def main() -> int:
                          "maintained corpus store (lake/corpus_view.py) "
                          "— O(changed fingerprint groups), no table "
                          "rescan; fixed quotas only")
+    ap.add_argument("--corpus-near-dup", action="store_true",
+                    help="with --maintain-corpus: LSH-screen additions "
+                         "against stored members at every refresh "
+                         "(config pinned at bootstrap; see corpus_view "
+                         "docstring for the precedence/rebuild contract)")
     ap.add_argument("--build-corpus", default=None, metavar="OUT",
                     help="after replay, run the corpus builder over the "
                          "table state and write (url, lang, split) parquet "
@@ -176,6 +181,7 @@ def main() -> int:
             args.maintain_corpus,
             min_tokens=args.corpus_min_tokens,
             splits=splits,
+            near_dup=args.corpus_near_dup,
         )
         corpus_epoch = mc.refresh(spark)
 
