@@ -423,3 +423,22 @@ def test_dedup_one_call_matches_two_step(spark, docs):
         assert len(keepers) == 1, (g, members)
         best = max((toks[i], -i) for i, _ in members)
         assert (toks[keepers[0]], -keepers[0]) == best
+
+
+def test_dedup_keeper_tie_break_string_ids(spark):
+    """Round-4 advice (medium): equal-score ties must pick the LOWEST id
+    for STRING ids too — the old max_by key negated the id, which casts
+    a string to double NULL and made the pick nondeterministic. Three
+    byte-identical docs with shuffled-ordinal string ids: the keeper is
+    the lexicographically smallest, on every layout."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [("doc-c", text), ("doc-a", text), ("doc-b", text),
+            ("zzz-unique", "one two three four five six seven")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    for frame in (df, df.repartition(7)):
+        out = {r["id"]: r for r in
+               dedup.dedup(frame, "doc_id", "text", min_jaccard=0.5).collect()}
+        assert out["doc-a"]["is_keeper"] is True
+        assert out["doc-b"]["is_keeper"] is False
+        assert out["doc-c"]["is_keeper"] is False
+        assert out["zzz-unique"]["is_keeper"] is True
