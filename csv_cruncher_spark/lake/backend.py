@@ -180,6 +180,14 @@ class ManifestBackend(TableBackend):
     ) -> dict:
         from .merge import apply_batch_mor
 
+        t = self._table()
+        snap = t.snapshot()
+        # fence FIRST, reserved-prefix rejection second: a legacy lake that
+        # legitimately applied a batch named schema-evolve-* before the
+        # prefix was reserved must replay as the idempotent no-op, not an
+        # error (renaming the file would change the id and double-apply)
+        if batch_id in {e["batch"] for e in snap["lineage"]}:
+            return {"applied": False, "reason": "already-in-lineage"}
         if str(batch_id).startswith(RESERVED_BATCH_PREFIX):
             raise ValueError(
                 f"batch id {batch_id!r} uses the reserved prefix "
@@ -187,10 +195,6 @@ class ManifestBackend(TableBackend):
                 "rename the change-batch file; a reserved-prefix id would "
                 "be invisible to the exactly-once fence on legacy snapshots"
             )
-        t = self._table()
-        snap = t.snapshot()
-        if batch_id in {e["batch"] for e in snap["lineage"]}:
-            return {"applied": False, "reason": "already-in-lineage"}
         apply_batch_mor(
             spark, t, events, epoch_id=epoch_id, batch_id=batch_id, staged_snapshot=snap
         )

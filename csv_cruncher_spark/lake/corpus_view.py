@@ -202,7 +202,16 @@ class MaintainedCorpus:
 
     def _in_batch_rejects(self, sigs: DataFrame, fps: DataFrame) -> DataFrame:
         """Within one addition set: reject any url that near-dups a
-        SMALLER url (deterministic precedence), cross-fp only."""
+        SMALLER url (deterministic precedence), cross-fp only.
+
+        Chains collapse transitively-conservatively: in A~B, B~C (A≁C,
+        urls A<B<C) BOTH B and C are rejected — C pairs with a smaller
+        url even though that url is itself rejected. This deliberately
+        mirrors the batch pipeline (``build_corpus(near_dup=)`` routes
+        chains through connected components, which also keeps exactly ONE
+        member of {A,B,C}), so maintained and rebuilt corpora agree on
+        chain shape; the trade is the usual LSH-dedup one — never admit a
+        near-dup, occasionally drop a borderline member of a chain."""
         from ..operators import dedup as _dedup
 
         pairs = _dedup.lsh_candidate_pairs(

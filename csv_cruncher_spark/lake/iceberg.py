@@ -241,15 +241,16 @@ class IcebergBackend(TableBackend):
         from .merge import lww_winners
 
         _validate_batch_id(batch_id)
+        if batch_id in self.applied_batches():
+            return {"applied": False, "reason": "already-in-lineage"}
         if str(batch_id).startswith(RESERVED_BATCH_PREFIX):
             # contract symmetry with ManifestBackend: the prefix namespace
-            # is reserved for schema-evolve lineage entries
+            # is reserved for schema-evolve lineage entries; checked AFTER
+            # the fence so legacy applied ids replay as no-ops
             raise ValueError(
                 f"batch id {batch_id!r} uses the reserved prefix "
                 f"{RESERVED_BATCH_PREFIX!r} (schema-evolve commits)"
             )
-        if batch_id in self.applied_batches():
-            return {"applied": False, "reason": "already-in-lineage"}
 
         winners = lww_winners(events, self.key_col)
         table_cols = self.column_names()

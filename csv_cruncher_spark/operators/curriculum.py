@@ -64,9 +64,12 @@ def build_curriculum(
     the REAL token count regardless of the quality score — chunk
     geometry must reflect tokens, not quality.
 
-    One selection is shared by the packing and shuffle branches (the
-    filtered frame is persisted across the two windows and released via
-    the returned frame's first action)."""
+    One selection is shared by the packing and shuffle branches: the
+    narrow filtered frame is persisted and registered on the returned
+    frame — call :func:`csv_cruncher_spark.operators.dedup.release` on
+    the result after your consuming action to free executor memory (the
+    codebase's _pin contract; the bench's per-rep ``clearCache`` covers
+    it there)."""
     from .dedup import _pin
 
     n_tok = textstats.regex_token_count(text_col).cast("long")

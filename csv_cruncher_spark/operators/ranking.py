@@ -101,7 +101,9 @@ def cap_per_group(
     payload by the UNIFORM id key, never by the hot group (round-4
     verdict: the old code windowed the whole frame, serializing a giant
     domain's entire payload through one window task). ``id_col`` must be
-    unique (it is the join-back key). Appends with new ids CAN displace
+    unique and NON-NULL (it is the null-unsafe join-back key: a NULL-id
+    row is dropped from the output — filter or synthesize ids first).
+    Appends with new ids CAN displace
     previously-kept rows (a cap is a competition, not a sample; use
     :func:`~csv_cruncher_spark.operators.sampling.hash_sample` when
     stability under growth matters more than an exact cap)."""

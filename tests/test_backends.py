@@ -130,6 +130,22 @@ def test_reserved_batch_prefix_rejected_and_kind_field(spark, be):
         kinds = {e["batch"]: e.get("kind", "data") for e in be._table().snapshot()["lineage"]}
         assert kinds["batch-0"] == "data"
         assert [k for k in kinds.values() if k == "schema"] == ["schema"]
+        # legacy lake: a reserved-prefix id that's ALREADY in lineage (data
+        # applied before the prefix was reserved) must replay as the fenced
+        # no-op, never an error — the fence runs before the rejection
+        t = be._table()
+        t.commit(
+            new_files=[], replaced_buckets=[],
+            epoch_id=t.snapshot()["epoch_id"] + 1,
+            batch_id="schema-evolve-legacy.csv",
+        )
+        got = be.apply_batch(
+            spark,
+            _events(spark, [("I", 0, "u/z", 59, b"<p>z</p>", "en")]),
+            "schema-evolve-legacy.csv",
+            9,
+        )
+        assert got == {"applied": False, "reason": "already-in-lineage"}
 
 
 def test_additive_evolution_then_apply(spark, be):

@@ -216,6 +216,38 @@ def test_near_dup_change_screened_at_refresh(spark, tmp_path):
     assert "https://z.example/near2" not in {u for (u, _, _) in _got(spark, mc2)}
 
 
+def test_near_dup_chain_collapses_to_one_member(spark, tmp_path):
+    """A~B, B~C with A≁C (urls A<B<C, all in one batch): both B and C
+    are rejected — one member per chain, matching build_corpus's
+    connected-component collapse (documented contract in
+    _in_batch_rejects)."""
+    base = ("sun moon stars comet nebula galaxy quasar pulsar meteor "
+            "asteroid planet dust cloud ring orbit core")
+    # one-token steps: J(A,B) ≈ J(B,C) ≈ 0.65 (near-dups), J(A,C) ≈ 0.4
+    mid = base.replace("comet", "X1")
+    far = mid.replace("ring", "Y1")
+    batches = str(tmp_path / "b6")
+    table = str(tmp_path / "lake6")
+    store = str(tmp_path / "store6")
+    _write_batch(batches, 0, [("I", "https://seed.example/1", T0 + 1, OTHER, "en")])
+    pipe = CdcPipeline(table, n_buckets=4)
+    pipe.run(spark, batches)
+    mc = MaintainedCorpus(table, store, n_buckets=8, near_dup=True,
+                          min_tokens=3, default_quota=1.0)
+    mc.refresh(spark)
+    _write_batch(batches, 1, [
+        ("I", "https://chain.example/a", T0 + 10, base, "en"),
+        ("I", "https://chain.example/b", T0 + 11, mid, "en"),
+        ("I", "https://chain.example/c", T0 + 12, far, "en"),
+    ])
+    pipe.run(spark, batches)
+    mc.refresh(spark)
+    urls = {u for (u, _, _) in _got(spark, mc)}
+    assert "https://chain.example/a" in urls
+    assert "https://chain.example/b" not in urls
+    assert "https://chain.example/c" not in urls
+
+
 def test_near_dup_requires_bootstrap_with_signatures(spark, tmp_path):
     import pytest
 

@@ -121,6 +121,15 @@ def test_cap_per_group_window_is_payload_free(spark):
     assert out.count() == 10 and set(out.columns) == {"doc_id", "src", "text"}
 
 
+def test_cap_per_group_null_id_documented_drop(spark):
+    """The semi-join-back key is null-unsafe: NULL-id rows are dropped
+    (documented contract — filter or synthesize ids first)."""
+    rows = [(1, "a"), (2, "a"), (None, "a"), (4, "b")]
+    df = spark.createDataFrame(rows, "doc_id int, src string")
+    out = ranking.cap_per_group(df, "src", k=10, id_col="doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {1, 2, 4}
+
+
 def test_percentile_filter_approx_fraction_bound(spark):
     """approx=True (percentile_approx sketch, bounded state) must keep a
     fraction within ~1/accuracy of the exact path's — property over
