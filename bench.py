@@ -230,11 +230,14 @@ def run_scaling_probe(
       drift within the probe window.
     - load-gated accounting with retry: each leg logs /proc/loadavg at
       start AND end; a pair is CLEAN iff both legs started under
-      ``load_gate``. Summary stats come from clean pairs when ≥2 exist
-      (else all pairs, honestly labeled), and the probe keeps running
-      extra pairs (to ``max_pairs``) while the clean summary is below the
-      early-exit targets — a noisy window costs wall time instead of a
-      false fail; a quiet window exits after ``min_pairs``."""
+      ``load_gate``. Summary stats come from clean pairs when any exist
+      (else all pairs, honestly labeled via ``scaling_summary_basis``),
+      and the probe keeps running extra pairs (to ``max_pairs``) while
+      the summary is below the early-exit targets or rests on fewer than
+      two pairs — a noisy window costs wall time instead of a false
+      fail; a quiet window exits after ``min_pairs``. A crashed leg
+      (nonzero exit / no throughput line) makes its pair ``failed``
+      rather than a fake 0.0-efficiency measurement."""
     import subprocess
 
     cpus = os.cpu_count() or 8
@@ -279,11 +282,28 @@ def run_scaling_probe(
             load = _load1()
             r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
             line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else "{}"
-            return {
-                "events_per_sec": json.loads(line).get("cdc_events_per_sec", 0.0),
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                parsed = {}
+            eps = parsed.get("cdc_events_per_sec")
+            out = {
+                "events_per_sec": eps if eps else None,
                 "load1_at_start": load,
                 "load1_at_end": _load1(),
+                # per-rep seconds + loads from inside the leg (round-4
+                # advice: the swing is diagnosable only if the replay
+                # legs themselves log load)
+                "timed_reps": parsed.get("cdc_timed_reps"),
             }
+            if r.returncode != 0 or not eps:
+                # a crashed/empty leg is a FAILURE, never a 0.0-throughput
+                # "measurement" that would masquerade as catastrophic
+                # scaling on a load-clean pair
+                out["error"] = (
+                    f"rc={r.returncode}; " + (r.stderr or "")[-300:]
+                ).strip()
+            return out
 
         def _summary(sel: list[dict]) -> tuple[float | None, float | None]:
             effs = sorted(p["efficiency"] for p in sel if p["efficiency"] is not None)
@@ -301,24 +321,29 @@ def run_scaling_probe(
             else:
                 a = one_run(lo)
                 b = one_run(hi)
+            failed = bool(a.get("error") or b.get("error"))
             eff = (
                 round(b["events_per_sec"] / (a["events_per_sec"] * (hi / lo)), 3)
-                if a["events_per_sec"]
+                if not failed and a["events_per_sec"] and b["events_per_sec"]
                 else None
             )
             clean = (
-                0 <= a["load1_at_start"] <= load_gate
+                not failed
+                and 0 <= a["load1_at_start"] <= load_gate
                 and 0 <= b["load1_at_start"] <= load_gate
             )
             pairs.append(
                 {"n": a, "four_n": b, "efficiency": eff, "clean": clean,
+                 "failed": failed,
                  "order": "hi-first" if hi_first else "lo-first"}
             )
             if len(pairs) >= min_pairs:
                 cleans = [p for p in pairs if p["clean"]]
-                best_so_far, median_so_far = _summary(cleans if cleans else pairs)
+                basis = cleans if cleans else pairs
+                best_so_far, median_so_far = _summary(basis)
                 if (
-                    best_so_far is not None
+                    len(basis) >= 2  # never let one lucky pair be the verdict
+                    and best_so_far is not None
                     and best_so_far >= target_best
                     and median_so_far >= target_median
                 ):
@@ -336,8 +361,14 @@ def run_scaling_probe(
         # efficiency past 1.0; a slow 8-core leg deflates it). The ratio
         # of each level's BEST observed throughput across all pairs gives
         # both levels their least-noisy measurement.
-        n_best = max((p["n"]["events_per_sec"] for p in pairs), default=0)
-        fn_best = max((p["four_n"]["events_per_sec"] for p in pairs), default=0)
+        n_best = max(
+            (p["n"]["events_per_sec"] for p in pairs if p["n"]["events_per_sec"]),
+            default=0,
+        )
+        fn_best = max(
+            (p["four_n"]["events_per_sec"] for p in pairs if p["four_n"]["events_per_sec"]),
+            default=0,
+        )
         best_leg_ratio = (
             round(fn_best / (n_best * (hi / lo)), 3) if n_best else None
         )
@@ -460,11 +491,13 @@ def main() -> None:
     if not args.cdc_only and not args.queries_only:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"), "w") as f:
             json.dump(result, f, indent=1)
-    compact = {
-        k: v
-        for k, v in result.items()
-        if k not in ("scaling_pairs", "scaling_note", "queries", "cdc_timed_reps")
-    }
+    # --replay-only legs are the scaling probe's subprocesses: their
+    # per-rep seconds/loads must CROSS the process boundary (the parent
+    # copies them into the pair record) — tiny, so they stay in compact
+    drop = ("scaling_pairs", "scaling_note", "queries") + (
+        () if args.replay_only else ("cdc_timed_reps",)
+    )
+    compact = {k: v for k, v in result.items() if k not in drop}
     compact["queries"] = {k: round(v, 2) for k, v in queries.items()}
     compact["detail"] = "bench_detail.json"
     print(json.dumps(compact, separators=(",", ":")))
