@@ -1192,6 +1192,24 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM scoring with stupid backoff (textstats.bigram_logprob,
+    Brants et al. 2007): in-model bigrams score the exact conditional
+    ln(c(w1,w2)/c(w1·)), unseen bigrams back off to 0.4×unigram, OOV
+    takes the half-occurrence penalty — the fluency signal a unigram
+    screen can't see (common words in nonsense order). Model tables
+    bounded top-300/top-200 for the oracle; per-doc totals in integer
+    micro-units (order-independent), so DuckDB reproduces model, backoff
+    and score bit-for-bit — including the parallel-unnest bigram zip."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.bigram_logprob(
+        docs, "doc_id", "text", top_k_bigrams=300, top_k_unigrams=200
+    )
+    return out.select(
+        "doc_id", "n_bigrams", "n_backoff", "n_oov", "avg_logscore"
+    ).orderBy("doc_id")
+
+
 def doc_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization (textstats.clean_text): NFC via the
     Arrow pandas UDF, then JVM-regex control strip + whitespace
@@ -1450,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped_docs": source_capped_docs,
         "curriculum_docs": curriculum_docs,
         "url_snapshot_lww": url_snapshot_lww,
+        "doc_bigram_logprob": doc_bigram_logprob,
         "doc_text_clean": doc_text_clean,
         "doc_unigram_logprob": doc_unigram_logprob,
     }
@@ -2214,11 +2233,83 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_tokens,
                    CAST(SUM(CASE WHEN lut.micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                      AS n_oov,
-                   round(CAST(SUM(COALESCE(lut.micro, oov.m)) AS DOUBLE)
-                         / count(*) / 1000000, 6) AS avg_logprob
+                   CAST(SUM(COALESCE(lut.micro, oov.m)) AS DOUBLE)
+                         / count(*) / 1000000 AS avg_logprob
             FROM tok LEFT JOIN lut USING (token), oov
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "doc_bigram_logprob": """
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ),
+            -- parallel unnest of two aligned list slices zips them:
+            -- (toks[i], toks[i+1]) = the bigram stream
+            big AS (
+              SELECT doc_id,
+                     unnest(toks[1:len(toks)-1]) AS w1,
+                     unnest(toks[2:len(toks)]) AS w2
+              FROM tok WHERE len(toks) >= 2
+            ),
+            bic AS (
+              SELECT w1, w2, count(*)::BIGINT AS c_bi FROM big GROUP BY w1, w2
+            ),
+            ctx AS (
+              SELECT w1, CAST(SUM(c_bi) AS BIGINT) AS c_ctx FROM bic GROUP BY w1
+            ),
+            bilut AS (
+              SELECT w1, w2,
+                     CAST(round(ln(CAST(c_bi AS DOUBLE) / c_ctx) * 1000000)
+                          AS BIGINT) AS mbi
+              FROM bic JOIN ctx USING (w1)
+              ORDER BY c_bi DESC, w1, w2 LIMIT 300
+            ),
+            alltok AS (
+              SELECT doc_id, unnest(toks) AS token FROM tok
+            ),
+            uni AS (
+              SELECT token, count(*)::BIGINT AS tf FROM alltok GROUP BY token
+              ORDER BY tf DESC, token LIMIT 200
+            ),
+            t AS (SELECT SUM(tf) AS total FROM uni),
+            unilut AS (
+              SELECT token AS w2,
+                     CAST(round(ln(0.4 * CAST(tf AS DOUBLE) / t.total) * 1000000)
+                          AS BIGINT) AS muni
+              FROM uni, t
+            ),
+            oov AS (
+              SELECT CAST(round(ln(0.4 * 0.5 / total) * 1000000) AS BIGINT) AS m
+              FROM t
+            ),
+            sc AS (
+              SELECT b.doc_id,
+                     COALESCE(bilut.mbi, unilut.muni, oov.m) AS m,
+                     CASE WHEN bilut.mbi IS NULL AND unilut.muni IS NOT NULL
+                          THEN 1 ELSE 0 END AS is_backoff,
+                     CASE WHEN bilut.mbi IS NULL AND unilut.muni IS NULL
+                          THEN 1 ELSE 0 END AS is_oov
+              FROM big b
+              LEFT JOIN bilut ON b.w1 = bilut.w1 AND b.w2 = bilut.w2
+              LEFT JOIN unilut ON b.w2 = unilut.w2, oov
+            ),
+            agg AS (
+              SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                     CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+                     CAST(SUM(is_oov) AS BIGINT) AS n_oov,
+                     CAST(SUM(m) AS DOUBLE) / count(*) / 1000000
+                       AS avg_logscore
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(agg.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(agg.n_backoff, 0) AS n_backoff,
+                   COALESCE(agg.n_oov, 0) AS n_oov,
+                   agg.avg_logscore
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_text_clean": """
             SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars_clean

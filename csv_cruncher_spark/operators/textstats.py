@@ -389,7 +389,139 @@ def unigram_logprob(
             id_col,
             "n_tokens",
             "n_oov",
-            F.round(F.col("__sum") / F.col("n_tokens") / F.lit(1e6), 6).alias("avg_logprob"),
+            # raw double quotient of the exact integer micro-sum — NOT
+            # rounded: the sum is order-independent so both engines
+            # compute the identical IEEE double, while a 6dp round can
+            # land exactly on a .5 boundary where Spark (half-up) and
+            # DuckDB (half-even) disagree by 1e-6
+            (F.col("__sum") / F.col("n_tokens") / F.lit(1e6)).alias("avg_logprob"),
         )
     )
     return _pin(vocab, out)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k_bigrams: int = 1 << 22,
+    top_k_unigrams: int = 1 << 20,
+    backoff: float = 0.4,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """Bigram language-model scoring with stupid backoff (Brants et al.
+    2007, "Large Language Models in Machine Translation") — the standard
+    step past :func:`unigram_logprob` as a fluency/quality signal:
+    word-salad that survives a unigram screen (common tokens in nonsense
+    order) scores low because its bigrams are unseen. Per doc,
+    ``avg_logscore`` = mean over bigrams (w1, w2) of
+
+      ln(c(w1,w2) / c(w1·))        when the bigram is in-model, else
+      ln(backoff · tf(w2)/total)   (unigram backoff), else
+      ln(backoff · 0.5/total)      (OOV half-occurrence)
+
+    where c(w1·) counts bigrams whose context is w1 (so in-model scores
+    are proper conditionals) and tf/total come from the token stream.
+    Stupid backoff is deliberately unnormalized — a SCORE, not a
+    probability — which is what makes it embarrassingly parallel and
+    exactly what its authors ran at web scale.
+
+    Both model tables are broadcast and BOUNDED (top_k by frequency,
+    deterministic ties) — the conditional ln is computed once INSIDE the
+    bigram table, so scoring is two broadcast joins + one
+    partial-combined aggregation; per-doc totals accumulate in integer
+    micro-units (order-independent — the unigram operator's fixed-point
+    trick), so the DuckDB oracle reproduces the score bit-for-bit.
+
+    Returns (id, n_bigrams, n_backoff, n_oov, avg_logscore); docs with
+    fewer than two tokens have n_bigrams = 0 and a NULL score."""
+    from .dedup import _pin
+
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    pairs = F.when(
+        F.size("__toks") >= 2,
+        F.expr(
+            "transform(slice(__toks, 1, size(__toks) - 1), "
+            "(t, i) -> struct(t AS w1, element_at(__toks, i + 2) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    exploded = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode_outer(pairs).alias("bg"))
+        .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    # the bigram stream feeds the model build AND the scoring join
+    exploded = exploded.persist()
+    bi_counts = (
+        exploded.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_bi"))
+    )
+    ctx = bi_counts.groupBy("w1").agg(F.sum("c_bi").alias("c_ctx"))
+    bi_lut = (
+        bi_counts.join(ctx, "w1")
+        .orderBy(F.desc("c_bi"), "w1", "w2")
+        .limit(top_k_bigrams)
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(F.col("c_bi").cast("double") / F.col("c_ctx")) * 1e6, 0
+            ).cast("long").alias("__mbi"),
+        )
+    )
+    uni = token_frequencies(df, id_col, text_col, pattern)
+    uni = uni.orderBy(F.desc("tf"), "token").limit(top_k_unigrams).persist()
+    total = int(uni.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 0)
+    if total <= 0:
+        raise ValueError("empty corpus: nothing to score against")
+    uni_lut = uni.select(
+        F.col("token").alias("w2"),
+        F.round(
+            F.log(F.lit(backoff) * F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0
+        ).cast("long").alias("__muni"),
+    )
+    oov_micro = int(round(math.log(backoff * 0.5 / total) * 1e6))
+    scored = (
+        exploded.join(F.broadcast(bi_lut), ["w1", "w2"], "left")
+        .join(F.broadcast(uni_lut), "w2", "left")
+    )
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("w1").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("w1").isNull(), None).otherwise(
+                    F.coalesce("__mbi", "__muni", F.lit(oov_micro))
+                )
+            ).alias("__sum"),
+            F.sum(
+                F.when(
+                    F.col("w1").isNotNull()
+                    & F.col("__mbi").isNull()
+                    & F.col("__muni").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_backoff"),
+            F.sum(
+                F.when(
+                    F.col("w1").isNotNull()
+                    & F.col("__mbi").isNull()
+                    & F.col("__muni").isNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_backoff",
+            "n_oov",
+            # raw double quotient — see unigram_logprob's rounding note
+            F.when(
+                F.col("n_bigrams") > 0,
+                F.col("__sum") / F.col("n_bigrams") / F.lit(1e6),
+            ).alias("avg_logscore"),
+        )
+    )
+    return _pin(uni, _pin(exploded, out))

@@ -71,7 +71,7 @@ def test_unigram_logprob_semantics(spark):
     def score(text):
         toks = text.split()
         ms = [micro.get(t, oov) for t in toks]
-        return round(sum(ms) / len(ms) / 1e6, 6)
+        return sum(ms) / len(ms) / 1e6
 
     for i, t in docs:
         assert out[i]["avg_logprob"] == score(t), i
@@ -122,3 +122,58 @@ def test_unigram_logprob_default_vocab_is_bounded(spark):
     tiny = {r["doc_id"]: r for r in
             textstats.unigram_logprob(df, "doc_id", "text", top_k=1).collect()}
     assert tiny[2]["n_oov"] == 2  # cc and dd both fall outside top-1
+
+
+def test_bigram_logprob_semantics(spark):
+    """Pure-Python stupid-backoff twin on a tiny corpus: in-model
+    bigrams use the conditional, unseen bigrams back off to 0.4x the
+    unigram, OOV w2 takes the half-occurrence penalty; fixed-point math
+    matches exactly and short docs get NULL scores."""
+    import math
+
+    from pyspark.sql import Row
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat ran"),
+        (3, "qq zz"),          # both tokens OOV of the top-k vocab
+        (4, "single"),          # < 2 tokens -> no bigrams
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    out = {r["doc_id"]: r for r in
+           textstats.bigram_logprob(df, "doc_id", "text",
+                                    top_k_bigrams=4, top_k_unigrams=5).collect()}
+
+    # python twin ------------------------------------------------------
+    toks = {i: t.split() for i, t in docs}
+    bigs = {i: list(zip(ts, ts[1:])) for i, ts in toks.items()}
+    from collections import Counter
+    bic = Counter(b for bs in bigs.values() for b in bs)
+    ctx = Counter()
+    for (w1, _), c in bic.items():
+        ctx[w1] += c
+    top_bi = sorted(bic.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    mbi = {b: round(math.log(c / ctx[b[0]]) * 1e6) for b, c in top_bi}
+    unic = Counter(t for ts in toks.values() for t in ts)
+    top_uni = sorted(unic.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    total = sum(c for _, c in top_uni)
+    muni = {w: round(math.log(0.4 * c / total) * 1e6) for w, c in top_uni}
+    oov = round(math.log(0.4 * 0.5 / total) * 1e6)
+
+    for i, _ in docs:
+        bs = bigs[i]
+        row = out[i]
+        assert row["n_bigrams"] == len(bs), i
+        if not bs:
+            assert row["avg_logscore"] is None
+            continue
+        ms = [mbi.get(b, muni.get(b[1], oov)) for b in bs]
+        assert row["avg_logscore"] == sum(ms) / len(ms) / 1e6, i
+        assert row["n_backoff"] == sum(
+            1 for b in bs if b not in mbi and b[1] in muni
+        ), i
+        assert row["n_oov"] == sum(
+            1 for b in bs if b not in mbi and b[1] not in muni
+        ), i
+    # fluency signal: in-model doc ranks above the OOV word-salad doc
+    assert out[1]["avg_logscore"] > out[3]["avg_logscore"]
