@@ -340,9 +340,12 @@ def run_scaling_probe(
             if len(pairs) >= min_pairs:
                 cleans = [p for p in pairs if p["clean"]]
                 basis = cleans if cleans else pairs
+                measured = [p for p in basis if p["efficiency"] is not None]
                 best_so_far, median_so_far = _summary(basis)
                 if (
-                    len(basis) >= 2  # never let one lucky pair be the verdict
+                    # >=2 actual MEASUREMENTS (a failed pair's None doesn't
+                    # count) — never let one lucky pair be the verdict
+                    len(measured) >= 2
                     and best_so_far is not None
                     and best_so_far >= target_best
                     and median_so_far >= target_median
@@ -370,7 +373,9 @@ def run_scaling_probe(
             default=0,
         )
         best_leg_ratio = (
-            round(fn_best / (n_best * (hi / lo)), 3) if n_best else None
+            round(fn_best / (n_best * (hi / lo)), 3)
+            if n_best and fn_best  # a level with zero successful legs is
+            else None              # unmeasured, not 0.0 throughput
         )
         return {
             "scaling_n_cores": lo,

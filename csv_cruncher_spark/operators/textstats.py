@@ -450,8 +450,11 @@ def bigram_logprob(
         .select(id_col, F.explode_outer(pairs).alias("bg"))
         .select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
     )
-    # the bigram stream feeds the model build AND the scoring join
-    exploded = exploded.persist()
+    # the bigram stream feeds the model build AND the scoring join, but it
+    # is deliberately NOT persisted: it's O(corpus tokens) — caching it
+    # would make the operator's real footprint O(corpus) at 100 TB, while
+    # recomputing it is one narrow codegen'd regexp+explode scan (same
+    # trade unigram_logprob makes; only the BOUNDED vocab tables persist)
     bi_counts = (
         exploded.filter(F.col("w1").isNotNull())
         .groupBy("w1", "w2")
@@ -524,4 +527,4 @@ def bigram_logprob(
             ).alias("avg_logscore"),
         )
     )
-    return _pin(uni, _pin(exploded, out))
+    return _pin(uni, out)

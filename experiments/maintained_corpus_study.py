@@ -57,15 +57,18 @@ def one_url_batch(batches: str, seq: int) -> None:
         })
 
 
-def main() -> None:
-    reps = int(os.environ.get("MC_STUDY_REPS", "3"))
-    spark = get_spark(app_name="maintained-corpus-study")
-    work = tempfile.mkdtemp(prefix="mc_study_")
+def run_study(spark, builder, cfg: dict, reps: int, work_prefix: str) -> None:
+    """Shared protocol for the maintained-corpus refresh studies: build
+    1x/10x lakes with ``builder``, bootstrap a store per size with
+    ``cfg``, then interleave single-url refresh reps (1x, 10x, 1x, 10x)
+    printing per-rep timings + load1 and a best-of summary. One copy of
+    the protocol so the near-dup study's numbers stay comparable."""
+    work = tempfile.mkdtemp(prefix=work_prefix)
     sizes = {"1x": 2_000, "10x": 20_000}
     env: dict[str, dict] = {}
     for label, n in sizes.items():
-        batches, table = build(spark, work, label, n)
-        mc = MaintainedCorpus(table, os.path.join(work, f"store_{label}"), **CFG)
+        batches, table = builder(spark, work, label, n)
+        mc = MaintainedCorpus(table, os.path.join(work, f"store_{label}"), **cfg)
         t0 = time.monotonic()
         mc.refresh(spark)
         env[label] = {"batches": batches, "table": table, "mc": mc,
@@ -93,6 +96,12 @@ def main() -> None:
             for label, e in env.items()
         }
     }, indent=1))
+
+
+def main() -> None:
+    reps = int(os.environ.get("MC_STUDY_REPS", "3"))
+    spark = get_spark(app_name="maintained-corpus-study")
+    run_study(spark, build, CFG, reps, "mc_study_")
 
 
 if __name__ == "__main__":

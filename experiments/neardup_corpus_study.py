@@ -14,18 +14,14 @@ Protocol: interleaved reps (1x, 10x, 1x, 10x), best-of, load1 recorded.
   taskset -c 0-15 python experiments/neardup_corpus_study.py
 """
 
-import json
 import os
 import sys
-import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from experiments.maintained_corpus_study import one_url_batch  # noqa: E402
+from experiments.maintained_corpus_study import run_study  # noqa: E402
 
 from csv_cruncher_spark.cdc.pipeline import CdcPipeline  # noqa: E402
-from csv_cruncher_spark.lake.corpus_view import MaintainedCorpus  # noqa: E402
 from csv_cruncher_spark.session import get_spark  # noqa: E402
 
 CFG = dict(min_tokens=2, splits={"train": 8.0, "val": 1.0, "test": 1.0},
@@ -69,39 +65,7 @@ def build_diverse(spark, work: str, label: str, n_urls: int) -> tuple[str, str]:
 def main() -> None:
     reps = int(os.environ.get("MC_STUDY_REPS", "3"))
     spark = get_spark(app_name="neardup-corpus-study")
-    work = tempfile.mkdtemp(prefix="nd_study_")
-    sizes = {"1x": 2_000, "10x": 20_000}
-    env: dict[str, dict] = {}
-    for label, n in sizes.items():
-        batches, table = build_diverse(spark, work, label, n)
-        mc = MaintainedCorpus(table, os.path.join(work, f"store_{label}"), **CFG)
-        t0 = time.monotonic()
-        mc.refresh(spark)
-        env[label] = {"batches": batches, "table": table, "mc": mc,
-                      "bootstrap_s": round(time.monotonic() - t0, 3),
-                      "corpus_rows": mc.read(spark).count(),
-                      "refresh_s": []}
-    for rep in range(reps):
-        for label in ("1x", "10x"):
-            e = env[label]
-            seq = 100 + rep
-            one_url_batch(e["batches"], seq)
-            CdcPipeline(e["table"], n_buckets=8).run(spark, e["batches"])
-            t0 = time.monotonic()
-            e["mc"].refresh(spark)
-            e["refresh_s"].append(round(time.monotonic() - t0, 3))
-            print(json.dumps({label: {"rep": rep, "refresh_s": e["refresh_s"][-1],
-                                      "load1": os.getloadavg()[0]}}), flush=True)
-    print(json.dumps({
-        "summary": {
-            label: {
-                "corpus_rows": e["corpus_rows"],
-                "bootstrap_s": e["bootstrap_s"],
-                "single_url_refresh_best_s": min(e["refresh_s"]),
-            }
-            for label, e in env.items()
-        }
-    }, indent=1))
+    run_study(spark, build_diverse, CFG, reps, "nd_study_")
 
 
 if __name__ == "__main__":

@@ -136,7 +136,7 @@ def test_bigram_logprob_semantics(spark):
     docs = [
         (1, "the cat sat on the mat"),
         (2, "the cat ran"),
-        (3, "qq zz"),          # both tokens OOV of the top-k vocab
+        (3, "qq zz"),  # unseen bigram; w2 'zz' is OOV (qq makes top-5 on ties)
         (4, "single"),          # < 2 tokens -> no bigrams
     ]
     df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
