@@ -1210,6 +1210,53 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance log-weights (textstats.importance_logweight,
+    Xie et al. 2023): per doc, Σ_tokens [ln P_target − ln P_raw] with the
+    English documents as the target distribution and the full corpus as
+    raw — en-typical docs weigh positive, the rest negative. Both
+    vocabularies bounded top-250; per-token deltas in integer micro-units
+    so the sum is order-independent, and the logweight is the raw double
+    of the exact micro-sum — DuckDB reproduces vocab, smoothing, and the
+    weight bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    target = textstats.token_frequencies(
+        docs.filter(F.col("lang") == "en"), "doc_id", "text"
+    )
+    out = textstats.importance_logweight(
+        docs, "doc_id", "text", target_vocab=target, top_k=250
+    )
+    return out.select("doc_id", "n_tokens", "logweight").orderBy("doc_id")
+
+
+DISCLAIMER = (
+    " standard disclaimer all rights reserved contact the site "
+    "administrator for details"
+)
+
+
+def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed exact-substring duplicate detection
+    (textstats.duplicate_spans, the Lee et al. 2021 dedup target):
+    every 8-token window shared verbatim by ≥2 documents, per (doc,
+    position). The synthetic corpus has no natural verbatim 8-grams, so
+    every 5th doc gets an identical planted disclaimer suffix — built
+    with the same expression in both engines — whose fully-interior
+    windows must be flagged with the exact sharing count."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(DISCLAIMER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = textstats.duplicate_spans(planted, "doc_id", "text", span_tokens=8)
+    return out.select(
+        "doc_id", F.col("pos").cast("long").alias("pos"), "span_docs"
+    ).orderBy("doc_id", "pos")
+
+
 def doc_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode canonicalization (textstats.clean_text): NFC via the
     Arrow pandas UDF, then JVM-regex control strip + whitespace
@@ -1469,6 +1516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_docs": curriculum_docs,
         "url_snapshot_lww": url_snapshot_lww,
         "doc_bigram_logprob": doc_bigram_logprob,
+        "doc_duplicate_spans": doc_duplicate_spans,
+        "doc_importance_weights": doc_importance_weights,
         "doc_text_clean": doc_text_clean,
         "doc_unigram_logprob": doc_unigram_logprob,
     }
@@ -2238,6 +2287,78 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN lut USING (token), oov
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "doc_importance_weights": """
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+              FROM documents
+            ),
+            ttok AS (
+              SELECT t.token FROM tok t JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en'
+            ),
+            tvocab AS (
+              SELECT token, count(*)::BIGINT AS tf FROM ttok GROUP BY token
+              ORDER BY tf DESC, token LIMIT 250
+            ),
+            rvocab AS (
+              SELECT token, count(*)::BIGINT AS tf FROM tok GROUP BY token
+              ORDER BY tf DESC, token LIMIT 250
+            ),
+            tt AS (SELECT SUM(tf) AS total FROM tvocab),
+            rt AS (SELECT SUM(tf) AS total FROM rvocab),
+            tlut AS (
+              SELECT token,
+                     CAST(round(ln(CAST(tf AS DOUBLE) / tt.total) * 1000000)
+                          AS BIGINT) AS mt
+              FROM tvocab, tt
+            ),
+            rlut AS (
+              SELECT token,
+                     CAST(round(ln(CAST(tf AS DOUBLE) / rt.total) * 1000000)
+                          AS BIGINT) AS mr
+              FROM rvocab, rt
+            ),
+            oov AS (
+              SELECT CAST(round(ln(0.5 / tt.total) * 1000000) AS BIGINT) AS ot,
+                     CAST(round(ln(0.5 / rt.total) * 1000000) AS BIGINT) AS orr
+              FROM tt, rt
+            )
+            SELECT tok.doc_id,
+                   count(*)::BIGINT AS n_tokens,
+                   CAST(SUM(COALESCE(tlut.mt, oov.ot)
+                            - COALESCE(rlut.mr, oov.orr)) AS DOUBLE)
+                     / 1000000 AS logweight
+            FROM tok LEFT JOIN tlut USING (token)
+                     LEFT JOIN rlut USING (token), oov
+            GROUP BY tok.doc_id
+            ORDER BY tok.doc_id
+        """,
+        "doc_duplicate_spans": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN '{DISCLAIMER}' ELSE '' END AS text
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM planted),
+            -- parallel unnest zips positions with their window hashes
+            spans AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks) - 7)) AS pos,
+                     unnest(list_transform(generate_series(1, len(toks) - 7),
+                            i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+              FROM tok WHERE len(toks) >= 8),
+            per_doc AS (SELECT DISTINCT h, doc_id FROM spans),
+            dup AS (
+              SELECT h, count(*)::BIGINT AS span_docs
+              FROM per_doc GROUP BY h HAVING count(*) >= 2)
+            SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos, dup.span_docs
+            FROM spans s JOIN dup USING (h)
+            ORDER BY s.doc_id, s.pos
         """,
         "doc_bigram_logprob": """
             WITH tok AS (

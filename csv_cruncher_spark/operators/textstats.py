@@ -528,3 +528,141 @@ def bigram_logprob(
         )
     )
     return _pin(uni, out)
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """Cross-document duplicated token spans — the windowed form of
+    exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": verbatim ≥k-token
+    repeats are the highest-value dedup targets because models memorize
+    them): every ``span_tokens``-token window (by token position) whose
+    md5 appears in MORE THAN ONE document, reported per (doc, start
+    position) with the number of distinct docs sharing it. Runs of
+    overlapping flagged positions in one doc delimit the verbatim
+    region to cut.
+
+    Scale shape: the span stream is one codegen'd
+    transform-over-token-array projection (no self-join — each span
+    keys by hash and the aggregation is the two-level distinct-(hash,
+    doc) → per-hash count pattern, skew pre-combined map-side); the
+    join back to positions is a plain equi-join on the hash, linear in
+    flagged spans, never pairwise. md5 keying keeps the operator
+    ANSI-SQL-expressible for the DuckDB oracle.
+
+    Returns (id, pos, span_docs): 1-based token position of each
+    duplicated window, span_docs ≥ 2."""
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+    k = span_tokens
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    spans = F.when(
+        F.size("__toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {k} + 1), "
+            f"i -> struct(i AS pos, md5(concat_ws(' ', slice(__toks, i, {k}))) AS h))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:string>>"))
+    stream = (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(spans).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+    # distinct (h, doc) first, then per-hash doc count: exact distinct-doc
+    # counts with no count-distinct Expand, 'the the the'-style in-doc
+    # repeats collapsed map-side (token_frequencies' two-level pattern)
+    per_doc = stream.select("h", id_col).distinct()
+    counts = per_doc.groupBy("h").agg(F.count("*").alias("span_docs"))
+    dup = counts.filter(F.col("span_docs") >= 2)
+    return (
+        stream.join(dup, "h")
+        .select(id_col, "pos", "span_docs")
+    )
+
+
+def importance_logweight(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_vocab: DataFrame,
+    raw_vocab: DataFrame | None = None,
+    top_k: int | None = 1 << 20,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """DSIR-style per-document importance log-weight (Xie et al. 2023,
+    "Data Selection via Importance Resampling", arXiv:2302.03169) under
+    the bag-of-unigrams feature space:
+
+      ln w(doc) = Σ_tokens [ ln P_target(token) − ln P_raw(token) ]
+
+    — documents whose token distribution looks like the TARGET corpus
+    (e.g. a curated high-quality reference) get positive weights; raw-
+    corpus-typical docs get ≈0; junk gets negative. Feed the weight to
+    the selection layer (``ranking.percentile_filter`` for a hard cut,
+    or a hash-threshold resample at the call site) — the operator
+    deliberately returns weights, not a sample, so the resampling policy
+    stays a separate, auditable decision.
+
+    ``target_vocab`` / ``raw_vocab`` are (token, tf) frames (from
+    :func:`token_frequencies`, persisted or stored); ``raw_vocab``
+    defaults to ``df`` itself. Both are bounded to ``top_k`` tokens by
+    frequency (deterministic ties) and broadcast; out-of-vocabulary
+    tokens take the half-occurrence smoothing on that side — the same
+    conventions as :func:`unigram_logprob`, so the two scores compose.
+
+    Per-token deltas are integer micro-units (round once, sum exactly —
+    order-independent), and the returned ``logweight`` is the raw double
+    of the micro-sum (no terminal rounding, see unigram_logprob's note),
+    so the DuckDB oracle reproduces it bit-for-bit.
+
+    Returns (id, n_tokens, logweight)."""
+    from .dedup import _pin
+
+    def _lut(vocab: DataFrame, alias: str) -> tuple[DataFrame, DataFrame, int]:
+        if top_k is not None:
+            vocab = vocab.orderBy(F.desc("tf"), "token").limit(top_k)
+        vocab = vocab.persist()  # feeds the totals action + the scoring join
+        total = int(vocab.agg(F.sum("tf")).collect()[0][0] or 0)
+        if total <= 0:
+            raise ValueError(f"empty {alias} vocabulary")
+        micro = F.round(
+            F.log(F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0
+        ).cast("long")
+        return vocab.select("token", micro.alias(alias)), vocab, total
+
+    raw_vocab = (
+        raw_vocab
+        if raw_vocab is not None
+        else token_frequencies(df, id_col, text_col, pattern)
+    )
+    t_lut, t_pinned, t_total = _lut(target_vocab, "__mt")
+    r_lut, r_pinned, r_total = _lut(raw_vocab, "__mr")
+    oov_t = int(round(math.log(0.5 / t_total) * 1e6))
+    oov_r = int(round(math.log(0.5 / r_total) * 1e6))
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("token"))
+    scored = exploded.join(F.broadcast(t_lut), "token", "left").join(
+        F.broadcast(r_lut), "token", "left"
+    )
+    delta = F.coalesce("__mt", F.lit(oov_t)) - F.coalesce("__mr", F.lit(oov_r))
+    out = (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("token").alias("n_tokens"),
+            F.sum(F.when(F.col("token").isNull(), None).otherwise(delta)).alias("__sum"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0, F.col("__sum") / F.lit(1e6)
+            ).alias("logweight"),
+        )
+    )
+    # release points for the two persisted vocab frames on the result
+    return _pin(t_pinned, _pin(r_pinned, out))

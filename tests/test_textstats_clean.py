@@ -177,3 +177,81 @@ def test_bigram_logprob_semantics(spark):
         ), i
     # fluency signal: in-model doc ranks above the OOV word-salad doc
     assert out[1]["avg_logscore"] > out[3]["avg_logscore"]
+
+
+def test_duplicate_spans_twin(spark):
+    """Pure-Python twin: exact window positions and sharing counts;
+    in-doc-only repeats are NOT flagged (distinct docs >= 2); short docs
+    produce nothing."""
+    from pyspark.sql import Row
+
+    shared = "alpha beta gamma delta"          # 4 tokens, k=3 -> 2 windows
+    docs = [
+        (1, f"one two {shared} end1"),
+        (2, f"{shared} other tail here"),
+        (3, "three four five " + "loop loop loop loop loop loop"),  # in-doc only
+        (4, "tiny doc"),                        # < k tokens
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    out = textstats.duplicate_spans(df, "doc_id", "text", span_tokens=3)
+    got = {(r["doc_id"], r["pos"]): r["span_docs"] for r in out.collect()}
+
+    # python twin
+    from collections import defaultdict
+    windows = defaultdict(set)
+    pos_of = {}
+    for i, t in docs:
+        toks = t.lower().split()
+        for p in range(len(toks) - 2):
+            w = " ".join(toks[p:p + 3])
+            windows[w].add(i)
+            pos_of[(i, p + 1)] = w
+    expect = {
+        (i, p): len(windows[w])
+        for (i, p), w in pos_of.items()
+        if len(windows[w]) >= 2
+    }
+    assert got == expect and got, "flagged spans must match the twin exactly"
+    # doc 3's self-repeats and doc 4 are absent
+    assert not any(d in (3, 4) for (d, _) in got)
+
+
+def test_importance_logweight_twin(spark):
+    """Pure-Python DSIR twin: target-typical docs weigh positive,
+    raw-typical negative; micro math exact; empty-token doc gets NULL."""
+    import math
+
+    from pyspark.sql import Row
+
+    target_docs = [(100 + i, "clean prose tokens here") for i in range(3)]
+    raw = [
+        (1, "clean prose tokens here"),       # target-typical
+        (2, "spam spam spam buy now"),        # raw-only mass
+        (3, "!!! ???"),                        # zero regex tokens -> NULL
+    ]
+    tdf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in target_docs])
+    rdf = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in raw])
+    tv = textstats.token_frequencies(tdf, "doc_id", "text")
+    out = {r["doc_id"]: r for r in
+           textstats.importance_logweight(rdf, "doc_id", "text",
+                                          target_vocab=tv, top_k=10).collect()}
+
+    from collections import Counter
+    tcnt = Counter(t for _, x in target_docs for t in x.split())
+    rcnt = Counter(t for _, x in raw for t in x.lower().split() if t.isalnum())
+    t_total, r_total = sum(tcnt.values()), sum(rcnt.values())
+    mt = {w: round(math.log(c / t_total) * 1e6) for w, c in tcnt.items()}
+    mr = {w: round(math.log(c / r_total) * 1e6) for w, c in rcnt.items()}
+    ot = round(math.log(0.5 / t_total) * 1e6)
+    orr = round(math.log(0.5 / r_total) * 1e6)
+
+    for i, x in raw:
+        toks = [t for t in x.lower().split() if t.isalnum()]
+        row = out[i]
+        assert row["n_tokens"] == len(toks), i
+        if not toks:
+            assert row["logweight"] is None
+            continue
+        s = sum(mt.get(t, ot) - mr.get(t, orr) for t in toks)
+        assert row["logweight"] == s / 1e6, i
+    assert out[1]["logweight"] > 0 > out[2]["logweight"]
