@@ -1434,6 +1434,49 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("event_id", "err_id", "user_id").orderBy("event_id", "err_id")
 
 
+def token_budget_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget quota (ranking.token_budget_filter): walk
+    each source's docs in the deterministic epoch-salted draw order and
+    keep the greedy prefix whose cumulative regex-token count stays
+    within 800 tokens — "at most N tokens per source", the data-mixing
+    quota, as a payload-free narrow window + semi-join. Integer costs
+    and the md5 draw replay exactly in SQL, so DuckDB reproduces the
+    survivor set AND each survivor's running total bit-for-bit."""
+    from csv_cruncher_spark.operators import ranking
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "n_tokens", textstats.regex_token_count("text").cast("long")
+    )
+    out = ranking.token_budget_filter(
+        scored, budget=800, cost_col="n_tokens", id_col="doc_id",
+        group_col="source", cum_out="cum_tokens",
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "cum_tokens"
+    ).orderBy("doc_id")
+
+
+def embedding_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination
+    (decontam.embedding_contamination_report): corpus vectors within
+    cosine 0.25 of any benchmark vector (every 100th embedding as the
+    eval set), each with its best-matching benchmark id — the semantic
+    screen that catches paraphrased eval leakage n-gram overlap misses.
+    Broadcast bench + sequential-fold JVM dot product (the established
+    cross-engine-exact cosine form), round-6 before threshold and
+    arg-max, row_number tie-break — DuckDB replays every pair decision."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 100 == 0)
+    rest = emb.filter(F.col("vec_id") % 100 != 0)
+    out = decontam.embedding_contamination_report(
+        rest, bench, id_col="vec_id", vec_col="embedding", threshold=0.25
+    )
+    return out.select(
+        F.col("id").alias("vec_id"), "bench_id", "max_cosine"
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------- contract --
 
 
@@ -1515,6 +1558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped_docs": source_capped_docs,
         "curriculum_docs": curriculum_docs,
         "url_snapshot_lww": url_snapshot_lww,
+        "token_budget_docs": token_budget_docs,
+        "embedding_decontam_report": embedding_decontam_report,
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_duplicate_spans": doc_duplicate_spans,
         "doc_importance_weights": doc_importance_weights,
@@ -2898,5 +2943,46 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product({_QUERY_VEC_SQL}, {_QUERY_VEC_SQL}))), 6) AS cosine
             FROM embeddings
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
+        """,
+        "token_budget_docs": """
+            SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens FROM (
+              SELECT doc_id, source, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY source
+                       ORDER BY substr(md5(CAST(doc_id AS VARCHAR) || ':budget-v1'), 1, 8),
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING
+                     ) AS cum_tokens
+              FROM (
+                SELECT doc_id, source,
+                       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                         AS n_tokens
+                FROM documents
+              )
+            ) WHERE cum_tokens <= 800
+            ORDER BY doc_id
+        """,
+        "embedding_decontam_report": """
+            WITH b AS (
+              SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+              FROM embeddings WHERE vec_id % 100 = 0
+            ), c AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE vec_id % 100 <> 0
+            ), pairs AS (
+              SELECT c.vec_id, b.bench_id,
+                     round(list_dot_product(cv, bv)
+                           / (sqrt(list_dot_product(cv, cv))
+                              * sqrt(list_dot_product(bv, bv))), 6) AS cos
+              FROM c CROSS JOIN b
+            )
+            SELECT vec_id, bench_id, cos AS max_cosine FROM (
+              SELECT vec_id, bench_id, cos,
+                     row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC
+                     ) AS rn
+              FROM pairs WHERE cos >= 0.25
+            ) WHERE rn = 1
+            ORDER BY vec_id
         """,
     }

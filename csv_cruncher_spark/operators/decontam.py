@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import _spread, shingles
+from .similarity import dot_expr, norm_expr
 
 
 def _ngram_stream(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -99,4 +100,74 @@ def decontaminate(
     )
     return docs.join(
         bad, docs[id_col] == bad["__contaminated_id"], "left_anti"
+    )
+
+
+def embedding_contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-space decontamination: corpus vectors whose cosine to
+    ANY benchmark vector reaches ``threshold`` — the semantic companion
+    to the n-gram screen above, catching paraphrased/reformatted eval
+    leakage that shares no verbatim 13-gram (the screen used alongside
+    exact overlap in modern decontamination audits).
+
+    Returns ``(id, bench_id, max_cosine)``: one row per contaminated
+    corpus vector, carrying its highest-cosine benchmark match
+    (``max_cosine`` rounded to 6 dp; ties on the rounded cosine break to
+    the LOWEST benchmark id — deterministic, layout-independent).
+
+    Scale shape: the benchmark side is tiny by construction (an eval
+    suite — thousands of vectors, not billions), so it BROADCASTS and the
+    corpus is scanned exactly once with no shuffle of the vectors: the
+    plan is broadcast-nested-loop → sequential-fold dot product (JVM
+    ``aggregate``/``zip_with``, deterministic summation order for oracle
+    parity) → per-corpus-id partial-aggregated max — O(|corpus|·|bench|)
+    flops but O(|corpus hits|) rows past the scan. Norms are computed
+    once per side BEFORE the pairing. For a benchmark too big to
+    broadcast, use the LSH/IVF candidate generators in
+    ``operators/similarity.py`` instead of this exact form.
+
+    Zero-norm (or null) vectors have no direction: null cosine on either
+    side of a pair, never NaN (NaN sorts above every double in Spark and
+    would pass every threshold), so such rows simply never flag."""
+    from pyspark.sql import Window
+
+    bid = bench_id_col or id_col
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        norm_expr(vec_col).alias("__cn"),
+    )
+    b = bench.select(
+        F.col(bid).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        norm_expr(vec_col).alias("__bn"),
+    )
+    denom = F.col("__cn") * F.col("__bn")
+    cos = F.round(
+        F.when(denom > 0, dot_expr("__cv", "__bv") / denom), 6
+    )
+    pairs = (
+        c.join(F.broadcast(b))
+        .select(F.col("__cid"), F.col("__bid"), cos.alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+    )
+    # arg-max via row_number over the (small) hits frame only — never a
+    # struct-max with a negated id, which NULLs out on string ids (the
+    # round-4 dedup()-tie-break lesson); works for any orderable id type
+    w = Window.partitionBy("__cid").orderBy(F.desc("__cos"), F.asc("__bid"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__cid").alias("id"),
+            F.col("__bid").alias("bench_id"),
+            F.col("__cos").alias("max_cosine"),
+        )
     )

@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .sampling import hash_bucket
 
-__all__ = ["percentile_filter", "cap_per_group"]
+__all__ = ["percentile_filter", "cap_per_group", "token_budget_filter"]
 
 
 def percentile_filter(
@@ -122,3 +122,69 @@ def cap_per_group(
         .select("__id")
     )
     return df.join(survivors, df[id_col] == survivors["__id"], "left_semi")
+
+
+def token_budget_filter(
+    df: DataFrame,
+    budget: int,
+    cost_col: str | Column,
+    id_col: str,
+    group_col: str | None = None,
+    order: Column | None = None,
+    cum_out: str | None = None,
+) -> DataFrame:
+    """Greedy selection under a token budget — the data-mixing quota
+    every pretraining recipe applies when a source may contribute at most
+    N tokens to the run: rank the group's rows by ``order`` (ascending;
+    put the best first), walk the ranking, and keep each row while the
+    cumulative ``cost_col`` INCLUDING that row stays ≤ ``budget``.
+
+    Selection is a prefix of the ranking, so a single over-budget row in
+    the middle ends its group's intake even if a later smaller row would
+    still fit — the deterministic "greedy prefix" contract (same as
+    sampling a stream until the quota trips), NOT a knapsack solve.
+    A first-ranked row whose own cost exceeds ``budget`` means that group
+    contributes nothing.
+
+    With no ``order`` the ranking is the deterministic epoch-salted hash
+    draw (layout-independent, SQL-re-derivable), i.e. "a uniform random
+    ~budget-token sample per source"; pass e.g. ``F.desc("quality")`` to
+    make it a quality-greedy quota. ``group_col=None`` applies one global
+    budget. ``cum_out=`` keeps the running total as a column (the row's
+    own cost included).
+
+    Scale shape: the running sum is a window over a PROJECTED
+    (group, id, order, cost) frame — no payload column rides the skewed
+    group exchange or the per-group sort — and survivors rejoin the full
+    frame via a semi-join on the uniform ``id_col`` key (unique and
+    NON-NULL required, as in :func:`cap_per_group`). The per-group window
+    sort is bounded by group size; a group too large to sort narrow rows
+    for is already past any sane token budget — cap first, then budget.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    cost_c = F.col(cost_col) if isinstance(cost_col, str) else cost_col
+    order_c = order if order is not None else hash_bucket(F.col(id_col), "budget-v1")
+    group_c = F.col(group_col) if group_col is not None else F.lit(0)
+    narrow = df.select(
+        group_c.alias("__g"),
+        F.col(id_col).alias("__id"),
+        order_c.alias("__ord"),
+        cost_c.cast("long").alias("__cost"),
+    )
+    w = (
+        Window.partitionBy("__g")
+        .orderBy("__ord", "__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    survivors = (
+        narrow.withColumn("__cum", F.sum("__cost").over(w))
+        .filter(F.col("__cum") <= budget)
+        .select("__id", "__cum")
+    )
+    out = df.join(survivors, df[id_col] == survivors["__id"], "inner").drop("__id")
+    if cum_out is not None:
+        out = out.withColumnRenamed("__cum", cum_out)
+    else:
+        out = out.drop("__cum")
+    return out

@@ -88,3 +88,49 @@ def test_plan_broadcast_no_corpus_shuffle(spark):
     probe = plan.split("BroadcastHashJoin")[1]
     corpus_branch = probe.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in corpus_branch, plan
+
+
+def test_embedding_contamination_report_semantics(spark):
+    """Cosine screen: identical direction flags at 1.0, orthogonal stays
+    clean, the arg-max benchmark id is the highest-cosine match with the
+    LOWEST-id tie-break, and zero-norm vectors never flag (null cosine,
+    not NaN)."""
+    corpus = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[1.0, 0.0]),   # == bench 100 dir
+            Row(vec_id=2, embedding=[0.0, 2.0]),   # orthogonal to 100, == 101
+            Row(vec_id=3, embedding=[1.0, 1.0]),   # cos .707107 to both -> tie
+            Row(vec_id=4, embedding=[0.0, 0.0]),   # zero norm -> never flags
+            Row(vec_id=5, embedding=[-1.0, 0.0]),  # negative cos -> clean
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(vec_id=100, embedding=[2.0, 0.0]), Row(vec_id=101, embedding=[0.0, 1.0])]
+    )
+    out = decontam.embedding_contamination_report(
+        corpus, bench, id_col="vec_id", vec_col="embedding", threshold=0.5
+    )
+    got = {r["id"]: (r["bench_id"], r["max_cosine"]) for r in out.collect()}
+    assert got[1] == (100, 1.0)
+    assert got[2] == (101, 1.0)
+    assert got[3] == (100, 0.707107)  # rounded tie -> lowest bench id
+    assert 4 not in got and 5 not in got
+
+
+def test_embedding_contamination_report_broadcasts_bench(spark):
+    """Scale contract: the benchmark side reaches the pairing through a
+    broadcast — the corpus vectors never shuffle."""
+    corpus = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(50)]
+    )
+    bench = spark.createDataFrame([Row(vec_id=1000, embedding=[1.0, 1.0])])
+    out = decontam.embedding_contamination_report(
+        corpus, bench, id_col="vec_id", vec_col="embedding", threshold=0.9
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # the only exchange in the plan is the tiny hits frame entering the
+    # arg-max window — the corpus scan side must feed the join directly
+    pre_join = plan.split("Join")[-1]  # subtree below the join
+    assert "Exchange hashpartitioning" not in pre_join, plan
+    assert out.count() > 0

@@ -163,3 +163,62 @@ def test_percentile_filter_null_stratum_kept(spark):
     out = ranking.percentile_filter(df, "score", 0.5, stratum_col="lang")
     got = {r["doc_id"] for r in out.collect()}
     assert 1 in got and 4 in got and 2 not in got
+
+
+def test_token_budget_filter_greedy_prefix(spark):
+    """Per-group greedy prefix under an explicit order: cumulative cost
+    including the row must stay <= budget; the first over-budget row and
+    everything ranked after it are out (positive costs => kept set is a
+    prefix of the ranking)."""
+    rows = [
+        (1, "a", 300), (2, "a", 300), (3, "a", 300), (4, "a", 50),
+        (5, "b", 900), (6, "b", 50),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, src string, cost int")
+    out = ranking.token_budget_filter(
+        df, budget=650, cost_col="cost", id_col="doc_id",
+        group_col="src", order=F.col("doc_id"), cum_out="cum",
+    )
+    got = {r["doc_id"]: r["cum"] for r in out.collect()}
+    # group a: 300, 600, (900 > 650 stops), doc 4 ranked after the trip
+    # point is NOT rescued (greedy prefix, not knapsack)
+    # group b: doc 5 alone blows the budget -> b contributes nothing
+    # (its first cum is 900) and doc 6 after it stays out too
+    assert got == {1: 300, 2: 600}
+
+
+def test_token_budget_filter_default_draw_and_global(spark):
+    """Default order = the deterministic md5 draw; group_col=None applies
+    one global budget. Re-derive the draw independently and replay."""
+    import hashlib
+
+    rows = [(i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, cost int")
+    out = ranking.token_budget_filter(df, budget=450, cost_col="cost", id_col="doc_id")
+    draw = sorted(
+        range(10),
+        key=lambda i: (hashlib.md5(f"{i}:budget-v1".encode()).hexdigest()[:8], i),
+    )
+    expect = set(draw[:4])  # 4 * 100 <= 450 < 5 * 100
+    assert {r["doc_id"] for r in out.collect()} == expect
+    with __import__("pytest").raises(ValueError):
+        ranking.token_budget_filter(df, budget=-1, cost_col="cost", id_col="doc_id")
+
+
+def test_token_budget_filter_window_is_payload_free(spark):
+    """Same scale contract as cap_per_group: the running-sum window runs
+    over the PROJECTED (group, id, order, cost) frame — payload columns
+    never ride the skewed group exchange — and survivors join back on the
+    uniform id key."""
+    rows = [(i, "s1" if i < 20 else "s2", "payload text " * 50, 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id int, src string, text string, cost int")
+    out = ranking.token_budget_filter(
+        df, budget=100, cost_col="cost", id_col="doc_id", group_col="src"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    g_lines = [l for l in plan.splitlines() if "__g#" in l]
+    assert g_lines and all("text#" not in l for l in g_lines), plan
+    proj = next(l for l in g_lines if "AS __g#" in l)
+    assert "AS __id#" in proj and "AS __cost#" in proj and "text" not in proj
+    # semantics: 10 rows of cost 10 fit per group
+    assert out.count() == 20 and set(out.columns) == {"doc_id", "src", "text", "cost"}
