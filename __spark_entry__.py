@@ -1127,6 +1127,35 @@ def boilerplate_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def paragraph_deduped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText-style keep-first duplicate-paragraph removal
+    (operators/boilerplate.py dedup_paragraphs) end-to-end: the same
+    deterministic 12-word chunking as boilerplate_removed_docs stands in
+    for paragraphs, then every chunk repeated anywhere in the corpus
+    keeps only its lowest-(doc_id, position) occurrence — threshold-free,
+    unlike the min_docs boilerplate rule — and documents are rebuilt in
+    order. Near-dup docs share aligned chunks, so removals are
+    non-trivial. Row-level oracle: DuckDB replays the chunking, the
+    keep-first rule (row_number over the paragraph partition — the
+    oracle may window where the engine must aggregate), and the ordered
+    string_agg rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    lined = docs.select(
+        "doc_id",
+        F.array_join(
+            F.expr(
+                "transform(sequence(1, int(ceil(size(split(text, ' ')) / 12.0))),"
+                " i -> concat_ws(' ', slice(split(text, ' '), (i-1)*12 + 1, 12)))"
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    out = boilerplate.dedup_paragraphs(lined, "doc_id", "text", sep="\n")
+    return out.select(
+        "doc_id", "text", "n_kept_paras", "n_removed_paras"
+    ).orderBy("doc_id")
+
+
 def temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-mixed corpus (sampling.temperature_sample, α=0.5,
     target = 60% of rows): per-language keep fractions ∝ √n_g flatten
@@ -1255,6 +1284,31 @@ def doc_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("pos").cast("long").alias("pos"), "span_docs"
     ).orderBy("doc_id", "pos")
+
+
+def duplicate_spans_removed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL (textstats.remove_duplicate_spans, the
+    Lee et al. 2021 cut itself): the same planted-disclaimer corpus as
+    doc_duplicate_spans, but every 8-token duplicated window occurrence
+    after the global first (lowest (doc_id, pos)) cuts its token
+    coverage, and documents are rebuilt from surviving tokens. The
+    lowest planted doc keeps its disclaimer; every later multiple-of-5
+    doc loses the interior of the repeated suffix (boundary tokens whose
+    straddling windows are doc-unique survive — the oracle replays that
+    exactly). Row-level oracle: DuckDB re-derives windows, keep-first
+    rule, coverage union, and the ordered token rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(DISCLAIMER)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = textstats.remove_duplicate_spans(planted, "doc_id", "text", span_tokens=8)
+    return out.select(
+        "doc_id", "text", "n_kept_tokens", "n_removed_tokens"
+    ).orderBy("doc_id")
 
 
 def doc_text_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1464,8 +1518,10 @@ def embedding_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval set), each with its best-matching benchmark id — the semantic
     screen that catches paraphrased eval leakage n-gram overlap misses.
     Broadcast bench + sequential-fold JVM dot product (the established
-    cross-engine-exact cosine form), round-6 before threshold and
-    arg-max, row_number tie-break — DuckDB replays every pair decision."""
+    cross-engine-exact cosine form); threshold and arg-max on the RAW
+    double (rounding first re-opens the half-up vs half-even boundary
+    divergence on a membership gate), round-6 on the reported value only
+    — DuckDB replays every pair decision."""
     emb = _t(spark, sf_dir, "embeddings")
     bench = emb.filter(F.col("vec_id") % 100 == 0)
     rest = emb.filter(F.col("vec_id") % 100 != 0)
@@ -1553,6 +1609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle_docs": epoch_shuffle_docs,
         "media_features_exact": media_features_exact,
         "boilerplate_removed_docs": boilerplate_removed_docs,
+        "paragraph_deduped_docs": paragraph_deduped_docs,
         "corpus_build_full": corpus_build_full,
         "quality_percentile_docs": quality_percentile_docs,
         "source_capped_docs": source_capped_docs,
@@ -1562,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_decontam_report": embedding_decontam_report,
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_duplicate_spans": doc_duplicate_spans,
+        "duplicate_spans_removed_docs": duplicate_spans_removed_docs,
         "doc_importance_weights": doc_importance_weights,
         "doc_text_clean": doc_text_clean,
         "doc_unigram_logprob": doc_unigram_logprob,
@@ -2369,16 +2427,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(round(ln(0.5 / tt.total) * 1000000) AS BIGINT) AS ot,
                      CAST(round(ln(0.5 / rt.total) * 1000000) AS BIGINT) AS orr
               FROM tt, rt
+            ),
+            agg AS (
+              SELECT tok.doc_id,
+                     count(*)::BIGINT AS n_tokens,
+                     CAST(SUM(COALESCE(tlut.mt, oov.ot)
+                              - COALESCE(rlut.mr, oov.orr)) AS DOUBLE)
+                       / 1000000 AS logweight
+              FROM tok LEFT JOIN tlut USING (token)
+                       LEFT JOIN rlut USING (token), oov
+              GROUP BY tok.doc_id
             )
-            SELECT tok.doc_id,
-                   count(*)::BIGINT AS n_tokens,
-                   CAST(SUM(COALESCE(tlut.mt, oov.ot)
-                            - COALESCE(rlut.mr, oov.orr)) AS DOUBLE)
-                     / 1000000 AS logweight
-            FROM tok LEFT JOIN tlut USING (token)
-                     LEFT JOIN rlut USING (token), oov
-            GROUP BY tok.doc_id
-            ORDER BY tok.doc_id
+            -- join-back keeps token-free documents (n_tokens=0, NULL
+            -- logweight), matching the operator's explode_outer contract
+            SELECT d.doc_id,
+                   COALESCE(agg.n_tokens, 0) AS n_tokens,
+                   agg.logweight
+            FROM documents d LEFT JOIN agg USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_duplicate_spans": f"""
             WITH planted AS (
@@ -2404,6 +2470,61 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos, dup.span_docs
             FROM spans s JOIN dup USING (h)
             ORDER BY s.doc_id, s.pos
+        """,
+        "duplicate_spans_removed_docs": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || CASE WHEN doc_id % 5 = 0
+                                  THEN '{DISCLAIMER}' ELSE '' END AS text
+              FROM documents),
+            tok AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM planted),
+            spans AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks) - 7)) AS pos,
+                     unnest(list_transform(generate_series(1, len(toks) - 7),
+                            i -> md5(array_to_string(toks[i:i+7], ' ')))) AS h
+              FROM tok WHERE len(toks) >= 8),
+            per_doc AS (SELECT DISTINCT h, doc_id FROM spans),
+            dup AS (
+              SELECT h FROM per_doc GROUP BY h HAVING count(*) >= 2),
+            -- keep-first: rn 1 in (doc_id, pos) order is the survivor;
+            -- every later occurrence cuts its 8-token coverage
+            flagged AS (
+              SELECT s.doc_id, s.pos,
+                     row_number() OVER (
+                       PARTITION BY s.h ORDER BY s.doc_id, s.pos) AS rn
+              FROM spans s JOIN dup USING (h)),
+            covered AS (
+              SELECT DISTINCT doc_id, tpos FROM (
+                SELECT doc_id,
+                       unnest(generate_series(pos, pos + 7)) AS tpos
+                FROM flagged WHERE rn > 1)),
+            tokens AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, len(toks))) AS tpos,
+                     unnest(toks) AS tk
+              FROM tok),
+            agg AS (
+              SELECT t.doc_id,
+                     COALESCE(string_agg(
+                       CASE WHEN c.tpos IS NULL THEN t.tk END,
+                       ' ' ORDER BY t.tpos), '') AS text,
+                     CAST(SUM(CASE WHEN c.tpos IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_kept_tokens,
+                     CAST(SUM(CASE WHEN c.tpos IS NULL THEN 0 ELSE 1 END)
+                          AS BIGINT) AS n_removed_tokens
+              FROM tokens t LEFT JOIN covered c USING (doc_id, tpos)
+              GROUP BY t.doc_id)
+            -- join-back keeps token-free documents (empty text, 0/0)
+            SELECT p.doc_id,
+                   COALESCE(agg.text, '') AS text,
+                   COALESCE(agg.n_kept_tokens, 0) AS n_kept_tokens,
+                   COALESCE(agg.n_removed_tokens, 0) AS n_removed_tokens
+            FROM planted p LEFT JOIN agg USING (doc_id)
+            ORDER BY p.doc_id
         """,
         "doc_bigram_logprob": """
             WITH tok AS (
@@ -2699,6 +2820,42 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.doc_id
             ORDER BY l.doc_id
         """,
+        "paragraph_deduped_docs": """
+            WITH lined AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) + 1),
+                       i -> array_to_string(
+                         list_slice(string_split(text, ' '), (i-1)*12 + 1, (i-1)*12 + 12), ' ')
+                     ) AS ls
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id,
+                     unnest(range(1, len(ls) + 1)) AS para_no,
+                     unnest(ls) AS para
+              FROM lined
+            ),
+            ranked AS (
+              SELECT doc_id, para_no, para,
+                     row_number() OVER (
+                       PARTITION BY para ORDER BY doc_id, para_no) AS rn
+              FROM l
+            )
+            -- keep = first occurrence OR exempt-short (min_chars=1:
+            -- only the empty paragraph, which the chunking never emits)
+            SELECT doc_id,
+                   COALESCE(string_agg(
+                     CASE WHEN rn = 1 OR length(para) < 1 THEN para END,
+                     chr(10) ORDER BY para_no), '') AS text,
+                   CAST(SUM(CASE WHEN rn = 1 OR length(para) < 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_paras,
+                   CAST(SUM(CASE WHEN rn = 1 OR length(para) < 1
+                            THEN 0 ELSE 1 END) AS BIGINT) AS n_removed_paras
+            FROM ranked
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
         "media_features_exact": """
             WITH m AS (
               SELECT doc_id, sha256(text) AS h,
@@ -2971,12 +3128,12 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id % 100 <> 0
             ), pairs AS (
               SELECT c.vec_id, b.bench_id,
-                     round(list_dot_product(cv, bv)
-                           / (sqrt(list_dot_product(cv, cv))
-                              * sqrt(list_dot_product(bv, bv))), 6) AS cos
+                     list_dot_product(cv, bv)
+                       / (sqrt(list_dot_product(cv, cv))
+                          * sqrt(list_dot_product(bv, bv))) AS cos
               FROM c CROSS JOIN b
             )
-            SELECT vec_id, bench_id, cos AS max_cosine FROM (
+            SELECT vec_id, bench_id, round(cos, 6) AS max_cosine FROM (
               SELECT vec_id, bench_id, cos,
                      row_number() OVER (
                        PARTITION BY vec_id ORDER BY cos DESC, bench_id ASC

@@ -25,7 +25,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .dedup import _spread
 
-__all__ = ["boilerplate_lines", "remove_boilerplate_lines"]
+__all__ = [
+    "boilerplate_lines",
+    "remove_boilerplate_lines",
+    "dedup_paragraphs",
+]
 
 
 def _lines(df: DataFrame, id_col: str, text_col: str | Column, sep: str) -> DataFrame:
@@ -105,3 +109,79 @@ def remove_boilerplate_lines(
         F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept_lines"),
         F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_removed_lines"),
     ).withColumnRenamed("id", id_col)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str | Column,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """MassiveText-style exact duplicate-paragraph removal: every
+    paragraph that occurs more than once in the corpus keeps only its
+    FIRST occurrence — the lowest ``(doc id, position)`` — and every
+    later occurrence, whether in another document or later in the same
+    one, is dropped; each document's text is rebuilt from its surviving
+    paragraphs in original order.
+
+    Distinct from :func:`remove_boilerplate_lines`, which strips ALL
+    occurrences of lines above a document-frequency threshold: this is
+    threshold-free and keeps exactly one copy of every repeated
+    paragraph ("we remove all but one of any exact duplicate
+    paragraphs" — the Gopher/MassiveText cleanup rule).
+
+    Paragraphs shorter than ``min_chars`` are exempt (always kept), so
+    structural stubs — empty separator runs, one-word headings — never
+    collapse to a single survivor across the whole corpus.
+
+    Returns ``(id, <out_col>, n_kept_paras, n_removed_paras)``.
+
+    Scale shape: the first-occurrence winner per paragraph is ONE
+    partial-combinable aggregation ``min(struct(id, pos))`` grouped by
+    the paragraph's md5 fingerprint — never a window over the raw text,
+    and the 32-hex key is uniformly distributed by construction, so the
+    billion-copy banner that skews boilerplate mining arrives at the
+    reduce pre-combined to one row per map task. The join back is on
+    that same uniform fingerprint; paragraph text rides exactly one
+    well-spread exchange (it must — the rebuild needs it), and the
+    order-restoring rebuild is the same single doc-id exchange as
+    :func:`remove_boilerplate_lines`. md5's 128 bits make a fingerprint
+    collision (two DIFFERENT paragraphs merging their keep-first
+    groups) negligible at any corpus size.
+
+    No reference counterpart; beyond-reference training-data layer.
+    """
+    if min_chars < 0:
+        raise ValueError(f"min_chars must be >= 0, got {min_chars}")
+    out_col = out_col or (text_col if isinstance(text_col, str) else "text")
+    paras = _lines(df, id_col, text_col, sep)
+    exempt = F.length("line") < min_chars
+    marked = paras.withColumn("__fp", F.when(~exempt, F.md5("line")))
+    winners = (
+        marked.filter(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.min(F.struct("id", "line_no")).alias("__w"))
+    )
+    joined = marked.join(winners, "__fp", "left")
+    # exempt rows carry a NULL fingerprint, join to nothing, and survive;
+    # fingerprinted rows survive only as their group's first occurrence
+    keep = F.col("__w").isNull() | (F.struct("id", "line_no") == F.col("__w"))
+    return (
+        joined.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("line_no", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias(out_col),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept_paras"),
+            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_removed_paras"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

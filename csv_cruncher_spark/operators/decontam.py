@@ -23,7 +23,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .dedup import _spread, shingles
-from .similarity import dot_expr, norm_expr
 
 
 def _ngram_stream(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -118,9 +117,14 @@ def embedding_contamination_report(
     exact overlap in modern decontamination audits).
 
     Returns ``(id, bench_id, max_cosine)``: one row per contaminated
-    corpus vector, carrying its highest-cosine benchmark match
-    (``max_cosine`` rounded to 6 dp; ties on the rounded cosine break to
-    the LOWEST benchmark id — deterministic, layout-independent).
+    corpus vector, carrying its highest-cosine benchmark match. The
+    threshold and the arg-max compare the RAW double cosine — the
+    sequential-fold dot/norm arithmetic is bit-identical cross-engine,
+    while rounding first would re-open the half-boundary divergence
+    (Spark rounds half-up, DuckDB half-even) on a value that gates set
+    membership. Only the REPORTED ``max_cosine`` is rounded to 6 dp;
+    exact raw ties (e.g. identical benchmark vectors) break to the
+    LOWEST benchmark id — deterministic, layout-independent.
 
     Scale shape: the benchmark side is tiny by construction (an eval
     suite — thousands of vectors, not billions), so it BROADCASTS and the
@@ -138,6 +142,11 @@ def embedding_contamination_report(
     would pass every threshold), so such rows simply never flag."""
     from pyspark.sql import Window
 
+    # deferred import: similarity pulls numpy/pandas at module top (its
+    # LSH/matmul kernels need them); the n-gram screens above must stay
+    # importable in a pyspark-only environment
+    from .similarity import dot_expr, norm_expr
+
     bid = bench_id_col or id_col
     c = corpus.select(
         F.col(id_col).alias("__cid"),
@@ -150,9 +159,7 @@ def embedding_contamination_report(
         norm_expr(vec_col).alias("__bn"),
     )
     denom = F.col("__cn") * F.col("__bn")
-    cos = F.round(
-        F.when(denom > 0, dot_expr("__cv", "__bv") / denom), 6
-    )
+    cos = F.when(denom > 0, dot_expr("__cv", "__bv") / denom)
     pairs = (
         c.join(F.broadcast(b))
         .select(F.col("__cid"), F.col("__bid"), cos.alias("__cos"))
@@ -168,6 +175,6 @@ def embedding_contamination_report(
         .select(
             F.col("__cid").alias("id"),
             F.col("__bid").alias("bench_id"),
-            F.col("__cos").alias("max_cosine"),
+            F.round("__cos", 6).alias("max_cosine"),
         )
     )

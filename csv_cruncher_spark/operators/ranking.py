@@ -84,15 +84,18 @@ def cap_per_group(
     id_col: str,
     order: Column | None = None,
     salt: str = "cap-v1",
+    descending: bool = False,
 ) -> DataFrame:
     """At most ``k`` rows per group — the C4/Gopher-style per-domain cap
     that stops a handful of giant hosts from dominating a web corpus.
 
-    Which ``k`` survive: the first by ``order`` (ascending; pass e.g.
-    ``F.desc("quality")`` semantics via a negated column) with the id as
-    the tiebreak; with no ``order`` the pick is a deterministic
-    hash-random draw (epoch-salted md5 of the id — layout-independent
-    and re-derivable in SQL, unlike a ``rand()`` sample).
+    Which ``k`` survive: the first by ``order`` (a PROJECTABLE value
+    expression — direction lives in ``descending``, so "best quality
+    first" is ``order=F.col("quality"), descending=True``; negating the
+    column instead breaks on string types) with the id as the ascending
+    tiebreak; with no ``order`` the pick is a deterministic hash-random
+    draw (epoch-salted md5 of the id — layout-independent and
+    re-derivable in SQL, unlike a ``rand()`` sample).
 
     Scale shape: the ``row_number`` window runs over a PROJECTED
     (group, order, id) frame — no payload column (document text!) rides
@@ -109,13 +112,20 @@ def cap_per_group(
     stability under growth matters more than an exact cap)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if order is not None and (" DESC" in str(order) or " ASC" in str(order)):
+        raise ValueError(
+            "order must be a plain value expression (it is projected into "
+            "the narrow frame); pass order=F.col(...) with descending=True "
+            f"instead of a SortOrder like {order}"
+        )
     order_c = order if order is not None else hash_bucket(F.col(id_col), salt)
     narrow = df.select(
         F.col(group_col).alias("__g"),
         F.col(id_col).alias("__id"),
         order_c.alias("__ord"),
     )
-    w = Window.partitionBy("__g").orderBy("__ord", "__id")
+    ord_key = F.desc("__ord") if descending else F.asc("__ord")
+    w = Window.partitionBy("__g").orderBy(ord_key, F.asc("__id"))
     survivors = (
         narrow.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
@@ -131,6 +141,7 @@ def token_budget_filter(
     id_col: str,
     group_col: str | None = None,
     order: Column | None = None,
+    descending: bool = False,
     cum_out: str | None = None,
 ) -> DataFrame:
     """Greedy selection under a token budget — the data-mixing quota
@@ -148,10 +159,13 @@ def token_budget_filter(
 
     With no ``order`` the ranking is the deterministic epoch-salted hash
     draw (layout-independent, SQL-re-derivable), i.e. "a uniform random
-    ~budget-token sample per source"; pass e.g. ``F.desc("quality")`` to
-    make it a quality-greedy quota. ``group_col=None`` applies one global
-    budget. ``cum_out=`` keeps the running total as a column (the row's
-    own cost included).
+    ~budget-token sample per source"; pass ``order=F.col("quality"),
+    descending=True`` to make it a quality-greedy quota (``order`` must
+    be a PROJECTABLE value expression — it rides the narrow frame — so a
+    ``F.desc(...)`` SortOrder is rejected with a pointer here; direction
+    lives in the ``descending`` flag, the id tiebreak stays ascending).
+    ``group_col=None`` applies one global budget. ``cum_out=`` keeps the
+    running total as a column (the row's own cost included).
 
     Scale shape: the running sum is a window over a PROJECTED
     (group, id, order, cost) frame — no payload column rides the skewed
@@ -163,6 +177,12 @@ def token_budget_filter(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
+    if order is not None and (" DESC" in str(order) or " ASC" in str(order)):
+        raise ValueError(
+            "order must be a plain value expression (it is projected into "
+            "the narrow frame); pass order=F.col(...) with descending=True "
+            f"instead of a SortOrder like {order}"
+        )
     cost_c = F.col(cost_col) if isinstance(cost_col, str) else cost_col
     order_c = order if order is not None else hash_bucket(F.col(id_col), "budget-v1")
     group_c = F.col(group_col) if group_col is not None else F.lit(0)
@@ -172,9 +192,10 @@ def token_budget_filter(
         order_c.alias("__ord"),
         cost_c.cast("long").alias("__cost"),
     )
+    ord_key = F.desc("__ord") if descending else F.asc("__ord")
     w = (
         Window.partitionBy("__g")
-        .orderBy("__ord", "__id")
+        .orderBy(ord_key, F.asc("__id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     survivors = (

@@ -324,6 +324,42 @@ def clean_text(
     return df.withColumn(out_col, cleaned)
 
 
+def _bounded_micro_lut(
+    vocab: DataFrame,
+    top_k: int | None,
+    name: str,
+    out_col: str,
+    scale: float = 1.0,
+) -> tuple[DataFrame, DataFrame, int, int]:
+    """The shared vocabulary-model block of the three LM scorers
+    (:func:`unigram_logprob`, :func:`bigram_logprob`,
+    :func:`importance_logweight`) — ONE implementation so a change to
+    the bounding or the micro-unit rounding convention (e.g. the
+    half-boundary fix) lands everywhere in lockstep:
+
+    bound the (token, tf) frame to ``top_k`` by (tf DESC, token ASC —
+    TakeOrdered heap, deterministic ties, never a full sort), persist it
+    (it feeds the totals action AND the scoring join; the CALLER must
+    ``_pin`` the returned pinned frame on its output — and unpersist it
+    if a later step raises), compute the corpus total, and build the
+    integer micro-unit lut ``round(ln(scale·tf/total)·1e6)``.
+
+    Returns ``(lut, pinned_vocab, total, oov_micro)`` where ``oov_micro``
+    is the half-occurrence penalty ``round(ln(scale·0.5/total)·1e6)``."""
+    if top_k is not None:
+        vocab = vocab.orderBy(F.desc("tf"), "token").limit(top_k)
+    vocab = vocab.persist()
+    total = int(vocab.agg(F.sum("tf")).collect()[0][0] or 0)
+    if total <= 0:
+        vocab.unpersist()
+        raise ValueError(f"empty {name} vocabulary: nothing to score against")
+    micro = F.round(
+        F.log(F.lit(scale) * F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0
+    ).cast("long")
+    oov_micro = int(round(math.log(scale * 0.5 / total) * 1e6))
+    return vocab.select("token", micro.alias(out_col)), vocab, total, oov_micro
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str,
@@ -362,19 +398,9 @@ def unigram_logprob(
     from .dedup import _pin
 
     vocab = vocab if vocab is not None else token_frequencies(df, id_col, text_col, pattern)
-    if top_k is not None:
-        vocab = vocab.orderBy(F.desc("tf"), "token").limit(top_k)
-    # the vocabulary aggregation feeds BOTH the totals action and the
-    # scoring join below — persist it so the corpus-wide token count
-    # runs once, with a release point on the returned frame
-    vocab = vocab.persist()
-    totals = vocab.agg(F.sum("tf").alias("t")).collect()[0]
-    total = int(totals["t"] or 0)
-    if total <= 0:
-        raise ValueError("empty vocabulary: nothing to score against")
-    micro = F.round(F.log(F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0).cast("long")
-    lut = vocab.select("token", micro.alias("__micro"))
-    oov_micro = int(round(math.log(0.5 / total) * 1e6))
+    lut, vocab, _total, oov_micro = _bounded_micro_lut(
+        vocab, top_k, "unigram", "__micro"
+    )
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
     exploded = df.select(F.col(id_col), F.explode(toks).alias("token"))
     scored = exploded.join(F.broadcast(lut), "token", "left")
@@ -473,18 +499,11 @@ def bigram_logprob(
             ).cast("long").alias("__mbi"),
         )
     )
-    uni = token_frequencies(df, id_col, text_col, pattern)
-    uni = uni.orderBy(F.desc("tf"), "token").limit(top_k_unigrams).persist()
-    total = int(uni.agg(F.sum("tf").alias("t")).collect()[0]["t"] or 0)
-    if total <= 0:
-        raise ValueError("empty corpus: nothing to score against")
-    uni_lut = uni.select(
-        F.col("token").alias("w2"),
-        F.round(
-            F.log(F.lit(backoff) * F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0
-        ).cast("long").alias("__muni"),
+    uni_lut, uni, _total, oov_micro = _bounded_micro_lut(
+        token_frequencies(df, id_col, text_col, pattern),
+        top_k_unigrams, "unigram backoff", "__muni", scale=backoff,
     )
-    oov_micro = int(round(math.log(backoff * 0.5 / total) * 1e6))
+    uni_lut = uni_lut.withColumnRenamed("token", "w2")
     scored = (
         exploded.join(F.broadcast(bi_lut), ["w1", "w2"], "left")
         .join(F.broadcast(uni_lut), "w2", "left")
@@ -559,20 +578,7 @@ def duplicate_spans(
     duplicated window, span_docs ≥ 2."""
     if span_tokens < 2:
         raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
-    k = span_tokens
-    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
-    spans = F.when(
-        F.size("__toks") >= k,
-        F.expr(
-            f"transform(sequence(1, size(__toks) - {k} + 1), "
-            f"i -> struct(i AS pos, md5(concat_ws(' ', slice(__toks, i, {k}))) AS h))"
-        ),
-    ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:string>>"))
-    stream = (
-        df.select(F.col(id_col), toks.alias("__toks"))
-        .select(id_col, F.explode(spans).alias("s"))
-        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
-    )
+    stream = _span_stream(df, id_col, text_col, span_tokens, pattern)
     # distinct (h, doc) first, then per-hash doc count: exact distinct-doc
     # counts with no count-distinct Expand, 'the the the'-style in-doc
     # repeats collapsed map-side (token_frequencies' two-level pattern)
@@ -582,6 +588,118 @@ def duplicate_spans(
     return (
         stream.join(dup, "h")
         .select(id_col, "pos", "span_docs")
+    )
+
+
+def _span_stream(
+    df: DataFrame, id_col: str, text_col: str, k: int, pattern: str
+) -> DataFrame:
+    """(id, pos, h): the md5 of every k-token window, 1-based position —
+    one codegen'd transform-over-token-array projection, no self-join;
+    shared by :func:`duplicate_spans` (detection) and
+    :func:`remove_duplicate_spans` (removal) so the window derivation
+    cannot drift between them."""
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    spans = F.when(
+        F.size("__toks") >= k,
+        F.expr(
+            f"transform(sequence(1, size(__toks) - {k} + 1), "
+            f"i -> struct(i AS pos, md5(concat_ws(' ', slice(__toks, i, {k}))) AS h))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:string>>"))
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, F.explode(spans).alias("s"))
+        .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_tokens: int = 10,
+    pattern: str = TOKEN_REGEX,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Exact-substring deduplication, the removal half of
+    :func:`duplicate_spans` (Lee et al. 2021): every token covered by a
+    duplicated ``span_tokens``-token window occurrence OTHER than the
+    window's global first occurrence — lowest ``(doc id, position)`` —
+    is cut, and each document is rebuilt from its surviving tokens in
+    order. Overlapping flagged windows union their coverage, so a long
+    verbatim repeat disappears from every document but the one that
+    said it first (up to the window-boundary tokens whose straddling
+    windows are unique to their document).
+
+    The rebuilt text is the NORMALIZED token stream — lowercased
+    ``pattern`` tokens joined by single spaces — not the original bytes
+    (Lee et al. cut the raw sequence; this operator works on the same
+    tokenized view as the rest of the textstats layer, which is what
+    the downstream token-level pipeline consumes anyway). In-doc-only
+    repeats are NOT flagged, matching the detector's ≥2-distinct-docs
+    rule.
+
+    Returns ``(id, <out_col>, n_kept_tokens, n_removed_tokens)``.
+
+    Scale shape: all equi-joins on uniform keys — the span hash for
+    winner resolution (winner = ONE partial-combinable
+    ``min(struct(id, pos))`` aggregation, never a window over the
+    skewed span hash), then ``(id, token position)`` for coverage
+    marking; loser occurrences explode to exactly ``span_tokens`` rows
+    each (bounded amplification) and the distinct collapses the
+    overlap. The rebuild is the same single doc-id exchange as
+    :func:`~csv_cruncher_spark.operators.boilerplate.remove_boilerplate_lines`.
+    """
+    if span_tokens < 2:
+        raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+    k = span_tokens
+    out_col = out_col or text_col
+    stream = _span_stream(df, id_col, text_col, k, pattern)
+    per_doc = stream.select("h", id_col).distinct()
+    dup = (
+        per_doc.groupBy("h")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("h")
+    )
+    flagged = stream.join(dup, "h")
+    winners = flagged.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("__w")
+    )
+    losers = flagged.join(winners, "h").filter(
+        F.struct(id_col, "pos") != F.col("__w")
+    )
+    covered = (
+        losers.select(
+            F.col(id_col),
+            F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("__tpos"),
+        )
+        .distinct()
+        .withColumn("__cut", F.lit(1))
+    )
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    tokens = df.select(
+        F.col(id_col), F.posexplode_outer(toks).alias("__p0", "__tok")
+    ).withColumn("__tpos", F.col("__p0") + 1)
+    marked = tokens.join(covered, [id_col, "__tpos"], "left")
+    # token-free docs survive posexplode_outer as one NULL-token row:
+    # kept in the group, counted in neither tally
+    keep = F.col("__cut").isNull() & F.col("__tok").isNotNull()
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("__tpos", "__tok")))
+                ),
+                lambda s: s["__tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept_tokens"),
+        F.sum(F.when(F.col("__cut").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_tokens"),
     )
 
 
@@ -623,27 +741,23 @@ def importance_logweight(
     Returns (id, n_tokens, logweight)."""
     from .dedup import _pin
 
-    def _lut(vocab: DataFrame, alias: str) -> tuple[DataFrame, DataFrame, int]:
-        if top_k is not None:
-            vocab = vocab.orderBy(F.desc("tf"), "token").limit(top_k)
-        vocab = vocab.persist()  # feeds the totals action + the scoring join
-        total = int(vocab.agg(F.sum("tf")).collect()[0][0] or 0)
-        if total <= 0:
-            raise ValueError(f"empty {alias} vocabulary")
-        micro = F.round(
-            F.log(F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0
-        ).cast("long")
-        return vocab.select("token", micro.alias(alias)), vocab, total
-
     raw_vocab = (
         raw_vocab
         if raw_vocab is not None
         else token_frequencies(df, id_col, text_col, pattern)
     )
-    t_lut, t_pinned, t_total = _lut(target_vocab, "__mt")
-    r_lut, r_pinned, r_total = _lut(raw_vocab, "__mr")
-    oov_t = int(round(math.log(0.5 / t_total) * 1e6))
-    oov_r = int(round(math.log(0.5 / r_total) * 1e6))
+    t_lut, t_pinned, _t_total, oov_t = _bounded_micro_lut(
+        target_vocab, top_k, "target", "__mt"
+    )
+    try:
+        r_lut, r_pinned, _r_total, oov_r = _bounded_micro_lut(
+            raw_vocab, top_k, "raw", "__mr"
+        )
+    except Exception:
+        # the target vocab is already persisted with no release point on
+        # any returned frame — drop it before propagating
+        t_pinned.unpersist()
+        raise
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
     exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("token"))
     scored = exploded.join(F.broadcast(t_lut), "token", "left").join(

@@ -66,6 +66,62 @@ def test_premined_set_reused_across_batches(spark):
     assert out[0]["text"] == "new arrival" and out[0]["n_removed_lines"] == 1
 
 
+def test_dedup_paragraphs_keep_first_semantics(spark):
+    """Keep-first across docs AND within a doc; first occurrence =
+    lowest (doc_id, position); unique paragraphs untouched."""
+    rows = [
+        Row(doc_id=1, text="alpha\n\nshared para\n\nbeta"),
+        # cross-doc repeat: doc 2's copy of 'shared para' is dropped
+        Row(doc_id=2, text="shared para\n\ngamma"),
+        # within-doc repeat: second 'twice' dropped even with no other doc
+        Row(doc_id=3, text="twice\n\ndelta\n\ntwice"),
+        Row(doc_id=4, text="entirely original"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate.dedup_paragraphs(
+            spark.createDataFrame(rows), "doc_id", "text"
+        ).collect()
+    }
+    assert out[1]["text"] == "alpha\n\nshared para\n\nbeta"
+    assert out[1]["n_removed_paras"] == 0
+    assert out[2]["text"] == "gamma"
+    assert out[2]["n_kept_paras"] == 1 and out[2]["n_removed_paras"] == 1
+    assert out[3]["text"] == "twice\n\ndelta"
+    assert out[3]["n_removed_paras"] == 1
+    assert out[4]["text"] == "entirely original"
+
+
+def test_dedup_paragraphs_min_chars_exemption(spark):
+    """Paragraphs under min_chars are exempt: every occurrence survives
+    (structural stubs must not collapse to one global survivor)."""
+    rows = [
+        Row(doc_id=1, text="ok\n\nlong enough paragraph"),
+        Row(doc_id=2, text="ok\n\nlong enough paragraph"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate.dedup_paragraphs(
+            spark.createDataFrame(rows), "doc_id", "text", min_chars=5
+        ).collect()
+    }
+    # 'ok' (2 chars) exempt in both docs; the long paragraph deduped
+    assert out[1]["text"] == "ok\n\nlong enough paragraph"
+    assert out[2]["text"] == "ok" and out[2]["n_removed_paras"] == 1
+
+
+def test_dedup_paragraphs_winner_is_aggregation_not_window(spark):
+    """Plan shape: the first-occurrence winner comes from a
+    partial-combinable HashAggregate on the md5 fingerprint — no Window
+    operator anywhere (a window over the paragraph key would serialize
+    the corpus's most-repeated paragraph into one task)."""
+    df = _docs(spark)
+    out = boilerplate.dedup_paragraphs(df, "doc_id", "text", sep="\n")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
+
+
 def test_rebuild_is_single_exchange(spark):
     """The rebuild aggregates once on the doc id: exactly one
     hash-partitioning exchange on the line stream side (the mined-set

@@ -113,7 +113,9 @@ def test_embedding_contamination_report_semantics(spark):
     got = {r["id"]: (r["bench_id"], r["max_cosine"]) for r in out.collect()}
     assert got[1] == (100, 1.0)
     assert got[2] == (101, 1.0)
-    assert got[3] == (100, 0.707107)  # rounded tie -> lowest bench id
+    # exact raw-double tie: 2.0/(sqrt(2)*2.0) == 1.0/sqrt(2) bitwise in
+    # IEEE (scaling num+den by a power of two) -> lowest bench id wins
+    assert got[3] == (100, 0.707107)
     assert 4 not in got and 5 not in got
 
 

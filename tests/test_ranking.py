@@ -222,3 +222,34 @@ def test_token_budget_filter_window_is_payload_free(spark):
     assert "AS __id#" in proj and "AS __cost#" in proj and "text" not in proj
     # semantics: 10 rows of cost 10 fit per group
     assert out.count() == 20 and set(out.columns) == {"doc_id", "src", "text", "cost"}
+
+
+def test_order_direction_flag_and_sortorder_rejected(spark):
+    """descending=True ranks best-first without negating the order column
+    (negation breaks on string types — the round-4 keeper-tie-break bug
+    class), and a F.desc(...) SortOrder — which cannot be projected into
+    the narrow frame — is rejected with a pointer to the flag instead of
+    crashing at execution with a codegen INTERNAL_ERROR."""
+    import pytest
+
+    rows = [
+        (1, "a", 5, 100), (2, "a", 9, 100), (3, "a", 7, 100), (4, "a", 1, 100),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, src string, q int, cost int")
+    # quality-greedy budget: top-q docs first (9, 7 fit; 5 trips at 300)
+    out = ranking.token_budget_filter(
+        df, budget=200, cost_col="cost", id_col="doc_id",
+        group_col="src", order=F.col("q"), descending=True,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {2, 3}
+    # top-2 by quality desc via the cap
+    capped = ranking.cap_per_group(
+        df, "src", k=2, id_col="doc_id", order=F.col("q"), descending=True
+    )
+    assert {r["doc_id"] for r in capped.collect()} == {2, 3}
+    with pytest.raises(ValueError, match="descending=True"):
+        ranking.token_budget_filter(
+            df, budget=200, cost_col="cost", id_col="doc_id", order=F.desc("q")
+        )
+    with pytest.raises(ValueError, match="descending=True"):
+        ranking.cap_per_group(df, "src", k=2, id_col="doc_id", order=F.desc("q"))

@@ -255,3 +255,87 @@ def test_importance_logweight_twin(spark):
         s = sum(mt.get(t, ot) - mr.get(t, orr) for t in toks)
         assert row["logweight"] == s / 1e6, i
     assert out[1]["logweight"] > 0 > out[2]["logweight"]
+
+
+def test_importance_logweight_empty_raw_vocab_releases_target(spark):
+    """Failure-path hygiene: when the raw vocabulary is empty, the
+    already-persisted target vocab must be unpersisted before the
+    ValueError propagates (no orphaned pin for the life of the session)."""
+    import pytest
+    from pyspark.sql import Row
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = spark.createDataFrame([Row(doc_id=1, text="hello world")])
+    target = textstats.token_frequencies(docs, "doc_id", "text")
+    empty = spark.createDataFrame([], "token string, tf long")
+    with pytest.raises(ValueError, match="empty raw vocabulary"):
+        textstats.importance_logweight(
+            docs, "doc_id", "text", target_vocab=target, raw_vocab=empty
+        )
+    assert jsc.getPersistentRDDs().size() == before
+
+
+def test_remove_duplicate_spans_twin(spark):
+    """Removal half of duplicate_spans: keep-first by (doc_id, pos),
+    later occurrences' token coverage cut, in-doc-only repeats and
+    sub-k docs untouched, empty docs survive with empty text; exact
+    match against a pure-Python twin of the whole rule."""
+    from pyspark.sql import Row
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens, k=3 -> 3 windows
+    docs = [
+        (1, f"one two {shared} end1"),         # global first -> keeps it all
+        (2, f"{shared} other tail here"),      # loses the shared region
+        (3, "three four five loop loop loop loop"),  # in-doc only
+        (4, "tiny doc"),                        # < k tokens
+        (5, ""),                                # token-free
+    ]
+    df = spark.createDataFrame([Row(doc_id=i, text=t) for i, t in docs])
+    out = {
+        r["doc_id"]: r
+        for r in textstats.remove_duplicate_spans(
+            df, "doc_id", "text", span_tokens=3
+        ).collect()
+    }
+
+    # pure-python twin
+    from collections import defaultdict
+
+    k = 3
+    occurrences = defaultdict(list)
+    toks_of = {}
+    for i, t in docs:
+        toks = t.lower().split()
+        toks_of[i] = toks
+        for p in range(len(toks) - k + 1):
+            occurrences[" ".join(toks[p:p + k])].append((i, p + 1))
+    cut = defaultdict(set)
+    for occs in occurrences.values():
+        if len({d for d, _ in occs}) < 2:
+            continue
+        for d, p in sorted(occs)[1:]:
+            cut[d].update(range(p, p + k))
+    for i, _ in docs:
+        kept = [t for j, t in enumerate(toks_of[i], 1) if j not in cut[i]]
+        assert out[i]["text"] == " ".join(kept), i
+        assert out[i]["n_kept_tokens"] == len(kept), i
+        assert out[i]["n_removed_tokens"] == len(toks_of[i]) - len(kept), i
+    # sanity on the scenario itself: doc 2 actually lost the region
+    assert out[2]["text"] == "other tail here"
+    assert out[1]["n_removed_tokens"] == 0 and out[3]["n_removed_tokens"] == 0
+    assert out[5]["text"] == "" and out[5]["n_kept_tokens"] == 0
+
+
+def test_remove_duplicate_spans_winner_is_aggregation_not_window(spark):
+    """Plan shape: first-occurrence resolution is a partial-combinable
+    min(struct) aggregate on the span hash — no Window operator (a
+    window over the hash would serialize the corpus's most-repeated
+    span into one task)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(doc_id=1, text="a b c d e")])
+    out = textstats.remove_duplicate_spans(df, "doc_id", "text", span_tokens=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan, plan
