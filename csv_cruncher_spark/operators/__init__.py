@@ -2,6 +2,7 @@ from . import (
     bloom,
     boilerplate,
     corpus,
+    curriculum,
     decontam,
     dedup,
     joins,
@@ -13,11 +14,20 @@ from . import (
     similarity,
     textstats,
 )
-from .boilerplate import boilerplate_lines, remove_boilerplate_lines
+from .boilerplate import (
+    boilerplate_lines,
+    dedup_paragraphs,
+    remove_boilerplate_lines,
+)
 from .corpus import build_corpus
-from .decontam import contamination_report, decontaminate
+from .curriculum import build_curriculum
+from .decontam import (
+    contamination_report,
+    decontaminate,
+    embedding_contamination_report,
+)
 from .packing import pack_sequences
-from .ranking import cap_per_group, percentile_filter
+from .ranking import cap_per_group, percentile_filter, token_budget_filter
 from .sampling import (
     assign_split,
     hash_sample,
@@ -28,24 +38,36 @@ from .sampling import (
 from .dedup import dropped_buckets, release
 from .shuffle import epoch_shuffle
 from .joins import asof_join, asof_join_bucketed, interval_join
+from .textstats import (
+    bigram_logprob,
+    duplicate_spans,
+    importance_logweight,
+    remove_duplicate_spans,
+    unigram_logprob,
+)
 
 __all__ = [
     "bloom",
     "boilerplate",
     "boilerplate_lines",
     "remove_boilerplate_lines",
+    "dedup_paragraphs",
     "corpus",
+    "curriculum",
+    "build_curriculum",
     "decontam",
     "packing",
     "ranking",
     "percentile_filter",
     "cap_per_group",
+    "token_budget_filter",
     "sampling",
     "shuffle",
     "epoch_shuffle",
     "build_corpus",
     "contamination_report",
     "decontaminate",
+    "embedding_contamination_report",
     "pack_sequences",
     "hash_sample",
     "stratified_sample",
@@ -57,6 +79,11 @@ __all__ = [
     "multimodal",
     "similarity",
     "textstats",
+    "unigram_logprob",
+    "bigram_logprob",
+    "importance_logweight",
+    "duplicate_spans",
+    "remove_duplicate_spans",
     "asof_join",
     "asof_join_bucketed",
     "interval_join",

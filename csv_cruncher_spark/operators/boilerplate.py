@@ -33,10 +33,13 @@ __all__ = [
 
 
 def _lines(df: DataFrame, id_col: str, text_col: str | Column, sep: str) -> DataFrame:
+    # posexplode_outer: a NULL-text document yields ONE (NULL, NULL)
+    # line row instead of vanishing — consumers rebuild it as empty text
+    # with 0/0 counts rather than silently dropping the id
     text = F.col(text_col) if isinstance(text_col, str) else text_col
     return _spread(df).select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(text, sep)).alias("line_no", "line"),
+        F.posexplode_outer(F.split(text, sep)).alias("line_no", "line"),
     )
 
 
@@ -56,6 +59,7 @@ def boilerplate_lines(
         raise ValueError(f"min_docs must be >= 1, got {min_docs}")
     per_doc = (
         _lines(df, id_col, text_col, sep)
+        .filter(F.col("line").isNotNull())  # NULL-text placeholder rows
         .groupBy("line", "id")
         .agg(F.lit(1).alias("__one"))
     )
@@ -95,7 +99,9 @@ def remove_boilerplate_lines(
     marked = lines.join(
         boiler.select("line").withColumn("__boiler", F.lit(1)), "line", "left"
     )
-    keep = F.col("__boiler").isNull()
+    # NULL-text placeholder rows (line IS NULL) are neither kept nor
+    # removed: the doc survives as empty text with 0/0 counts
+    keep = F.col("__boiler").isNull() & F.col("line").isNotNull()
     return marked.groupBy("id").agg(
         F.array_join(
             F.transform(
@@ -107,7 +113,9 @@ def remove_boilerplate_lines(
             sep,
         ).alias(out_col),
         F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept_lines"),
-        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_removed_lines"),
+        F.sum(F.when(F.col("__boiler").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_lines"),
     ).withColumnRenamed("id", id_col)
 
 
@@ -166,8 +174,13 @@ def dedup_paragraphs(
     )
     joined = marked.join(winners, "__fp", "left")
     # exempt rows carry a NULL fingerprint, join to nothing, and survive;
-    # fingerprinted rows survive only as their group's first occurrence
-    keep = F.col("__w").isNull() | (F.struct("id", "line_no") == F.col("__w"))
+    # fingerprinted rows survive only as their group's first occurrence;
+    # a NULL-text doc's (NULL, NULL) placeholder row is neither kept nor
+    # removed — the doc survives as empty text with 0/0 counts
+    removed = F.col("__w").isNotNull() & (
+        F.struct("id", "line_no") != F.col("__w")
+    )
+    keep = ~removed & F.col("line").isNotNull()
     return (
         joined.groupBy("id")
         .agg(
@@ -181,7 +194,9 @@ def dedup_paragraphs(
                 sep,
             ).alias(out_col),
             F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept_paras"),
-            F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_removed_paras"),
+            F.sum(F.when(removed, 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed_paras"),
         )
         .withColumnRenamed("id", id_col)
     )

@@ -73,9 +73,10 @@ def build_curriculum(
     from .dedup import _pin
 
     n_tok = textstats.regex_token_count(text_col).cast("long")
-    scored = df.withColumn(
-        "score", (score if score is not None else n_tok).cast("long")
-    )
+    # a user-supplied score keeps ITS OWN type — casting a fractional
+    # quality signal (avg_logprob, importance weight, [0,1] model score)
+    # to long would truncate every value to 0 and void the percentile
+    scored = df.withColumn("score", score if score is not None else n_tok)
     kept = percentile_filter(
         scored, "score", keep_fraction, stratum_col=stratum_col, approx=approx
     )

@@ -24,6 +24,31 @@ from .sampling import hash_bucket
 __all__ = ["percentile_filter", "cap_per_group", "token_budget_filter"]
 
 
+def _reject_sortorder(order: Column | None) -> None:
+    """Shared guard of the two narrow-frame quota operators
+    (:func:`cap_per_group`, :func:`token_budget_filter`): a
+    SortOrder-wrapping Column (``F.desc(...)``/``.asc()``) cannot be
+    PROJECTED into the narrow frame — execution would die later with a
+    codegen INTERNAL_ERROR — so reject it up front with a pointer to the
+    ``descending`` flag. Detection inspects the column's underlying node
+    class where the runtime exposes it (classic py4j — exact, no false
+    positives on a column literally named ``"a DESC b"``), falling back
+    to the rendering heuristic elsewhere."""
+    if order is None:
+        return
+    try:
+        is_sort = order._jc.node().getClass().getSimpleName() == "SortOrder"
+    except Exception:
+        s = str(order)
+        is_sort = " DESC" in s or " ASC" in s
+    if is_sort:
+        raise ValueError(
+            "order must be a plain value expression (it is projected into "
+            "the narrow frame); pass order=F.col(...) with descending=True "
+            f"instead of a SortOrder like {order}"
+        )
+
+
 def percentile_filter(
     df: DataFrame,
     score: str | Column,
@@ -112,12 +137,7 @@ def cap_per_group(
     stability under growth matters more than an exact cap)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    if order is not None and (" DESC" in str(order) or " ASC" in str(order)):
-        raise ValueError(
-            "order must be a plain value expression (it is projected into "
-            "the narrow frame); pass order=F.col(...) with descending=True "
-            f"instead of a SortOrder like {order}"
-        )
+    _reject_sortorder(order)
     order_c = order if order is not None else hash_bucket(F.col(id_col), salt)
     narrow = df.select(
         F.col(group_col).alias("__g"),
@@ -177,12 +197,7 @@ def token_budget_filter(
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
-    if order is not None and (" DESC" in str(order) or " ASC" in str(order)):
-        raise ValueError(
-            "order must be a plain value expression (it is projected into "
-            "the narrow frame); pass order=F.col(...) with descending=True "
-            f"instead of a SortOrder like {order}"
-        )
+    _reject_sortorder(order)
     cost_c = F.col(cost_col) if isinstance(cost_col, str) else cost_col
     order_c = order if order is not None else hash_bucket(F.col(id_col), "budget-v1")
     group_c = F.col(group_col) if group_col is not None else F.lit(0)

@@ -338,26 +338,37 @@ def _bounded_micro_lut(
     half-boundary fix) lands everywhere in lockstep:
 
     bound the (token, tf) frame to ``top_k`` by (tf DESC, token ASC —
-    TakeOrdered heap, deterministic ties, never a full sort), persist it
-    (it feeds the totals action AND the scoring join; the CALLER must
-    ``_pin`` the returned pinned frame on its output — and unpersist it
-    if a later step raises), compute the corpus total, and build the
-    integer micro-unit lut ``round(ln(scale·tf/total)·1e6)``.
+    TakeOrdered heap, deterministic ties, never a full sort), persist
+    the bounded frame (it feeds the totals action AND the scoring join;
+    the CALLER must ``_pin`` the returned pinned frame on its output —
+    and unpersist it if a later step raises), compute the corpus total,
+    and build the integer micro-unit lut ``round(ln(scale·tf/total)·1e6)``.
 
-    Returns ``(lut, pinned_vocab, total, oov_micro)`` where ``oov_micro``
+    With ``top_k=None`` the helper does NOT create a bounded frame of
+    its own, so it must not persist: the input may be the caller's own
+    amortized (token, tf) cache, and persisting it here would make the
+    documented ``release()`` contract on our output evict the CALLER's
+    cache (Spark's CacheManager matches plans by sameResult, so even a
+    trivially re-projected copy aliases the same entry). ``pinned`` is
+    ``None`` in that case — callers skip the pin; a caller that wants
+    exact-mode reuse should persist its vocab itself.
+
+    Returns ``(lut, pinned, total, oov_micro)`` where ``oov_micro``
     is the half-occurrence penalty ``round(ln(scale·0.5/total)·1e6)``."""
+    pinned = None
     if top_k is not None:
         vocab = vocab.orderBy(F.desc("tf"), "token").limit(top_k)
-    vocab = vocab.persist()
+        pinned = vocab.persist()
     total = int(vocab.agg(F.sum("tf")).collect()[0][0] or 0)
     if total <= 0:
-        vocab.unpersist()
+        if pinned is not None:
+            pinned.unpersist()
         raise ValueError(f"empty {name} vocabulary: nothing to score against")
     micro = F.round(
         F.log(F.lit(scale) * F.col("tf").cast("double") / F.lit(float(total))) * 1e6, 0
     ).cast("long")
     oov_micro = int(round(math.log(scale * 0.5 / total) * 1e6))
-    return vocab.select("token", micro.alias(out_col)), vocab, total, oov_micro
+    return vocab.select("token", micro.alias(out_col)), pinned, total, oov_micro
 
 
 def unigram_logprob(
@@ -398,7 +409,7 @@ def unigram_logprob(
     from .dedup import _pin
 
     vocab = vocab if vocab is not None else token_frequencies(df, id_col, text_col, pattern)
-    lut, vocab, _total, oov_micro = _bounded_micro_lut(
+    lut, pinned, _total, oov_micro = _bounded_micro_lut(
         vocab, top_k, "unigram", "__micro"
     )
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
@@ -423,7 +434,7 @@ def unigram_logprob(
             (F.col("__sum") / F.col("n_tokens") / F.lit(1e6)).alias("avg_logprob"),
         )
     )
-    return _pin(vocab, out)
+    return _pin(pinned, out) if pinned is not None else out
 
 
 def bigram_logprob(
@@ -546,7 +557,7 @@ def bigram_logprob(
             ).alias("avg_logscore"),
         )
     )
-    return _pin(uni, out)
+    return _pin(uni, out) if uni is not None else out
 
 
 def duplicate_spans(
@@ -732,6 +743,10 @@ def importance_logweight(
     frequency (deterministic ties) and broadcast; out-of-vocabulary
     tokens take the half-occurrence smoothing on that side — the same
     conventions as :func:`unigram_logprob`, so the two scores compose.
+    With ``top_k=None`` (exact mode) the scorer never persists the
+    caller's frames — persist your amortized vocab yourself; the
+    ``release()`` contract on the returned frame only ever frees
+    scorer-owned bounded copies.
 
     Per-token deltas are integer micro-units (round once, sum exactly —
     order-independent), and the returned ``logweight`` is the raw double
@@ -754,9 +769,10 @@ def importance_logweight(
             raw_vocab, top_k, "raw", "__mr"
         )
     except Exception:
-        # the target vocab is already persisted with no release point on
-        # any returned frame — drop it before propagating
-        t_pinned.unpersist()
+        # the target vocab may already be persisted with no release point
+        # on any returned frame — drop it before propagating
+        if t_pinned is not None:
+            t_pinned.unpersist()
         raise
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
     exploded = df.select(F.col(id_col), F.explode_outer(toks).alias("token"))
@@ -779,4 +795,8 @@ def importance_logweight(
         )
     )
     # release points for the two persisted vocab frames on the result
-    return _pin(t_pinned, _pin(r_pinned, out))
+    if r_pinned is not None:
+        out = _pin(r_pinned, out)
+    if t_pinned is not None:
+        out = _pin(t_pinned, out)
+    return out

@@ -135,3 +135,29 @@ def test_rebuild_is_single_exchange(spark):
         if "Exchange hashpartitioning" in ln and "id#" in ln.split("hashpartitioning")[1].split(",")[0]
     ]
     assert len(id_exchanges) == 1, plan
+
+
+def test_null_text_docs_survive_with_empty_text(spark):
+    """A NULL-text document must not vanish from the rebuilds: both
+    remove_boilerplate_lines and dedup_paragraphs emit it as empty text
+    with 0/0 counts (posexplode_outer placeholder row, counted in
+    neither tally)."""
+    rows = [
+        Row(doc_id=1, text="COOKIE BANNER\nreal one"),
+        Row(doc_id=2, text="COOKIE BANNER\nreal two"),
+        Row(doc_id=3, text=None),
+    ]
+    df = spark.createDataFrame(rows)
+    rb = {r["doc_id"]: r for r in
+          boilerplate.remove_boilerplate_lines(df, "doc_id", "text", min_docs=2).collect()}
+    assert set(rb) == {1, 2, 3}
+    assert rb[3]["text"] == "" and rb[3]["n_kept_lines"] == 0 and rb[3]["n_removed_lines"] == 0
+    assert rb[1]["text"] == "real one" and rb[1]["n_removed_lines"] == 1
+    dp = {r["doc_id"]: r for r in
+          boilerplate.dedup_paragraphs(df, "doc_id", "text", sep="\n").collect()}
+    assert set(dp) == {1, 2, 3}
+    assert dp[3]["text"] == "" and dp[3]["n_kept_paras"] == 0 and dp[3]["n_removed_paras"] == 0
+    assert dp[2]["text"] == "real two" and dp[2]["n_removed_paras"] == 1
+    # the mined set must not contain a NULL 'line' from placeholder rows
+    mined = boilerplate.boilerplate_lines(df, "doc_id", "text", min_docs=1)
+    assert all(r["line"] is not None for r in mined.collect())

@@ -70,3 +70,21 @@ def test_cap_requires_source_col(spark):
         curriculum.build_curriculum(
             _docs(spark), "doc_id", "text", stratum_col="lang", cap_k=5
         )
+
+
+def test_fractional_score_not_truncated(spark):
+    """A user-supplied float quality score keeps its type: with scores
+    in (0,1), keep_fraction=0.5 must actually halve the corpus (the
+    former long cast truncated every score to 0, keeping everything)."""
+    df = _docs(spark).withColumn(
+        "quality", (F.col("doc_id") % 10 + 1) / 10.0
+    )
+    out = curriculum.build_curriculum(
+        df, "doc_id", "text", keep_fraction=0.5, budget=32,
+        n_shards=4, shuffle_shards=8, score=F.col("quality"),
+    ).collect()
+    assert 0 < len(out) < 60, len(out)  # the filter actually bit
+    kept_scores = {r["score"] for r in out}
+    assert all(isinstance(s, float) and 0 < s <= 1 for s in kept_scores)
+    # top-half semantics: every kept score >= every dropped score's bound
+    assert min(kept_scores) >= 0.6

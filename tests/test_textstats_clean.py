@@ -339,3 +339,42 @@ def test_remove_duplicate_spans_winner_is_aggregation_not_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
     assert "partial_min" in plan, plan
+
+
+def test_exact_mode_never_evicts_caller_vocab_cache(spark):
+    """top_k=None (exact mode): the scorer must not persist the caller's
+    own amortized vocab frame — releasing the scorer's output previously
+    evicted the caller's cache via CacheManager sameResult matching."""
+    from pyspark.sql import Row
+    from csv_cruncher_spark.operators.dedup import release
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world hello"), Row(doc_id=2, text="world")]
+    )
+    vocab = textstats.token_frequencies(docs, "doc_id", "text").persist()
+    vocab.count()
+    out = textstats.unigram_logprob(docs, "doc_id", "text", vocab=vocab, top_k=None)
+    rows = out.collect()
+    assert len(rows) == 2
+    release(out)  # must be a no-op for the caller's frame
+    assert vocab.is_cached, "caller's persisted vocab was evicted"
+    vocab.unpersist()
+
+
+def test_sortorder_guard_no_false_positive_on_desc_named_column(spark):
+    """A column literally NAMED 'a DESC b' is a plain value expression:
+    the node-class detection must not reject it (the old rendering
+    heuristic would)."""
+    from pyspark.sql import functions as F
+
+    from csv_cruncher_spark.operators import ranking
+
+    df = spark.createDataFrame(
+        [(1, "s", 5, 1), (2, "s", 9, 1)],
+        ["doc_id", "src", "a DESC b", "cost"],
+    )
+    out = ranking.cap_per_group(
+        df, "src", k=1, id_col="doc_id",
+        order=F.col("a DESC b"), descending=True,
+    )
+    assert [r["doc_id"] for r in out.collect()] == [2]
