@@ -1533,6 +1533,62 @@ def embedding_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (packing.chunk_documents): every document
+    cut into 64-token windows starting every 48 tokens (RoBERTa-style
+    overlap so no span is split unseen). Pure projection — sequence +
+    posexplode + slice, zero shuffles, chunks inherit the parent's
+    partition — so it runs at corpus scale as a map. DuckDB replays the
+    identical start grid and slices row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    out = packing.chunk_documents(
+        docs, "doc_id", "text", size=64, stride=48
+    )
+    return out.select(
+        "doc_id", "chunk_no", "start_token", "n_chunk_tokens", "chunk_text"
+    ).orderBy("doc_id", "chunk_no")
+
+
+def quality_bucket_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality banding (ranking.quantile_buckets, Wenzek et
+    al. 2020 §4.3): per-language head/middle/tail bands on the regex
+    token count, cut at the 25th/75th percentile. ONE per-stratum
+    array-probability percentile aggregate broadcast back — never a
+    window, never NTILE (a rank tercile serializes each language through
+    one task; at 100 TB with a handful of languages that's the canonical
+    skew trap). Exact-quarter fractions on integer scores make the
+    interpolated thresholds (x[i] + {0,.25,.5,.75}·Δ over integers)
+    bit-identical in both engines, so band membership is fully oracled."""
+    from csv_cruncher_spark.operators import ranking
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "score", textstats.regex_token_count("text").cast("long")
+    )
+    out = ranking.quantile_buckets(
+        scored, "score", fractions=(0.25, 0.75),
+        labels=("tail", "middle", "head"), stratum_col="lang",
+    )
+    return out.select("doc_id", "lang", "score", "bucket").orderBy("doc_id")
+
+
+def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher admission gate (textstats.gopher_quality_filter,
+    Rae et al. 2021 Table A1): length band, token-shape band, stopword
+    floor, repetition caps — one verdict per document plus a fixed-order
+    reasons string naming every failed rule (the audit vocabulary a
+    groupBy can count rejections over). Two shuffle-light hash
+    aggregations + a narrow doc-id join; every rule is a JVM comparison
+    on an exact integer-ratio double, so DuckDB reproduces verdicts and
+    reason strings byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.gopher_quality_filter(
+        docs, "doc_id", "text", min_tokens=40, min_stopword_ratio=0.05,
+        max_top_token_frac=0.1, max_dup_bigram_frac=0.4,
+    )
+    return out.select("doc_id", "n_tokens", "keep", "reasons").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------- contract --
 
 
@@ -1623,6 +1679,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_importance_weights": doc_importance_weights,
         "doc_text_clean": doc_text_clean,
         "doc_unigram_logprob": doc_unigram_logprob,
+        "doc_chunks": doc_chunks,
+        "quality_bucket_docs": quality_bucket_docs,
+        "gopher_quality_docs": gopher_quality_docs,
     }
 
 
@@ -2390,6 +2449,91 @@ def oracle_sql() -> dict[str, str]:
             FROM tok LEFT JOIN lut USING (token), oov
             GROUP BY doc_id
             ORDER BY doc_id
+        """,
+        "doc_chunks": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            ),
+            g AS (
+              SELECT doc_id, toks,
+                     unnest(range(1, greatest(coalesce(len(toks), 0), 1) + 1, 48))
+                       AS start_token
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST((start_token - 1) // 48 AS BIGINT) AS chunk_no,
+                   CAST(start_token AS BIGINT) AS start_token,
+                   CAST(coalesce(len(toks[start_token : start_token + 63]), 0)
+                        AS BIGINT) AS n_chunk_tokens,
+                   coalesce(array_to_string(toks[start_token : start_token + 63], ' '),
+                            '') AS chunk_text
+            FROM g ORDER BY doc_id, chunk_no
+        """,
+        "quality_bucket_docs": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                       AS score
+              FROM documents
+            ),
+            t AS (
+              SELECT lang, quantile_cont(score, 0.25) AS t1,
+                     quantile_cont(score, 0.75) AS t2
+              FROM s GROUP BY lang
+            )
+            SELECT s.doc_id, s.lang, s.score,
+                   CASE WHEN s.score >= t.t2 THEN 'head'
+                        WHEN s.score >= t.t1 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM s JOIN t USING (lang)
+            ORDER BY s.doc_id
+        """,
+        "gopher_quality_docs": f"""
+            WITH d AS (SELECT doc_id, nullif(text, '') AS text FROM documents),
+            q AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_tokens,
+                     (length(text) - (len(string_split(text, ' ')) - 1))
+                       / len(string_split(text, ' ')) AS mean_token_len,
+                     len(list_filter(string_split(text, ' '), x -> x IN ({stop_list})))
+                       / len(string_split(text, ' ')) AS stopword_ratio,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       / length(text) AS alpha_ratio
+              FROM d
+            ),
+            t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+            uni AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            uc AS (SELECT doc_id, tok, count(*) AS c FROM uni GROUP BY doc_id, tok),
+            ud AS (SELECT doc_id, sum(c) AS n_tok_r, max(c) AS top_c
+                   FROM uc GROUP BY doc_id),
+            bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+                   FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+            bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram),
+            bd AS (SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct_bg
+                   FROM bc GROUP BY doc_id),
+            j AS (
+              SELECT q.doc_id, coalesce(q.n_tokens, 0) AS n_tok,
+                     q.mean_token_len, q.stopword_ratio, q.alpha_ratio,
+                     ud.top_c * 1.0 / ud.n_tok_r AS top_token_frac,
+                     1.0 - bd.n_distinct_bg * 1.0 / bd.n_bigrams AS dup_bigram_frac
+              FROM q LEFT JOIN ud USING (doc_id) LEFT JOIN bd USING (doc_id)
+            ),
+            r AS (
+              SELECT doc_id, n_tok, concat_ws(',',
+                       CASE WHEN n_tok < 40 THEN 'too_few_tokens' END,
+                       CASE WHEN n_tok > 100000 THEN 'too_many_tokens' END,
+                       CASE WHEN mean_token_len < 3.0 OR mean_token_len > 10.0
+                            THEN 'bad_mean_token_len' END,
+                       CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha_ratio' END,
+                       CASE WHEN stopword_ratio < 0.05 THEN 'low_stopword_ratio' END,
+                       CASE WHEN top_token_frac > 0.1 THEN 'repetitive_top_token' END,
+                       CASE WHEN dup_bigram_frac > 0.4 THEN 'dup_bigrams' END)
+                     AS reasons
+              FROM j
+            )
+            SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+                   reasons = '' AS keep, reasons
+            FROM r ORDER BY doc_id
         """,
         "doc_importance_weights": """
             WITH tok AS (

@@ -26,8 +26,13 @@ from .decontam import (
     decontaminate,
     embedding_contamination_report,
 )
-from .packing import pack_sequences
-from .ranking import cap_per_group, percentile_filter, token_budget_filter
+from .packing import chunk_documents, pack_sequences
+from .ranking import (
+    cap_per_group,
+    percentile_filter,
+    quantile_buckets,
+    token_budget_filter,
+)
 from .sampling import (
     assign_split,
     hash_sample,

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
 
 
 def pack_sequences(
@@ -85,4 +85,65 @@ def pack_sequences(
         out.withColumn("first_chunk", first)
         .withColumn("last_chunk", last)
         .drop("__n_tok")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int,
+    stride: int | None = None,
+    sep: str = " ",
+    out_col: str = "chunk_text",
+) -> DataFrame:
+    """Cut each document into sliding token windows — the pre-packing
+    layout for fixed-context training (and the chunk shape retrieval
+    pipelines index): windows of ``size`` whitespace tokens starting
+    every ``stride`` tokens (``stride`` defaults to ``size`` =
+    non-overlapping; ``stride < size`` overlaps, the RoBERTa-style
+    stride trick so no span is ever split across a window boundary
+    unseen).
+
+    Unlike :func:`pack_sequences` (which concatenates documents into a
+    shard-global stream), chunking is per-document and therefore a PURE
+    PROJECTION: tokenize, generate the start grid with ``sequence``,
+    ``posexplode`` it, slice — no shuffle, no window, no Python, and the
+    row amplification is bounded by ``ceil(n/stride)`` chunks per doc.
+    That makes it embarrassingly scale-safe: chunks inherit their
+    parent's partition, and Catalyst prunes every untouched column
+    before the explode.
+
+    Output: the id, ``chunk_no`` (0-based), ``start_token`` (1-based
+    offset of the window's first token), ``n_chunk_tokens`` (== size
+    except the final partial window), and ``out_col`` (the window's
+    text, reconstructed with ``sep``). Every document emits at least
+    one chunk — an empty or NULL text yields a single empty chunk
+    rather than silently vanishing (the same no-dropped-ids contract as
+    the boilerplate/paragraph rebuilds). Fully SQL-expressible, so the
+    driver entry (doc_chunks) has a row-level DuckDB oracle.
+    """
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    stride = size if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    toks = F.split(F.col(text_col), sep)
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode_outer(starts).alias("chunk_no", "start_token"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("start_token"), size)
+    return base.select(
+        F.col(id_col),
+        F.coalesce(F.col("chunk_no"), F.lit(0)).cast("long").alias("chunk_no"),
+        F.coalesce(F.col("start_token"), F.lit(1))
+        .cast("long")
+        .alias("start_token"),
+        F.coalesce(F.size(chunk), F.lit(0)).cast("long").alias("n_chunk_tokens"),
+        F.coalesce(F.array_join(chunk, sep), F.lit("")).alias(out_col),
     )

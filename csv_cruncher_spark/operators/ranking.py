@@ -21,7 +21,12 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .sampling import hash_bucket
 
-__all__ = ["percentile_filter", "cap_per_group", "token_budget_filter"]
+__all__ = [
+    "percentile_filter",
+    "cap_per_group",
+    "token_budget_filter",
+    "quantile_buckets",
+]
 
 
 def _reject_sortorder(order: Column | None) -> None:
@@ -224,3 +229,84 @@ def token_budget_filter(
     else:
         out = out.drop("__cum")
     return out
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score: str | Column,
+    fractions: tuple[float, ...] = (1.0 / 3.0, 2.0 / 3.0),
+    labels: tuple[str, ...] = ("tail", "middle", "head"),
+    stratum_col: str | None = None,
+    bucket_col: str = "bucket",
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Label every row with its score's quantile band — the CCNet-style
+    perplexity bucketing (Wenzek et al. 2020 arXiv:1911.00359 §4.3:
+    corpus split into head/middle/tail thirds by LM score per language,
+    so training can mix bands at chosen rates instead of hard-dropping
+    the tail).
+
+    ``fractions`` are the ascending interior cut points (len(labels) ==
+    len(fractions) + 1); a row lands in band ``i`` when its score is
+    ≥ the ``fractions[i-1]`` threshold and < the next one, so the LAST
+    label takes the highest scores (with the defaults: head = top
+    third). ``stratum_col`` computes thresholds per stratum (CCNet does
+    per-language); ``None`` = one global set.
+
+    Scale shape — identical to :func:`percentile_filter`, generalized to
+    k cut points: ALL thresholds come from ONE partial-combined
+    percentile aggregate (array-probability form — one pass however many
+    bands), broadcast back, and the label is a chain of JVM comparisons.
+    Never a window, never a sort, never NTILE — a rank-based tercile
+    would serialize each stratum through one task, which at 100 TB with
+    a handful of languages is the canonical skew trap. ``approx=True``
+    swaps in ``percentile_approx`` (bounded sketch state) for
+    continuous-score corpora, trading exact band edges for O(accuracy)
+    state, same as :func:`percentile_filter`.
+
+    Cross-engine exactness (why the driver entry can be fully oracled):
+    with INTEGER scores, both engines interpolate thresholds between
+    integers; a threshold is non-integer unless it IS a data point, and
+    in either case ``score >= threshold`` agrees across engines even if
+    the interpolated doubles differ in the last ulp — the established
+    integer-score percentile-oracle trick."""
+    if len(labels) != len(fractions) + 1:
+        raise ValueError(
+            f"need len(labels) == len(fractions) + 1, got {len(labels)} labels "
+            f"for {len(fractions)} fractions"
+        )
+    if list(fractions) != sorted(set(fractions)) or not all(
+        0.0 < f < 1.0 for f in fractions
+    ):
+        raise ValueError(
+            f"fractions must be strictly increasing within (0, 1), got {fractions}"
+        )
+    score_c = F.col(score) if isinstance(score, str) else score
+    fr = F.array(*[F.lit(float(f)) for f in fractions])
+
+    def _pct(col: str) -> Column:
+        if approx:
+            return F.percentile_approx(col, fr, accuracy)
+        return F.percentile(col, fr)
+
+    df = df.withColumn("__score", score_c)
+    if stratum_col is None:
+        thr = df.agg(_pct("__score").alias("__thrs"))
+        out = df.join(F.broadcast(thr))
+    else:
+        thr = df.groupBy(F.col(stratum_col).alias("__stratum")).agg(
+            _pct("__score").alias("__thrs")
+        )
+        # null-SAFE join, same reason as percentile_filter: the NULL
+        # stratum gets its own thresholds instead of losing its rows
+        out = df.join(
+            F.broadcast(thr),
+            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+        ).drop("__stratum")
+    label = F.lit(labels[0])
+    for i in range(len(fractions)):
+        label = F.when(
+            F.col("__score") >= F.element_at("__thrs", i + 1), F.lit(labels[i + 1])
+        ).otherwise(label)
+    return out.withColumn(bucket_col, label).drop("__score", "__thrs")

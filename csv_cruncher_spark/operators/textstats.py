@@ -800,3 +800,99 @@ def importance_logweight(
     if t_pinned is not None:
         out = _pin(t_pinned, out)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Composite document-quality gate (Gopher-style, Rae et al. 2021
+# arXiv:2112.11446 Table A1): the standard pre-training admission rule
+# set — length band, word-shape band, stopword floor, repetition caps —
+# evaluated as ONE composition of the metrics this module already
+# computes. Every rule is a JVM expression over two shuffle-light
+# aggregations; the reason string names each failed rule in fixed order
+# so downstream audits can count rejections per rule with a plain
+# groupBy.
+# ---------------------------------------------------------------------------
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_tokens: int = 30,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    min_alpha_ratio: float = 0.6,
+    min_stopword_ratio: float = 0.02,
+    max_top_token_frac: float = 0.2,
+    max_dup_bigram_frac: float = 0.2,
+) -> DataFrame:
+    """Per-document composite quality verdict: ``keep`` plus a
+    fixed-order comma-joined ``reasons`` string naming every failed
+    rule (empty when the document passes all of them).
+
+    Rules (names are the audit vocabulary):
+
+      too_few_tokens / too_many_tokens   token count outside the band
+      bad_mean_token_len                 mean token length outside
+                                         [min, max] (gibberish / DNA /
+                                         minified-code shape)
+      low_alpha_ratio                    too few alphabetic characters
+      low_stopword_ratio                 Gopher's function-word floor
+      repetitive_top_token               one token dominates the doc
+      dup_bigrams                        duplicate-bigram fraction cap
+                                         (single-token docs have no
+                                         bigrams → rule cannot fire)
+
+    Plan shape: :func:`quality_metrics` is a pure projection (keeps
+    every id, including NULL-text docs, which fail ``too_few_tokens``);
+    :func:`repetition_stats` is two partial-combined hash aggregations;
+    the two meet in one narrow equi-join on the uniform doc id — no
+    windows, no skewed keys, no Python, so the gate runs at corpus
+    scale as two shuffles of metric-width rows. Fully SQL-expressible
+    (driver entry gopher_quality_docs, row-level DuckDB oracle).
+
+    Empty-string text is treated exactly like NULL text (contentless:
+    every metric NULL, the document fails ``too_few_tokens`` and
+    nothing else) — ``nullif`` BEFORE the metrics both keeps ANSI mode
+    from raising DIVIDE_BY_ZERO in ``alpha_ratio``'s
+    ``length(text)`` denominator and stops the degenerate
+    one-empty-token split from firing ``repetitive_top_token``."""
+    guarded = df.select(
+        F.col(id_col), F.nullif(F.col(text_col), F.lit("")).alias(text_col)
+    )
+    qual = quality_metrics(guarded, text_col).select(
+        F.col(id_col),
+        "n_tokens",
+        "mean_token_len",
+        "stopword_ratio",
+        "alpha_ratio",
+    )
+    rep = repetition_stats(guarded, id_col, text_col).select(
+        F.col(id_col), "top_token_frac", "dup_bigram_frac"
+    )
+    j = qual.join(rep, id_col, "left")
+    n_tok = F.coalesce(F.col("n_tokens"), F.lit(0))
+    rules: list[tuple[str, Column]] = [
+        ("too_few_tokens", n_tok < min_tokens),
+        ("too_many_tokens", n_tok > max_tokens),
+        (
+            "bad_mean_token_len",
+            (F.col("mean_token_len") < min_mean_token_len)
+            | (F.col("mean_token_len") > max_mean_token_len),
+        ),
+        ("low_alpha_ratio", F.col("alpha_ratio") < min_alpha_ratio),
+        ("low_stopword_ratio", F.col("stopword_ratio") < min_stopword_ratio),
+        ("repetitive_top_token", F.col("top_token_frac") > max_top_token_frac),
+        ("dup_bigrams", F.col("dup_bigram_frac") > max_dup_bigram_frac),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return j.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        (reasons == "").alias("keep"),
+        reasons.alias("reasons"),
+    )

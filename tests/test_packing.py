@@ -108,3 +108,79 @@ def test_pack_input_validation(spark):
         packing.pack_sequences(df, "doc_id", "n_tok", 0, 1)
     with pytest.raises(ValueError):
         packing.pack_sequences(df, "doc_id", "n_tok", 8, 0)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents — sliding token windows (per-doc, pure projection)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),   # 7 tokens
+            (2, "x"),               # 1 token
+            (3, None),              # NULL text
+            (4, ""),                # empty text -> one empty-ish chunk
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_chunk_non_overlapping_default(spark):
+    out = packing.chunk_documents(_docs(spark), "doc_id", "text", size=3)
+    got = {
+        (r["doc_id"], r["chunk_no"]): (
+            r["start_token"], r["n_chunk_tokens"], r["chunk_text"]
+        )
+        for r in out.collect()
+    }
+    # doc 1: 7 tokens, size=stride=3 -> windows at 1, 4, 7
+    assert got[(1, 0)] == (1, 3, "a b c")
+    assert got[(1, 1)] == (4, 3, "d e f")
+    assert got[(1, 2)] == (7, 1, "g")
+    assert got[(2, 0)] == (1, 1, "x")
+
+
+def test_chunk_overlapping_stride(spark):
+    out = packing.chunk_documents(
+        _docs(spark), "doc_id", "text", size=4, stride=2
+    )
+    rows = {
+        (r["doc_id"], r["chunk_no"]): (r["start_token"], r["chunk_text"])
+        for r in out.collect()
+    }
+    # doc 1: starts 1,3,5,7 (grid runs to n_tokens inclusive)
+    assert rows[(1, 0)] == (1, "a b c d")
+    assert rows[(1, 1)] == (3, "c d e f")
+    assert rows[(1, 2)] == (5, "e f g")
+    assert rows[(1, 3)] == (7, "g")
+
+
+def test_chunk_null_and_empty_docs_survive(spark):
+    out = packing.chunk_documents(_docs(spark), "doc_id", "text", size=3)
+    got = {
+        r["doc_id"]: (r["chunk_no"], r["n_chunk_tokens"], r["chunk_text"])
+        for r in out.where(F.col("doc_id").isin(3, 4)).collect()
+    }
+    # NULL text -> a single empty chunk (0 tokens); empty string -> the
+    # degenerate one-empty-token split
+    assert got[3] == (0, 0, "")
+    assert got[4] == (0, 1, "")
+    # no doc id ever vanishes
+    assert out.select("doc_id").distinct().count() == 4
+
+
+def test_chunk_plan_is_pure_projection(spark):
+    out = packing.chunk_documents(_docs(spark), "doc_id", "text", size=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Sort " not in plan and "Window" not in plan, plan
+
+
+def test_chunk_validation(spark):
+    df = _docs(spark)
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, "doc_id", "text", size=0)
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, "doc_id", "text", size=4, stride=0)

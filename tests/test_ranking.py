@@ -253,3 +253,76 @@ def test_order_direction_flag_and_sortorder_rejected(spark):
         )
     with pytest.raises(ValueError, match="descending=True"):
         ranking.cap_per_group(df, "src", k=2, id_col="doc_id", order=F.desc("q"))
+
+
+# ---------------------------------------------------------------------------
+# quantile_buckets — CCNet-style head/middle/tail banding
+# ---------------------------------------------------------------------------
+
+
+def test_quantile_buckets_global_quartiles(spark):
+    # scores 1..8: p25 threshold = 2.75, p75 = 6.25
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 9)], "doc_id int, score int"
+    )
+    out = ranking.quantile_buckets(df, "score", fractions=(0.25, 0.75))
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    assert {d for d, b in got.items() if b == "tail"} == {1, 2}
+    assert {d for d, b in got.items() if b == "middle"} == {3, 4, 5, 6}
+    assert {d for d, b in got.items() if b == "head"} == {7, 8}
+
+
+def test_quantile_buckets_per_stratum_and_null_stratum(spark):
+    rows = [(i, "a", i) for i in range(1, 9)] + [(100 + i, None, i) for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string, score int")
+    out = ranking.quantile_buckets(
+        df, "score", fractions=(0.25, 0.75), stratum_col="lang"
+    )
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    # NULL stratum keeps its rows and gets its OWN thresholds (1..4:
+    # p25=1.75, p75=3.25)
+    assert len(got) == 12
+    assert got[101] == "tail" and got[102] == "middle"
+    assert got[103] == "middle" and got[104] == "head"
+    # stratum a unchanged by the null stratum
+    assert got[1] == "tail" and got[8] == "head"
+
+
+def test_quantile_buckets_approx_and_custom_labels(spark):
+    df = spark.createDataFrame(
+        [(i, i) for i in range(1, 101)], "doc_id int, score int"
+    )
+    out = ranking.quantile_buckets(
+        df,
+        "score",
+        fractions=(1.0 / 3.0, 2.0 / 3.0),
+        labels=("low", "mid", "high"),
+        approx=True,
+    )
+    counts = {r["bucket"]: r["n"] for r in out.groupBy("bucket").agg(
+        F.count("*").alias("n")).collect()}
+    assert set(counts) == {"low", "mid", "high"}
+    # approx sketch at default accuracy is exact on 100 distinct values
+    assert counts["low"] in (33, 34) and counts["high"] in (33, 34)
+
+
+def test_quantile_buckets_validation(spark):
+    df = spark.createDataFrame([(1, 1)], "doc_id int, score int")
+    with pytest.raises(ValueError):
+        ranking.quantile_buckets(df, "score", fractions=(0.5,), labels=("a",))
+    with pytest.raises(ValueError):
+        ranking.quantile_buckets(df, "score", fractions=(0.7, 0.3))
+    with pytest.raises(ValueError):
+        ranking.quantile_buckets(df, "score", fractions=(0.0, 0.5))
+
+
+def test_quantile_buckets_plan_no_window_no_sort(spark):
+    df = spark.createDataFrame(
+        [(i, "a", i) for i in range(1, 9)], "doc_id int, lang string, score int"
+    )
+    out = ranking.quantile_buckets(
+        df, "score", fractions=(0.25, 0.75), stratum_col="lang"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort " not in plan and "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan

@@ -316,3 +316,76 @@ def test_admission_screen_flags(spark):
     assert out[10].exact_dup and out[10].near_dup and not out[10].admitted
     assert not out[11].exact_dup and out[11].near_dup and not out[11].admitted
     assert not out[12].exact_dup and not out[12].near_dup and out[12].admitted
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_filter — composite admission gate
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_filter_reasons_fixed_order(spark):
+    docs = spark.createDataFrame(
+        [
+            # passes every rule: 37 tokens, sane shape, stopwords
+            # present, no repeated bigrams
+            (
+                1,
+                "the committee reviewed the annual report and praised its "
+                "clear methodology while noting that several appendices "
+                "needed further revision before publication since reviewers "
+                "expected consistent terminology across every chapter of "
+                "the final document and its companion volume",
+            ),
+            # one dominant token -> repetitive_top_token + dup_bigrams
+            (2, " ".join(["spam"] * 40)),
+            # short gibberish
+            (3, "zzzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.gopher_quality_filter(docs, "doc_id", "text")
+    got = {r["doc_id"]: (r["keep"], r["reasons"]) for r in out.collect()}
+    assert got[1] == (True, "")
+    # reasons appear in the documented fixed order
+    assert got[2] == (
+        False,
+        "low_stopword_ratio,repetitive_top_token,dup_bigrams",
+    )
+    assert got[3][0] is False
+    assert got[3][1].startswith("too_few_tokens")
+
+
+def test_gopher_filter_null_and_empty_text_contentless(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    out = textstats.gopher_quality_filter(docs, "doc_id", "text")
+    got = {r["doc_id"]: (r["n_tokens"], r["keep"], r["reasons"]) for r in out.collect()}
+    # contentless docs fail ONLY too_few_tokens (empty == NULL contract),
+    # and no ANSI divide-by-zero is raised computing alpha_ratio
+    assert got[1] == (0, False, "too_few_tokens")
+    assert got[2] == (0, False, "too_few_tokens")
+
+
+def test_gopher_filter_threshold_knobs(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    strict = textstats.gopher_quality_filter(
+        docs, "doc_id", "text", min_tokens=10
+    ).collect()[0]
+    loose = textstats.gopher_quality_filter(
+        docs, "doc_id", "text", min_tokens=1, min_stopword_ratio=0.0,
+        max_mean_token_len=20.0,
+    ).collect()[0]
+    assert strict["keep"] is False and "too_few_tokens" in strict["reasons"]
+    assert loose["keep"] is True and loose["reasons"] == ""
+
+
+def test_gopher_filter_plan_no_window(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    out = textstats.gopher_quality_filter(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
