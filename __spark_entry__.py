@@ -1533,6 +1533,24 @@ def embedding_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-reproducible Lloyd k-means over the embeddings table
+    (similarity.kmeans_fit_exact — the oracle twin of the IVF coarse
+    quantizer): 8 centroids, 3 full assignment/update rounds, lowest-id
+    init. Vectors quantize once to floor-micro integers, distances are
+    sequential folds over exact integer-difference squares, and updates
+    are order-independent BIGINT sums closed by one double division —
+    so DuckDB replays ALL THREE training iterations bit-for-bit
+    (iterative algorithms are the class the contract usually concedes
+    as rows-only; this one is fully oracled). Per round: one codegen'd
+    projection + one n_centroids×dim hash aggregation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = similarity.kmeans_fit_exact(
+        emb, "vec_id", "embedding", n_centroids=8, iterations=3
+    )
+    return out.orderBy("centroid_id", "dim")
+
+
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking (packing.chunk_documents): every document
     cut into 64-token windows starting every 48 tokens (RoBERTa-style
@@ -1682,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": doc_chunks,
         "quality_bucket_docs": quality_bucket_docs,
         "gopher_quality_docs": gopher_quality_docs,
+        "kmeans_centroids": kmeans_centroids,
     }
 
 
@@ -1849,7 +1868,60 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine DESC, vec_id ASC LIMIT 20
     """
 
+    # kmeans_centroids oracle (similarity.kmeans_fit_exact, k=8, 3
+    # iterations, dim=64, micro=1e6): each unrolled round replays
+    # assignment (left-fold distance — list_reduce's (t1+t2)+t3 equals
+    # Spark's ((0+t1)+t2)+t3 since 0.0+t1 is exact; ties ORDER BY dist,
+    # cid == the fold's strict-< first-minimum) and update
+    # (order-independent BIGINT sums, one double division per cell).
+    km_k, km_it, km_d = 8, 3, 64
+
+    def _km_iter(i: int) -> str:
+        return f"""
+            a{i} AS (
+              SELECT vec_id, vm, cid FROM (
+                SELECT v.vec_id, v.vm, c.cid,
+                       list_reduce(list_transform(range(1, {km_d + 1}),
+                         j -> (CAST(vm[j] AS DOUBLE) - cm[j])
+                              * (CAST(vm[j] AS DOUBLE) - cm[j])),
+                         (a, b) -> a + b) AS dist
+                FROM vm v CROSS JOIN c{i - 1} c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) = 1
+            ),
+            s{i} AS (
+              SELECT cid, j AS dim, sum(vm[j]) AS s, count(*) AS n
+              FROM a{i} CROSS JOIN (SELECT unnest(range(1, {km_d + 1})) AS j) u
+              GROUP BY cid, j
+            ),
+            c{i} AS (
+              SELECT p.cid, coalesce(u.cm, p.cm) AS cm
+              FROM c{i - 1} p LEFT JOIN
+                (SELECT cid, list(CAST(s AS DOUBLE) / n ORDER BY dim) AS cm
+                 FROM s{i} GROUP BY cid) u USING (cid)
+            )"""
+
+    kmeans_sql = f"""
+            WITH vm AS (
+              SELECT vec_id, list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS vm
+              FROM embeddings
+            ),
+            c0 AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                     list_transform(vm, x -> CAST(x AS DOUBLE)) AS cm
+              FROM (SELECT vec_id, vm FROM vm ORDER BY vec_id LIMIT {km_k})
+            ),{','.join(_km_iter(i) for i in range(1, km_it + 1))},
+            nmem AS (SELECT cid, count(*) AS n_members FROM a{km_it} GROUP BY cid)
+            SELECT c.cid AS centroid_id, j.j AS dim, c.cm[j.j] AS value,
+                   coalesce(nmem.n_members, 0) AS n_members
+            FROM c{km_it} c CROSS JOIN (SELECT unnest(range(1, {km_d + 1})) AS j) j
+            LEFT JOIN nmem USING (cid)
+            ORDER BY centroid_id, dim
+    """
+
     return {
+        "kmeans_centroids": kmeans_sql,
         "ann_ivf_topk": cosine_topk_sql,
         "parts_starting_with": """
             SELECT substring(p_name, 1, 2) AS prefix,

@@ -43,9 +43,11 @@ from .sampling import (
 from .dedup import dropped_buckets, release
 from .shuffle import epoch_shuffle
 from .joins import asof_join, asof_join_bucketed, interval_join
+from .similarity import kmeans_fit_exact
 from .textstats import (
     bigram_logprob,
     duplicate_spans,
+    gopher_quality_filter,
     importance_logweight,
     remove_duplicate_spans,
     unigram_logprob,
@@ -94,4 +96,8 @@ __all__ = [
     "interval_join",
     "release",
     "dropped_buckets",
+    "chunk_documents",
+    "quantile_buckets",
+    "gopher_quality_filter",
+    "kmeans_fit_exact",
 ]

@@ -571,3 +571,101 @@ def ivf_topk(
     probe = [cid for _, cid in sorted(d2)[:n_probe]]
     shard = assigned.filter(F.col("centroid_id").isin(probe))
     return brute_force_topk(shard, id_col, vec_col, query, k=k)
+
+
+def kmeans_fit_exact(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    iterations: int = 3,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Bit-reproducible Lloyd k-means — the ORACLE twin of
+    :func:`ivf_train_centroids`, trading its float update path for
+    fixed-point arithmetic so every iteration is cross-engine exact and
+    a DuckDB oracle can replay the whole training run (the one class the
+    driver contract usually concedes as rows-only — iterative
+    algorithms — made fully oracled):
+
+    - vectors are quantized ONCE to micro-unit integers
+      (``floor(x · micro)`` — floor, not round: identical semantics in
+      every engine, no HALF_UP/HALF_EVEN divergence);
+    - init: the ``n_centroids`` vectors with the LOWEST id (deterministic
+      and SQL-expressible, unlike the xxhash64 seed of the float path);
+    - assignment is the same zero-shuffle projection fold as
+      :func:`nearest_centroid_expr` (strict ``<`` keeps the first
+      minimum → ties to the lowest centroid id), computed on micro-unit
+      doubles — every distance term is an exact integer-difference
+      square, summed in fixed array order;
+    - update: per-(centroid, dim) BIGINT sums — integer addition is
+      order-independent, so shuffle order can't move a bit — and the
+      new coordinate is the single double division sum/count, performed
+      identically by Spark, Python, and DuckDB. Empty clusters keep
+      their previous centroid; per round the driver collects
+      n_centroids × dim bounded rows (the accepted centroid-collect
+      pattern, same as the float path).
+
+    Scale shape per round: one codegen'd projection over the vectors +
+    one partial-combined hash aggregation whose output is
+    n_centroids × dim cells — no joins, no windows; at 10^9 vectors run
+    the float path on a sample for speed and keep this as the
+    reproducibility/audit mode. Returns (centroid_id, dim, value,
+    n_members) with ``value`` in micro units and ``n_members`` from the
+    final assignment (0 for a cluster empty in the last round)."""
+    if n_centroids <= 0 or iterations <= 0:
+        raise ValueError("n_centroids and iterations must be positive")
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(
+            f"transform(cast({vec_col} as array<double>),"
+            f" x -> cast(floor(x * {micro}) as bigint))"
+        ).alias("vm"),
+    )
+    init = vecs.orderBy("_id").limit(n_centroids).collect()
+    if len(init) < n_centroids:
+        raise ValueError(
+            f"need at least {n_centroids} vectors, got {len(init)}"
+        )
+    # centroid coordinates live in micro units as exact-integer doubles
+    centroids: list[tuple[int, list[float]]] = [
+        (i, [float(v) for v in r["vm"]]) for i, r in enumerate(init)
+    ]
+    members: dict[int, int] = {}
+    for _ in range(iterations):
+        cvecs = [c for _, c in centroids]
+        assigned = vecs.withColumn(
+            "cid", F.expr(_ARGMIN_FOLD.format(arr=_centroid_d2s_expr("vm", cvecs)))
+        )
+        stats = (
+            assigned.select("cid", F.posexplode("vm").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cid.setdefault(r["cid"], {})[r["dim"]] = (r["s"], r["n"])
+        members = {
+            cid: next(iter(dims.values()))[1] for cid, dims in by_cid.items()
+        }
+        centroids = [
+            (
+                cid,
+                [
+                    by_cid[cid][d][0] / by_cid[cid][d][1]
+                    for d in range(len(prev))
+                ]
+                if cid in by_cid
+                else prev,
+            )
+            for cid, prev in centroids
+        ]
+    rows = [
+        (cid, d + 1, vec[d], members.get(cid, 0))
+        for cid, vec in centroids
+        for d in range(len(vec))
+    ]
+    return df.sparkSession.createDataFrame(
+        rows, "centroid_id int, dim int, value double, n_members bigint"
+    )

@@ -30,6 +30,8 @@ def test_every_public_operator_reexported():
         "importance_logweight", "duplicate_spans", "remove_duplicate_spans",
         "asof_join", "asof_join_bucketed", "interval_join",
         "release", "dropped_buckets",
+        "chunk_documents", "quantile_buckets", "gopher_quality_filter",
+        "kmeans_fit_exact",
     ]:
         assert callable(getattr(ops, fn, None)), fn
         assert fn in ops.__all__, fn

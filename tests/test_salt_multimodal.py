@@ -12,7 +12,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from csv_cruncher_spark.lake import salt
-from csv_cruncher_spark.operators import multimodal
+from csv_cruncher_spark.operators import multimodal, similarity
 
 
 @pytest.fixture(scope="module")
@@ -357,3 +357,105 @@ def test_knn_join_approximate_finds_planted_neighbors(spark):
     assert set(got) == set(want_ids)
     for lid in want_ids:
         assert got[lid] == (lid - 10_000_000, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fit_exact — bit-reproducible Lloyd (oracle twin of the IVF
+# trainer): exact agreement with a sequential-fold pure-Python replay,
+# layout independence, empty-cluster retention, validation.
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_twin(vecs, k, iters, micro=1_000_000):
+    """Pure-Python replay with the IDENTICAL arithmetic: floor-micro
+    quantization, sequential-fold double distances, strict-< first-min
+    ties, order-free integer sums closed by one double division."""
+    import math
+
+    vm = [[math.floor(x * micro) for x in v] for v in vecs]
+    cents = [[float(c) for c in vm[i]] for i in range(k)]
+    members = {}
+    for _ in range(iters):
+        sums = {}
+        for row in vm:
+            best, bd = -1, float("inf")
+            for ci, c in enumerate(cents):
+                d = 0.0
+                for a, b in zip(row, c):
+                    d = d + (float(a) - b) * (float(a) - b)
+                if d < bd:
+                    bd, best = d, ci
+            s, n = sums.setdefault(best, ([0] * len(row), 0))
+            sums[best] = ([x + y for x, y in zip(s, row)], n + 1)
+        members = {ci: n for ci, (_, n) in sums.items()}
+        cents = [
+            [s / sums[ci][1] for s in sums[ci][0]] if ci in sums else prev
+            for ci, prev in enumerate(cents)
+        ]
+    return {
+        (ci, d + 1): (c[d], members.get(ci, 0))
+        for ci, c in enumerate(cents)
+        for d in range(len(c))
+    }
+
+
+def _km_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+
+
+def test_kmeans_exact_matches_python_twin_bitwise(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-0.2, 0.2) for _ in range(6)] for _ in range(40)]
+    out = similarity.kmeans_fit_exact(
+        _km_df(spark, vecs), "vec_id", "v", n_centroids=3, iterations=2
+    )
+    got = {
+        (r["centroid_id"], r["dim"]): (r["value"], r["n_members"])
+        for r in out.collect()
+    }
+    assert got == _lloyd_twin(vecs, k=3, iters=2)
+
+
+def test_kmeans_exact_layout_independent(spark):
+    import random
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(30)]
+    base = _km_df(spark, vecs)
+    a = similarity.kmeans_fit_exact(
+        base.repartition(7), "vec_id", "v", n_centroids=4, iterations=3
+    ).collect()
+    b = similarity.kmeans_fit_exact(
+        base.coalesce(1), "vec_id", "v", n_centroids=4, iterations=3
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_kmeans_exact_empty_cluster_keeps_init(spark):
+    # every vector is identical -> both init centroids coincide, ties
+    # go to centroid 0 in every round; centroid 1 never wins a vector,
+    # keeps its init coordinates, n_members == 0
+    vecs = [[1.0, 1.0], [1.0, 1.0], [1.0, 1.0]]
+    out = similarity.kmeans_fit_exact(
+        _km_df(spark, vecs), "vec_id", "v", n_centroids=2, iterations=2
+    )
+    got = {
+        (r["centroid_id"], r["dim"]): (r["value"], r["n_members"])
+        for r in out.collect()
+    }
+    assert got[(1, 1)] == (1_000_000.0, 0)
+    assert got[(1, 2)] == (1_000_000.0, 0)
+    assert got[(0, 1)] == (1_000_000.0, 3)
+
+
+def test_kmeans_exact_validation(spark):
+    df = _km_df(spark, [[1.0, 2.0]])
+    with pytest.raises(ValueError):
+        similarity.kmeans_fit_exact(df, "vec_id", "v", n_centroids=0)
+    with pytest.raises(ValueError):
+        similarity.kmeans_fit_exact(df, "vec_id", "v", n_centroids=2)
