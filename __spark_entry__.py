@@ -1533,6 +1533,22 @@ def embedding_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (operators/bpe.bpe_train, Sennrich et al.
+    2016): the first 10 merges learned over the documents corpus. The
+    corpus is aggregated ONCE into the word-frequency table; every
+    round after that is a pair-count aggregation over the bounded
+    vocabulary plus one literal-replace projection on the canonical
+    doubled-space symbol string — whose left-to-right non-overlapping
+    replace semantics are identical in Spark and DuckDB, so the oracle
+    replays ALL TEN training rounds (integer pair counts, ASCII
+    tie-breaks) bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    from csv_cruncher_spark.operators.bpe import bpe_train
+
+    return bpe_train(docs, "text", n_merges=10).orderBy("merge_rank")
+
+
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-reproducible Lloyd k-means over the embeddings table
     (similarity.kmeans_fit_exact — the oracle twin of the IVF coarse
@@ -1701,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_bucket_docs": quality_bucket_docs,
         "gopher_quality_docs": gopher_quality_docs,
         "kmeans_centroids": kmeans_centroids,
+        "bpe_merges": bpe_merges,
     }
 
 
@@ -1920,7 +1937,55 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY centroid_id, dim
     """
 
+    # bpe_merges oracle (operators/bpe.bpe_train, 10 rounds): each
+    # unrolled block finds the round's argmax pair (integer-weighted
+    # counts, ties (cnt DESC, l, r) on binary-collated ASCII — same in
+    # both engines) and applies it with the canonical doubled-space
+    # literal replace, whose left-to-right non-overlap semantics ARE the
+    # classic BPE merge fold.
+    bpe_n = 10
+
+    def _bpe_round(i: int) -> str:
+        return f"""
+            b{i} AS (
+              SELECT l, r, cnt FROM (
+                SELECT toks[i] AS l, toks[i + 1] AS r, sum(freq) AS cnt FROM (
+                  SELECT freq, toks, unnest(range(1, len(toks))) AS i
+                  FROM (SELECT freq, string_split(trim(symstr), '  ') AS toks
+                        FROM w{i - 1}))
+                GROUP BY l, r)
+              ORDER BY cnt DESC, l, r LIMIT 1
+            ),
+            w{i} AS (
+              SELECT word, freq,
+                     replace(symstr, ' ' || b.l || '  ' || b.r || ' ',
+                             ' ' || b.l || b.r || ' ') AS symstr
+              FROM w{i - 1} CROSS JOIN b{i} b
+            )"""
+
+    bpe_union = "\n              UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, l AS lhs, r AS rhs, l || r AS merged,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(1, bpe_n + 1)
+    )
+    bpe_sql = f"""
+            WITH tok AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+              FROM documents
+            ),
+            w0 AS (
+              SELECT word, count(*) AS freq,
+                     '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
+                          || '</w>  ' AS symstr
+              FROM tok GROUP BY word
+            ),{','.join(_bpe_round(i) for i in range(1, bpe_n + 1))}
+            SELECT merge_rank, lhs, rhs, merged, CAST(pair_count AS BIGINT) AS pair_count
+            FROM ({bpe_union})
+            ORDER BY merge_rank
+    """
+
     return {
+        "bpe_merges": bpe_sql,
         "kmeans_centroids": kmeans_sql,
         "ann_ivf_topk": cosine_topk_sql,
         "parts_starting_with": """

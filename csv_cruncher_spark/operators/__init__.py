@@ -1,6 +1,7 @@
 from . import (
     bloom,
     boilerplate,
+    bpe,
     corpus,
     curriculum,
     decontam,
@@ -19,6 +20,7 @@ from .boilerplate import (
     dedup_paragraphs,
     remove_boilerplate_lines,
 )
+from .bpe import bpe_train, word_frequencies
 from .corpus import build_corpus
 from .curriculum import build_curriculum
 from .decontam import (
@@ -56,6 +58,9 @@ from .textstats import (
 __all__ = [
     "bloom",
     "boilerplate",
+    "bpe",
+    "bpe_train",
+    "word_frequencies",
     "boilerplate_lines",
     "remove_boilerplate_lines",
     "dedup_paragraphs",

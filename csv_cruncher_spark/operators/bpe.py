@@ -1,0 +1,135 @@
+"""Byte-pair-encoding tokenizer training (Sennrich et al. 2016,
+arXiv:1508.07909) — the classic subword-vocabulary learner every
+training-data pipeline runs before tokenizing a corpus, expressed
+Spark-first and bit-reproducibly enough that a DuckDB oracle replays
+EVERY merge round (iterative algorithms are the class the driver
+contract usually concedes as rows-only; like ``kmeans_fit_exact``,
+this one is fully oracled).
+
+Shape (the reason this scales): the corpus is touched ONCE — a single
+partial-combined hash aggregation builds the word-frequency table, the
+same first step real BPE trainers (subword-nmt, SentencePiece) take.
+Every merge round after that runs on the BOUNDED vocabulary table
+(distinct regex words, not documents): one pair-count aggregation whose
+map-side combine reduces each task to its local pair histogram, one
+1-row driver collect (the argmax pair), and one literal-string
+projection applying the merge. No windows, no joins, no Python in any
+hot path.
+
+Cross-engine exactness hinges on the CANONICAL SYMBOL STRING: a word's
+current segmentation is kept as its symbols joined AND wrapped by
+double spaces (``"  a  b  </w>  "``). Applying merge (a, b) is then the
+plain literal replace of ``" a  b "`` with ``" ab "`` — each match
+consumes one space from the 2-space gap on either side, so the result
+is canonical again, and left-to-right non-overlapping replacement (the
+semantics of both Spark's and DuckDB's ``replace``) is EXACTLY the
+classic BPE left-to-right merge fold: in ``b a b a`` merging (a, b)
+rewrites only the middle pair, in ``a a a`` merging (a, a) yields
+``aa a``. Tokens never contain spaces (regex words + the end marker),
+so a pattern can't match inside a symbol. Pair counts are integer sums
+(order-independent) and the argmax tie-break is (count DESC, left ASC,
+right ASC) on ASCII strings — identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["bpe_train", "word_frequencies"]
+
+END_MARKER = "</w>"
+
+
+def word_frequencies(
+    df: DataFrame,
+    text_col: str,
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """The one corpus-scale pass: (word, freq) under the lowercase regex
+    tokenizer. Partial-combined hash aggregation — 'the'-grade skew dies
+    in the map-side combine, the shuffle moves one row per distinct
+    word per task."""
+    return (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _canonical_symstr(word_col: str) -> F.Column:
+    """Initial segmentation: characters + end marker in canonical
+    doubled-space form, e.g. 'ab' -> '  a  b  </w>  '."""
+    return F.concat(
+        F.lit("  "),
+        F.regexp_replace(F.col(word_col), "(.)", "$1  "),
+        F.lit(END_MARKER + "  "),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 10,
+    token_pattern: str = "[a-z0-9]+",
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges over the corpus. Returns
+    (merge_rank, lhs, rhs, merged, pair_count) in learning order —
+    merge_rank is 1-based; pair_count is the weighted adjacent-pair
+    frequency that won the round. Stops early (fewer rows) if the
+    vocabulary runs out of adjacent pairs.
+
+    Per round: pair extraction is a projection + explode over the
+    vocab table, the winner is ONE collected row, and the merge apply
+    is a single literal ``replace`` projection — the vocab table never
+    shuffles after the initial corpus aggregation (cached here, since
+    every round's job re-reads it).
+    """
+    if n_merges <= 0:
+        raise ValueError(f"n_merges must be positive, got {n_merges}")
+    words = word_frequencies(df, text_col, token_pattern).select(
+        "word", "freq", _canonical_symstr("word").alias("symstr")
+    )
+    words = words.cache()
+    try:
+        merges: list[tuple[int, str, str, str, int]] = []
+        cur = words
+        for rank in range(1, n_merges + 1):
+            toks = "split(trim(symstr), '  ')"
+            pairs = cur.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        f"transform(slice({toks}, 1, size({toks}) - 1),"
+                        f" (x, i) -> struct(x as l, element_at({toks}, i + 2) as r))"
+                    )
+                ).alias("p"),
+            )
+            top = (
+                pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((rank, l, r, l + r, cnt))
+            cur = cur.withColumn(
+                "symstr",
+                F.replace(
+                    F.col("symstr"),
+                    F.lit(f" {l}  {r} "),
+                    F.lit(f" {l}{r} "),
+                ),
+            )
+        return df.sparkSession.createDataFrame(
+            merges,
+            "merge_rank int, lhs string, rhs string, merged string, pair_count bigint",
+        )
+    finally:
+        words.unpersist()

@@ -1,0 +1,99 @@
+"""BPE training (operators/bpe.py): exact agreement with the classic
+Sennrich reference algorithm (same tie-break), the canonical-string
+replace semantics on adversarial repeats, early stop, and validation."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from csv_cruncher_spark.operators import bpe
+
+
+def _ref_bpe(texts, n):
+    """Classic list-fold BPE (Sennrich et al. 2016) with the operator's
+    tie-break: (count DESC, left ASC, right ASC)."""
+    words = collections.Counter(
+        w for t in texts for w in re.findall("[a-z0-9]+", t.lower())
+    )
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in words.items()}
+    merges = []
+    for rank in range(1, n + 1):
+        pairs = collections.Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (l, r), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, l, r, l + r, cnt))
+        new = {}
+        for syms, f in vocab.items():
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == l and x == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            new[tuple(out)] = new.get(tuple(out), 0) + f
+        vocab = new
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_bpe_matches_reference_algorithm(spark):
+    texts = [
+        "low lower lowest low low newer newest new",
+        "wider wide widest new newer low",
+    ]
+    out = bpe.bpe_train(_docs(spark, texts), "text", n_merges=8)
+    assert [tuple(r) for r in out.orderBy("merge_rank").collect()] == _ref_bpe(
+        texts, 8
+    )
+
+
+def test_bpe_repeated_symbol_left_to_right(spark):
+    # 'aaaa': merging (a, a) must pair left-to-right non-overlapping
+    # -> 'aa aa', NOT 'a aa a'; then (aa, aa) -> 'aaaa'
+    texts = ["aaaa aaaa aaaa"]
+    out = [tuple(r) for r in bpe.bpe_train(
+        _docs(spark, texts), "text", n_merges=3
+    ).orderBy("merge_rank").collect()]
+    assert out == _ref_bpe(texts, 3)
+    # round 1: the COUNT is over all adjacent occurrences (3 per word
+    # x 3 words), while the APPLY is left-to-right non-overlapping
+    # ('aa aa', never 'a aa a')
+    assert out[0][1:] == ("a", "a", "aa", 9)
+    # round 2: (aa,aa) and (aa,</w>) tie at 3; ASCII '<' < 'a' picks
+    # (aa, </w>) — the tie-break both engines implement
+    assert out[1][1:4] == ("aa", "</w>", "aa</w>")
+
+
+def test_bpe_early_stop_when_fully_merged(spark):
+    # one two-char word merges to a single symbol in 2 rounds; asking
+    # for 10 returns only the learnable merges
+    out = bpe.bpe_train(_docs(spark, ["ab ab"]), "text", n_merges=10)
+    rows = [tuple(r) for r in out.orderBy("merge_rank").collect()]
+    assert rows == _ref_bpe(["ab ab"], 10)
+    assert len(rows) == 2
+
+
+def test_bpe_validation(spark):
+    with pytest.raises(ValueError):
+        bpe.bpe_train(_docs(spark, ["x"]), "text", n_merges=0)

@@ -9,7 +9,7 @@ import csv_cruncher_spark.operators as ops
 
 def test_every_module_registered():
     for mod in [
-        "bloom", "boilerplate", "corpus", "curriculum", "decontam",
+        "bloom", "boilerplate", "bpe", "corpus", "curriculum", "decontam",
         "dedup", "joins", "multimodal", "packing", "ranking",
         "sampling", "shuffle", "similarity", "textstats",
     ]:
@@ -31,7 +31,7 @@ def test_every_public_operator_reexported():
         "asof_join", "asof_join_bucketed", "interval_join",
         "release", "dropped_buckets",
         "chunk_documents", "quantile_buckets", "gopher_quality_filter",
-        "kmeans_fit_exact",
+        "kmeans_fit_exact", "bpe_train", "word_frequencies",
     ]:
         assert callable(getattr(ops, fn, None)), fn
         assert fn in ops.__all__, fn
