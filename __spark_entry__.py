@@ -1549,6 +1549,27 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=10).orderBy("merge_rank")
 
 
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (operators/bpe.bpe_encode): every document tokenized
+    with the 10 merges bpe_merges learns — per word, the SAME canonical
+    doubled-space replace chain training used, as a pure projection
+    (k nested literal replaces inside one transform; zero shuffles,
+    zero Python). The oracle replays training to round 10 and reads
+    each word's FINAL segmentation straight off the vocabulary table —
+    converged segmentations agree with the per-word replay for every
+    in-vocab word, so text and counts match byte-for-byte."""
+    docs = _t(spark, sf_dir, "documents")
+    from csv_cruncher_spark.operators.bpe import bpe_encode, bpe_train
+
+    merges = bpe_train(docs, "text", n_merges=10)
+    out = bpe_encode(docs, "doc_id", "text", merges)
+    return out.select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.array_join("bpe_tokens", " ").alias("bpe_text"),
+    ).orderBy("doc_id")
+
+
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-reproducible Lloyd k-means over the embeddings table
     (similarity.kmeans_fit_exact — the oracle twin of the IVF coarse
@@ -1718,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_docs": gopher_quality_docs,
         "kmeans_centroids": kmeans_centroids,
         "bpe_merges": bpe_merges,
+        "doc_bpe_tokens": doc_bpe_tokens,
     }
 
 
@@ -1968,7 +1990,7 @@ def oracle_sql() -> dict[str, str]:
         f" cnt AS pair_count FROM b{i}"
         for i in range(1, bpe_n + 1)
     )
-    bpe_sql = f"""
+    bpe_with = f"""
             WITH tok AS (
               SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
               FROM documents
@@ -1978,14 +2000,45 @@ def oracle_sql() -> dict[str, str]:
                      '  ' || regexp_replace(word, '(.)', '\\1  ', 'g')
                           || '</w>  ' AS symstr
               FROM tok GROUP BY word
-            ),{','.join(_bpe_round(i) for i in range(1, bpe_n + 1))}
+            ),{','.join(_bpe_round(i) for i in range(1, bpe_n + 1))}"""
+    bpe_sql = f"""{bpe_with}
             SELECT merge_rank, lhs, rhs, merged, CAST(pair_count AS BIGINT) AS pair_count
             FROM ({bpe_union})
             ORDER BY merge_rank
     """
+    # doc_bpe_tokens oracle: after round {bpe_n}, w{bpe_n}.symstr IS each
+    # word's final segmentation — encoding a document is a word join +
+    # order-preserving concat (the Spark side replays the replace chain
+    # per word, which converges to the identical segmentation for every
+    # in-vocab word, i.e. all of them).
+    bpe_encode_sql = f"""{bpe_with},
+            dw AS (
+              SELECT doc_id, ws[i] AS word, i FROM (
+                SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+                FROM (SELECT doc_id,
+                             regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+                      FROM documents))
+            ),
+            et AS (
+              SELECT dw.doc_id, dw.i,
+                     string_split(trim(w.symstr), '  ') AS toks
+              FROM dw JOIN w{bpe_n} w ON dw.word = w.word
+            ),
+            agg AS (
+              SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens,
+                     string_agg(array_to_string(toks, ' '), ' ' ORDER BY i)
+                       AS bpe_text
+              FROM et GROUP BY doc_id
+            )
+            SELECT d.doc_id, coalesce(a.n_bpe_tokens, 0) AS n_bpe_tokens,
+                   coalesce(a.bpe_text, '') AS bpe_text
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY doc_id
+    """
 
     return {
         "bpe_merges": bpe_sql,
+        "doc_bpe_tokens": bpe_encode_sql,
         "kmeans_centroids": kmeans_sql,
         "ann_ivf_topk": cosine_topk_sql,
         "parts_starting_with": """

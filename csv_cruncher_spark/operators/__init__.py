@@ -20,7 +20,7 @@ from .boilerplate import (
     dedup_paragraphs,
     remove_boilerplate_lines,
 )
-from .bpe import bpe_train, word_frequencies
+from .bpe import bpe_encode, bpe_train, word_frequencies
 from .corpus import build_corpus
 from .curriculum import build_curriculum
 from .decontam import (
@@ -60,6 +60,7 @@ __all__ = [
     "boilerplate",
     "bpe",
     "bpe_train",
+    "bpe_encode",
     "word_frequencies",
     "boilerplate_lines",
     "remove_boilerplate_lines",

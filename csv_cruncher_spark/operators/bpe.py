@@ -35,7 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["bpe_train", "word_frequencies"]
+__all__ = ["bpe_train", "bpe_encode", "word_frequencies"]
 
 END_MARKER = "</w>"
 
@@ -133,3 +133,64 @@ def bpe_train(
         )
     finally:
         words.unpersist()
+
+
+def _encode_word_expr(word_expr: str, merges: list[tuple[str, str]]) -> str:
+    """SQL expr: tokenize one word by replaying the merge list in
+    learning order over its canonical symbol string — k nested literal
+    ``replace`` calls, fully codegen'd, no Python."""
+    s = (
+        f"concat('  ', regexp_replace({word_expr}, '(.)', '$1  '), "
+        f"'{END_MARKER}  ')"
+    )
+    for l, r in merges:
+        s = f"replace({s}, ' {l}  {r} ', ' {l}{r} ')"
+    return f"split(trim({s}), '  ')"
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: DataFrame | list[tuple[str, str]],
+    token_pattern: str = "[a-z0-9]+",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize every document with a learned merge list (the output of
+    :func:`bpe_train`, or explicit (lhs, rhs) pairs): regex words each
+    replay the merges in learning order — the same canonical
+    doubled-space replace chain training used, so encoding is
+    bit-identical to the segmentation training converged on.
+
+    Plan shape: a PURE PROJECTION — k nested literal replaces inside
+    one ``transform`` over the word array, zero shuffles, zero Python;
+    documents keep their partitions and Catalyst prunes everything
+    else. The merge list rides the plan as literals (vocab-sized, the
+    same bounded-broadcast contract as the centroid/threshold
+    literals elsewhere). Adds ``out_col`` (array of subword strings)
+    and ``n_bpe_tokens``. NULL text yields an empty token array, count
+    0 — no document vanishes. Fully SQL-expressible, so the driver
+    entry (doc_bpe_tokens) replays encoding row-for-row in DuckDB."""
+    if isinstance(merges, DataFrame):
+        pairs = [
+            (r["lhs"], r["rhs"])
+            for r in merges.orderBy("merge_rank").collect()
+        ]
+    else:
+        pairs = list(merges)
+    for l, r in pairs:
+        if " " in l or " " in r or not l or not r:
+            raise ValueError(f"invalid merge pair ({l!r}, {r!r})")
+    words = f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+    enc = _encode_word_expr("w", pairs)
+    toks = f"flatten(transform({words}, w -> {enc}))"
+    return df.withColumns(
+        {
+            out_col: F.coalesce(
+                F.expr(toks), F.expr("cast(array() as array<string>)")
+            ),
+            "n_bpe_tokens": F.coalesce(F.size(F.expr(toks)), F.lit(0)).cast(
+                "long"
+            ),
+        }
+    )

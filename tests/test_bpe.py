@@ -97,3 +97,66 @@ def test_bpe_early_stop_when_fully_merged(spark):
 def test_bpe_validation(spark):
     with pytest.raises(ValueError):
         bpe.bpe_train(_docs(spark, ["x"]), "text", n_merges=0)
+
+
+def _ref_encode(texts, merges):
+    out = []
+    for t in texts:
+        toks = []
+        for w in re.findall("[a-z0-9]+", (t or "").lower()):
+            syms = list(w) + ["</w>"]
+            for l, r in merges:
+                new, pend = [], None
+                for x in syms:
+                    if pend is None:
+                        pend = x
+                    elif pend == l and x == r:
+                        new.append(l + r)
+                        pend = None
+                    else:
+                        new.append(pend)
+                        pend = x
+                if pend is not None:
+                    new.append(pend)
+                syms = new
+            toks.extend(syms)
+        out.append(toks)
+    return out
+
+
+def test_bpe_encode_matches_reference(spark):
+    texts = [
+        "low lower lowest low low newer newest new",
+        "wider wide widest new newer low",
+        "newest lowest widest",
+    ]
+    merges_df = bpe.bpe_train(_docs(spark, texts), "text", n_merges=6)
+    pairs = [(r["lhs"], r["rhs"]) for r in merges_df.orderBy("merge_rank").collect()]
+    out = bpe.bpe_encode(_docs(spark, texts), "doc_id", "text", merges_df)
+    got = {r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"]) for r in out.collect()}
+    ref = _ref_encode(texts, pairs)
+    for i, toks in enumerate(ref):
+        assert got[i] == (toks, len(toks)), i
+
+
+def test_bpe_encode_null_text_survives(spark):
+    df = spark.createDataFrame([(1, None), (2, "ab")], "doc_id long, text string")
+    out = bpe.bpe_encode(df, "doc_id", "text", [("a", "b")])
+    got = {r["doc_id"]: (list(r["bpe_tokens"]), r["n_bpe_tokens"]) for r in out.collect()}
+    assert got[1] == ([], 0)
+    assert got[2] == (["ab", "</w>"], 2)
+
+
+def test_bpe_encode_plan_is_pure_projection(spark):
+    df = _docs(spark, ["a b"])
+    out = bpe.bpe_encode(df, "doc_id", "text", [("a", "</w>")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_bpe_encode_validation(spark):
+    df = _docs(spark, ["a"])
+    with pytest.raises(ValueError):
+        bpe.bpe_encode(df, "doc_id", "text", [("a b", "c")])
+    with pytest.raises(ValueError):
+        bpe.bpe_encode(df, "doc_id", "text", [("", "c")])

@@ -31,7 +31,7 @@ def test_every_public_operator_reexported():
         "asof_join", "asof_join_bucketed", "interval_join",
         "release", "dropped_buckets",
         "chunk_documents", "quantile_buckets", "gopher_quality_filter",
-        "kmeans_fit_exact", "bpe_train", "word_frequencies",
+        "kmeans_fit_exact", "bpe_train", "bpe_encode", "word_frequencies",
     ]:
         assert callable(getattr(ops, fn, None)), fn
         assert fn in ops.__all__, fn
