@@ -1549,6 +1549,36 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=10).orderBy("merge_rank")
 
 
+def maintained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained corpus vocabulary (lake/vocab_view.py):
+    a pre-state (docs with id % 5 != 0) evolves into a post-state
+    (every id % 7 doc gains a token, id % 11 docs are deleted, the
+    id % 5 docs arrive) — the MAINTAINED path (bootstrap vocab + one
+    token-level retraction/addition fold over the diff feed, the
+    Gupta/Mumick counting algorithm one level below the row) must
+    hash-equal a from-scratch recompute of the post state, which is
+    what the DuckDB oracle performs. Token death, df decrement, and
+    exact cancellation of unchanged in-doc counts are all on the path."""
+    from csv_cruncher_spark.lake import ivm, vocab_view
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pre = docs.filter(F.col("doc_id") % 5 != 0)
+    post = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat("text", F.lit(" extraterm"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    changes = ivm.diff_states(pre, post, "doc_id")
+    out = vocab_view.apply_vocab_delta(
+        vocab_view.compute_vocab(pre, "doc_id", "text"),
+        vocab_view.vocab_delta(changes, "doc_id", "text"),
+    )
+    return out.select("token", "tf", "df").orderBy("token")
+
+
 def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding (operators/bpe.bpe_encode): every document tokenized
     with the 10 merges bpe_merges learns — per word, the SAME canonical
@@ -1740,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": kmeans_centroids,
         "bpe_merges": bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
+        "maintained_vocab": maintained_vocab,
     }
 
 
@@ -2037,6 +2068,26 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        "maintained_vocab": """
+            WITH post AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' extraterm'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 11 != 0
+            ),
+            per_doc AS (
+              SELECT doc_id, token, COUNT(*) AS c
+              FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+                FROM post) t
+              GROUP BY doc_id, token
+            )
+            SELECT token, CAST(SUM(c) AS BIGINT) AS tf,
+                   CAST(COUNT(*) AS BIGINT) AS df
+            FROM per_doc GROUP BY token ORDER BY token
+        """,
         "bpe_merges": bpe_sql,
         "doc_bpe_tokens": bpe_encode_sql,
         "kmeans_centroids": kmeans_sql,

@@ -1,13 +1,16 @@
-from . import catalog, ivm, salt
+from . import catalog, ivm, salt, vocab_view
 from .corpus_view import MaintainedCorpus
 from .ivm import MaintainedAggregate
 from .table import LakeTable
+from .vocab_view import MaintainedVocabulary
 
 __all__ = [
     "LakeTable",
     "MaintainedAggregate",
     "MaintainedCorpus",
+    "MaintainedVocabulary",
     "catalog",
     "ivm",
     "salt",
+    "vocab_view",
 ]

@@ -1,0 +1,173 @@
+"""Incrementally-maintained corpus vocabulary over the change feed —
+the CDC-side twin of ``operators.textstats.token_frequencies``.
+
+A tokenizer-training / quality-scoring pipeline wants the corpus (tf,
+df) table to FOLLOW the lake table as change batches land, without the
+explode-the-whole-corpus rescan ``token_frequencies`` costs. With
+pre-images (``changes_between(..., with_before=True)``), token counts
+are distributive one level below the row: every changed document
+contributes per-token retractions from its OLD text (weight −1) and
+additions from its NEW text (+1), and both tf (occurrence sum) and df
+(per-doc containment sum) fold by the same Gupta/Mumick counting
+algorithm ``lake.ivm`` uses for row-level aggregates — this module is
+that algorithm applied to the exploded token stream.
+
+Scale shape: per refresh, ONLY the changed documents explode (a
+change-batch-sized projection), the deltas pre-combine map-side on
+(token, doc), and the merge is one partial-combined groupBy over
+``|vocab| + |delta|`` rows — never a table scan after bootstrap. The
+maintained frame is exactly ``token_frequencies``'s output, and the
+equivalence suite (tests/test_vocab_view.py) pins maintained ≡
+recompute after every refresh, including token death (tf → 0) and df
+decrement on content updates.
+
+The reference engine recomputes every query from freshly imported
+tables (``Cruncher.kt:59``); this is part of the from-scratch
+incremental surface the north rule asks for.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators.textstats import TOKEN_REGEX, token_frequencies
+from .ivm import MaintainedAggregate
+
+__all__ = [
+    "compute_vocab",
+    "vocab_delta",
+    "apply_vocab_delta",
+    "MaintainedVocabulary",
+]
+
+
+def compute_vocab(
+    state: DataFrame, id_col: str, text_col: str, pattern: str = TOKEN_REGEX
+) -> DataFrame:
+    """Bootstrap (token, tf, df) from a full state read — exactly
+    ``token_frequencies`` (two-level partial aggregation, exact df, no
+    count-distinct Expand)."""
+    return token_frequencies(state, id_col, text_col, pattern)
+
+
+def _side(
+    changes: DataFrame, id_col: str, text_col: str, pattern: str, before: bool
+) -> DataFrame:
+    """Per-(token) contributions of one side of the feed: the pre-image
+    text retracts (−1), the post-image adds (+1, D rows have no
+    post-image). Pre-combined on (token, doc) so df is exact and the
+    shuffle carries per-doc-distinct rows."""
+    if before:
+        src = changes.filter(F.col("__before").isNotNull())
+        text = f"__before.{text_col}"
+        w = -1
+    else:
+        src = changes.filter(F.col("__op") != "D")
+        text = text_col
+        w = 1
+    toks = F.expr(f"regexp_extract_all(lower({text}), '{pattern}', 0)")
+    return (
+        src.select(F.col(id_col).alias("__doc"), F.explode(toks).alias("token"))
+        .groupBy("token", "__doc")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select(
+            "token",
+            (F.lit(w) * F.col("__c")).alias("tf_delta"),
+            F.lit(w).cast("long").alias("df_delta"),
+        )
+    )
+
+
+def vocab_delta(
+    changes: DataFrame,
+    id_col: str,
+    text_col: str,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """NET per-token (tf_delta, df_delta) of one change batch — zero
+    rows for tokens whose counts didn't move (an update that kept a
+    token's in-doc count cancels exactly). Input is the feed shape of
+    ``changes_between(with_before=True)`` or ``ivm.diff_states``."""
+    both = _side(changes, id_col, text_col, pattern, before=True).unionByName(
+        _side(changes, id_col, text_col, pattern, before=False)
+    )
+    out = both.groupBy("token").agg(
+        F.sum("tf_delta").alias("tf_delta"),
+        F.sum("df_delta").alias("df_delta"),
+    )
+    return out.filter((F.col("tf_delta") != 0) | (F.col("df_delta") != 0))
+
+
+def apply_vocab_delta(vocab: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a :func:`vocab_delta` frame into a maintained (token, tf,
+    df) vocabulary: one union + one partial-combined groupBy; tokens
+    whose tf reaches 0 die (a token with no occurrences has no df
+    either — the equivalence suite checks both)."""
+    merged = vocab.select("token", "tf", "df").unionByName(
+        delta.select(
+            "token",
+            F.col("tf_delta").alias("tf"),
+            F.col("df_delta").alias("df"),
+        )
+    )
+    return (
+        merged.groupBy("token")
+        .agg(F.sum("tf").alias("tf"), F.sum("df").alias("df"))
+        .filter(F.col("tf") > 0)
+    )
+
+
+class MaintainedVocabulary(MaintainedAggregate):
+    """Durable incrementally-maintained vocabulary over a
+    :class:`~csv_cruncher_spark.lake.table.LakeTable` — same operational
+    contract as :class:`~csv_cruncher_spark.lake.ivm.MaintainedAggregate`
+    (epoch-named parquet versions behind an atomically-swapped pointer,
+    idempotent per epoch, pair with the tailer loop), with the
+    aggregate being the exploded-token (tf, df) table instead of a
+    row-level groupBy. Reuses the parent's persistence verbatim;
+    bootstrap/refresh are overridden for the token granularity."""
+
+    def __init__(
+        self,
+        table_path: str,
+        store_path: str,
+        id_col: str = "url",
+        text_col: str = "text",
+        pattern: str = TOKEN_REGEX,
+    ):
+        super().__init__(
+            table_path, store_path, group_cols=["token"], sums={}
+        )
+        self.id_col = id_col
+        self.text_col = text_col
+        self.pattern = pattern
+
+    def bootstrap(self, spark) -> int:
+        from .table import LakeTable
+
+        table = LakeTable.load(self.table_path)
+        epoch = table.snapshot()["epoch_id"]
+        vocab = compute_vocab(
+            table.read(spark), self.id_col, self.text_col, self.pattern
+        )
+        self._persist(vocab, epoch)
+        return epoch
+
+    def refresh(self, spark) -> int:
+        from .table import LakeTable
+
+        st = self.state()
+        if st is None:
+            return self.bootstrap(spark)
+        table = LakeTable.load(self.table_path)
+        cur = table.snapshot()["epoch_id"]
+        last = st["epoch"]
+        if cur == last:
+            return last
+        feed = table.changes_between(
+            spark, from_epoch=last, to_epoch=cur, with_before=True
+        )
+        delta = vocab_delta(feed, self.id_col, self.text_col, self.pattern)
+        vocab = apply_vocab_delta(self.read(spark), delta)
+        self._persist(vocab, cur)
+        return cur
