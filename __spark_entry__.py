@@ -2726,7 +2726,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN s.score >= t.t2 THEN 'head'
                         WHEN s.score >= t.t1 THEN 'middle'
                         ELSE 'tail' END AS bucket
-            FROM s JOIN t USING (lang)
+            -- null-safe join: the Spark side keeps a NULL stratum with
+            -- its own thresholds (eqNullSafe), so the oracle must too
+            FROM s JOIN t ON s.lang IS NOT DISTINCT FROM t.lang
             ORDER BY s.doc_id
         """,
         "gopher_quality_docs": f"""

@@ -58,16 +58,22 @@ def _side(
     post-image). Pre-combined on (token, doc) so df is exact and the
     shuffle carries per-doc-distinct rows."""
     if before:
+        # the WHOLE pre-image comes from __before — D rows null every
+        # non-key post column, so reading id_col from the post side
+        # would collapse all deleted docs onto __doc=NULL and
+        # under-count df retractions whenever id_col is not the feed key
         src = changes.filter(F.col("__before").isNotNull())
         text = f"__before.{text_col}"
+        doc = F.col(f"__before.{id_col}")
         w = -1
     else:
         src = changes.filter(F.col("__op") != "D")
         text = text_col
+        doc = F.col(id_col)
         w = 1
     toks = F.expr(f"regexp_extract_all(lower({text}), '{pattern}', 0)")
     return (
-        src.select(F.col(id_col).alias("__doc"), F.explode(toks).alias("token"))
+        src.select(doc.alias("__doc"), F.explode(toks).alias("token"))
         .groupBy("token", "__doc")
         .agg(F.count(F.lit(1)).alias("__c"))
         .select(

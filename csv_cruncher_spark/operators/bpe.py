@@ -52,7 +52,10 @@ def word_frequencies(
     return (
         df.select(
             F.explode(
-                F.expr(f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)")
+                F.expr(
+                    f"regexp_extract_all(lower({text_col}),"
+                    f" {_sql_str(token_pattern)}, 0)"
+                )
             ).alias("word")
         )
         .groupBy("word")
@@ -135,6 +138,13 @@ def bpe_train(
         words.unpersist()
 
 
+def _sql_str(s: str) -> str:
+    """A string as a Spark SQL single-quoted literal — backslashes and
+    quotes escaped so learned tokens (or a user token_pattern) can never
+    break out of, or inject into, the generated expression."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _encode_word_expr(word_expr: str, merges: list[tuple[str, str]]) -> str:
     """SQL expr: tokenize one word by replaying the merge list in
     learning order over its canonical symbol string — k nested literal
@@ -144,7 +154,10 @@ def _encode_word_expr(word_expr: str, merges: list[tuple[str, str]]) -> str:
         f"'{END_MARKER}  ')"
     )
     for l, r in merges:
-        s = f"replace({s}, ' {l}  {r} ', ' {l}{r} ')"
+        s = (
+            f"replace({s}, {_sql_str(f' {l}  {r} ')},"
+            f" {_sql_str(f' {l}{r} ')})"
+        )
     return f"split(trim({s}), '  ')"
 
 
@@ -181,7 +194,9 @@ def bpe_encode(
     for l, r in pairs:
         if " " in l or " " in r or not l or not r:
             raise ValueError(f"invalid merge pair ({l!r}, {r!r})")
-    words = f"regexp_extract_all(lower({text_col}), '{token_pattern}', 0)"
+    words = (
+        f"regexp_extract_all(lower({text_col}), {_sql_str(token_pattern)}, 0)"
+    )
     enc = _encode_word_expr("w", pairs)
     toks = f"flatten(transform({words}, w -> {enc}))"
     return df.withColumns(

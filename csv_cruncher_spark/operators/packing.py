@@ -128,7 +128,11 @@ def chunk_documents(
     stride = size if stride is None else stride
     if stride <= 0:
         raise ValueError(f"stride must be positive, got {stride}")
-    toks = F.split(F.col(text_col), sep)
+    if not sep or "\\E" in sep:
+        raise ValueError(f"sep must be a non-empty literal without \\E, got {sep!r}")
+    # split() takes a Java regex while array_join() is literal — quote
+    # the separator so both sides agree for metachar seps like '|'
+    toks = F.split(F.col(text_col), "\\Q" + sep + "\\E")
     starts = F.sequence(
         F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride)
     )

@@ -622,8 +622,12 @@ def kmeans_fit_exact(
             f" x -> cast(floor(x * {micro}) as bigint))"
         ).alias("vm"),
     )
+    # cache the quantized vectors: init + every Lloyd round re-reads
+    # them (same reason bpe_train caches its vocabulary table)
+    vecs = vecs.cache()
     init = vecs.orderBy("_id").limit(n_centroids).collect()
     if len(init) < n_centroids:
+        vecs.unpersist()
         raise ValueError(
             f"need at least {n_centroids} vectors, got {len(init)}"
         )
@@ -661,6 +665,7 @@ def kmeans_fit_exact(
             )
             for cid, prev in centroids
         ]
+    vecs.unpersist()
     rows = [
         (cid, d + 1, vec[d], members.get(cid, 0))
         for cid, vec in centroids

@@ -160,3 +160,43 @@ def test_bpe_encode_validation(spark):
         bpe.bpe_encode(df, "doc_id", "text", [("a b", "c")])
     with pytest.raises(ValueError):
         bpe.bpe_encode(df, "doc_id", "text", [("", "c")])
+
+
+def test_bpe_quote_bearing_tokens_are_safe(spark):
+    # review finding: merge tokens and token_pattern are spliced into a
+    # generated SQL expression — quotes/backslashes must be escaped, not
+    # trusted ("don't"-style apostrophe tokens are routine with a
+    # pattern that admits ')
+    texts = ["don't don't won't don't", "won't can't don't"]
+    docs = _docs(spark, texts)
+    pat = "[a-z']+"
+    merges_df = bpe.bpe_train(docs, "text", n_merges=4, token_pattern=pat)
+    pairs = [(r["lhs"], r["rhs"]) for r in merges_df.orderBy("merge_rank").collect()]
+    assert any("'" in l or "'" in r for l, r in pairs)
+    out = bpe.bpe_encode(docs, "doc_id", "text", merges_df, token_pattern=pat)
+    got = {r["doc_id"]: list(r["bpe_tokens"]) for r in out.collect()}
+
+    # reference encode with the same pattern
+    def ref(t):
+        toks = []
+        for w in re.findall(pat, t.lower()):
+            syms = list(w) + ["</w>"]
+            for l, r in pairs:
+                new, pend = [], None
+                for x in syms:
+                    if pend is None:
+                        pend = x
+                    elif pend == l and x == r:
+                        new.append(l + r)
+                        pend = None
+                    else:
+                        new.append(pend)
+                        pend = x
+                if pend is not None:
+                    new.append(pend)
+                syms = new
+            toks.extend(syms)
+        return toks
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), i

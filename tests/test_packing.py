@@ -184,3 +184,14 @@ def test_chunk_validation(spark):
         packing.chunk_documents(df, "doc_id", "text", size=0)
     with pytest.raises(ValueError):
         packing.chunk_documents(df, "doc_id", "text", size=4, stride=0)
+
+
+def test_chunk_metachar_separator_is_literal(spark):
+    # '|' must split literally (review finding: regex split vs literal
+    # join garbled every metachar separator)
+    df = spark.createDataFrame([(1, "a|b|c|d")], "doc_id long, text string")
+    out = packing.chunk_documents(df, "doc_id", "text", size=2, sep="|")
+    got = {r["chunk_no"]: (r["n_chunk_tokens"], r["chunk_text"]) for r in out.collect()}
+    assert got == {0: (2, "a|b"), 1: (2, "c|d")}
+    with pytest.raises(ValueError):
+        packing.chunk_documents(df, "doc_id", "text", size=2, sep="")

@@ -104,3 +104,29 @@ def test_maintained_vocabulary_follows_replay(spark, tmp_path):
     before = _vdict(mv.read(spark))
     assert mv.refresh(spark) == epoch
     assert _vdict(mv.read(spark)) == before
+
+
+def test_delta_doc_identity_from_preimage_on_delete(spark):
+    # review finding: when id_col is not the feed key, D rows null the
+    # post-side id and all deletions collapsed onto __doc=NULL,
+    # under-counting df retractions — the pre-image must supply the id
+    pre = spark.createDataFrame(
+        [("u1", 101, "x y"), ("u2", 102, "x z"), ("u3", 103, "kept")],
+        "url string, doc_id long, text string",
+    )
+    post = spark.createDataFrame(
+        [("u3", 103, "kept")], "url string, doc_id long, text string"
+    )
+    changes = ivm.diff_states(pre, post, "url")
+    got = vocab_view.apply_vocab_delta(
+        vocab_view.compute_vocab(pre, "doc_id", "text"),
+        vocab_view.vocab_delta(changes, "doc_id", "text"),
+    )
+    want = vocab_view.compute_vocab(post, "doc_id", "text")
+    assert _vdict(got) == _vdict(want)
+    # and the raw delta retracts df for BOTH deleted docs
+    d = {
+        r["token"]: (r["tf_delta"], r["df_delta"])
+        for r in vocab_view.vocab_delta(changes, "doc_id", "text").collect()
+    }
+    assert d["x"] == (-2, -2)
