@@ -199,13 +199,9 @@ def bpe_encode(
     )
     enc = _encode_word_expr("w", pairs)
     toks = f"flatten(transform({words}, w -> {enc}))"
-    return df.withColumns(
-        {
-            out_col: F.coalesce(
-                F.expr(toks), F.expr("cast(array() as array<string>)")
-            ),
-            "n_bpe_tokens": F.coalesce(F.size(F.expr(toks)), F.lit(0)).cast(
-                "long"
-            ),
-        }
-    )
+    # count from the already-coalesced output column so the (k nested
+    # replaces deep) encode expression is evaluated exactly once per row
+    return df.withColumn(
+        out_col,
+        F.coalesce(F.expr(toks), F.expr("cast(array() as array<string>)")),
+    ).withColumn("n_bpe_tokens", F.size(F.col(out_col)).cast("long"))

@@ -54,6 +54,26 @@ def _reject_sortorder(order: Column | None) -> None:
         )
 
 
+def _with_thresholds(df: DataFrame, pct, stratum_col: str | None, thr_name: str) -> DataFrame:
+    """Shared threshold plumbing of :func:`percentile_filter` and
+    :func:`quantile_buckets`: ONE partial-combined percentile aggregate
+    (``pct`` builds the aggregate expression over the staged
+    ``__score``), broadcast back onto every row. Per-stratum mode joins
+    null-SAFELY — groupBy computes a threshold for the NULL stratum,
+    and a plain equi-join would silently drop every NULL-stratum row no
+    matter its score."""
+    if stratum_col is None:
+        thr = df.agg(pct("__score").alias(thr_name))
+        return df.join(F.broadcast(thr))
+    thr = df.groupBy(F.col(stratum_col).alias("__stratum")).agg(
+        pct("__score").alias(thr_name)
+    )
+    return df.join(
+        F.broadcast(thr),
+        F.col(stratum_col).eqNullSafe(F.col("__stratum")),
+    ).drop("__stratum")
+
+
 def percentile_filter(
     df: DataFrame,
     score: str | Column,
@@ -87,20 +107,7 @@ def percentile_filter(
         return F.percentile(col, p)
 
     df = df.withColumn("__score", score_c)
-    if stratum_col is None:
-        thr = df.agg(_pct("__score").alias("__thr"))
-        out = df.join(F.broadcast(thr))
-    else:
-        thr = df.groupBy(F.col(stratum_col).alias("__stratum")).agg(
-            _pct("__score").alias("__thr")
-        )
-        # null-SAFE join: groupBy computes a threshold for the NULL
-        # stratum, and a plain equi-join would silently drop every
-        # NULL-stratum row no matter its score
-        out = df.join(
-            F.broadcast(thr),
-            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
-        ).drop("__stratum")
+    out = _with_thresholds(df, _pct, stratum_col, "__thr")
     out = out.filter(F.col("__score") >= F.col("__thr"))
     if threshold_out is not None:
         out = out.withColumn(threshold_out, F.col("__thr"))
@@ -291,19 +298,7 @@ def quantile_buckets(
         return F.percentile(col, fr)
 
     df = df.withColumn("__score", score_c)
-    if stratum_col is None:
-        thr = df.agg(_pct("__score").alias("__thrs"))
-        out = df.join(F.broadcast(thr))
-    else:
-        thr = df.groupBy(F.col(stratum_col).alias("__stratum")).agg(
-            _pct("__score").alias("__thrs")
-        )
-        # null-SAFE join, same reason as percentile_filter: the NULL
-        # stratum gets its own thresholds instead of losing its rows
-        out = df.join(
-            F.broadcast(thr),
-            F.col(stratum_col).eqNullSafe(F.col("__stratum")),
-        ).drop("__stratum")
+    out = _with_thresholds(df, _pct, stratum_col, "__thrs")
     label = F.lit(labels[0])
     for i in range(len(fractions)):
         label = F.when(
