@@ -1549,6 +1549,19 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=10).orderBy("merge_rank")
 
 
+def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (textstats.tfidf_keywords): top-3
+    salient terms per document with idf in integer micro-units
+    (round(ln(N/df)·10^6) — the established transcendental-score
+    trick), so scores multiply and rank as exact integers and DuckDB
+    replays idf, scores, and tie-breaks bit-for-bit. Per-doc top-k is
+    one partial-combined collect/sort/slice aggregation bounded by
+    per-doc distinct tokens — never a global window."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.tfidf_keywords(docs, "doc_id", "text", k=3)
+    return out.orderBy("doc_id", "kw_rank")
+
+
 def maintained_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained corpus vocabulary (lake/vocab_view.py):
     a pre-state (docs with id % 5 != 0) evolves into a post-state
@@ -1771,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": bpe_merges,
         "doc_bpe_tokens": doc_bpe_tokens,
         "maintained_vocab": maintained_vocab,
+        "doc_tfidf_keywords": doc_tfidf_keywords,
     }
 
 
@@ -2068,6 +2082,36 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        "doc_tfidf_keywords": """
+            WITH per AS (
+              SELECT doc_id, token, count(*) AS c FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+                FROM documents) t
+              GROUP BY doc_id, token
+            ),
+            v AS (SELECT token, count(*) AS df FROM per GROUP BY token),
+            n AS (SELECT count(*) AS n FROM documents),
+            idf AS (
+              SELECT token,
+                     CAST(round(ln(CAST(n.n AS DOUBLE) / v.df) * 1000000)
+                          AS BIGINT) AS idf
+              FROM v, n
+            ),
+            s AS (
+              SELECT per.doc_id, per.token, per.c * idf.idf AS score_micro
+              FROM per JOIN idf USING (token)
+            ),
+            r AS (
+              SELECT doc_id, token, score_micro,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY score_micro DESC, token) AS rn
+              FROM s
+            )
+            SELECT doc_id, CAST(rn AS BIGINT) AS kw_rank, token, score_micro
+            FROM r WHERE rn <= 3 ORDER BY doc_id, kw_rank
+        """,
         "maintained_vocab": """
             WITH post AS (
               SELECT doc_id,

@@ -48,6 +48,7 @@ from .joins import asof_join, asof_join_bucketed, interval_join
 from .similarity import kmeans_fit_exact
 from .textstats import (
     bigram_logprob,
+    tfidf_keywords,
     duplicate_spans,
     gopher_quality_filter,
     importance_logweight,
@@ -106,4 +107,5 @@ __all__ = [
     "quantile_buckets",
     "gopher_quality_filter",
     "kmeans_fit_exact",
+    "tfidf_keywords",
 ]

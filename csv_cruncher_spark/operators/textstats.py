@@ -896,3 +896,82 @@ def gopher_quality_filter(
         (reasons == "").alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — per-document top-k salient terms, the
+# classic relevance signal (Sparck Jones 1972) corpus curation uses for
+# topic tagging and search-side document summaries.
+# ---------------------------------------------------------------------------
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """Top-``k`` TF-IDF keywords per document: (id, kw_rank 1-based,
+    token, score_micro) where score_micro = in-doc count ×
+    round(ln(N/df)·10^6) — the idf in integer micro-units (the module's
+    established cross-engine-exact trick for transcendental scores), so
+    ranking is pure integer comparison and DuckDB replays it
+    bit-for-bit. Ties break token-ascending. Documents with no tokens
+    emit no rows (nothing to rank).
+
+    Scale shape: per-(doc, token) counts pre-combine map-side (the
+    df-exact two-level shape of :func:`token_frequencies`); idf is a
+    vocabulary-sized frame joined back ON TOKEN (plain equi-join — a
+    popular token has many (doc, token) rows but exactly one idf row,
+    no broadcast of an unbounded vocab); top-k per doc is ONE
+    partial-combined collect_list/sort/slice aggregation whose state is
+    bounded by per-doc distinct tokens — never a global window."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    docs = df.select(F.col(id_col), toks.alias("__toks"))
+    per = (
+        docs.select(F.col(id_col), F.explode("__toks").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    vocab = per.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    idf = vocab.crossJoin(F.broadcast(n)).select(
+        "token",
+        F.round(
+            F.log(F.col("__n").cast("double") / F.col("__df")) * 1_000_000
+        )
+        .cast("bigint")
+        .alias("__idf"),
+    )
+    scored = per.join(idf, "token").select(
+        F.col(id_col),
+        "token",
+        (F.col("__c") * F.col("__idf")).alias("score_micro"),
+    )
+    top = scored.groupBy(id_col).agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        (-F.col("score_micro")).alias("neg"),
+                        F.col("token").alias("token"),
+                        F.col("score_micro").alias("score_micro"),
+                    )
+                )
+            ),
+            1,
+            k,
+        ).alias("__kws")
+    )
+    return top.select(
+        F.col(id_col),
+        F.posexplode("__kws").alias("__pos", "__kw"),
+    ).select(
+        F.col(id_col),
+        (F.col("__pos") + 1).cast("long").alias("kw_rank"),
+        F.col("__kw.token").alias("token"),
+        F.col("__kw.score_micro").alias("score_micro"),
+    )

@@ -389,3 +389,67 @@ def test_gopher_filter_plan_no_window(spark):
     out = textstats.gopher_quality_filter(docs, "doc_id", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# tfidf_keywords — per-doc top-k salient terms (integer-micro idf)
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_keywords_known_ranking(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textstats.tfidf_keywords(docs, "doc_id", "text", k=2)
+    got = {
+        (r["doc_id"], r["kw_rank"]): (r["token"], r["score_micro"])
+        for r in out.collect()
+    }
+
+    def idf(df_count):
+        return round(math.log(3.0 / df_count) * 1_000_000)
+
+    # doc 1: apple c=2 df=1 -> 2*idf(1); banana c=1 df=2; common idf(3)=0
+    assert got[(1, 1)] == ("apple", 2 * idf(1))
+    assert got[(1, 2)] == ("banana", idf(2))
+    # doc 3: cherry c=3 df=2 beats common (idf 0)
+    assert got[(3, 1)] == ("cherry", 3 * idf(2))
+    # universal token ranks but with score 0; tie-breaks are token-asc
+    assert got[(2, 1)][0] in ("banana", "cherry")
+    assert out.count() == 6
+
+
+def test_tfidf_keywords_tie_breaks_token_ascending(spark):
+    docs = spark.createDataFrame(
+        [(1, "zz aa"), (2, "qq")], "doc_id long, text string"
+    )
+    out = textstats.tfidf_keywords(docs, "doc_id", "text", k=2)
+    got = {
+        (r["doc_id"], r["kw_rank"]): r["token"] for r in out.collect()
+    }
+    # doc 1: aa and zz tie (c=1, df=1 each) -> token ascending
+    assert got[(1, 1)] == "aa" and got[(1, 2)] == "zz"
+
+
+def test_tfidf_keywords_no_tokens_no_rows_and_validation(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, "word")], "doc_id long, text string"
+    )
+    out = textstats.tfidf_keywords(docs, "doc_id", "text", k=3)
+    assert [r["doc_id"] for r in out.collect()] == [2]
+    with pytest.raises(ValueError):
+        textstats.tfidf_keywords(docs, "doc_id", "text", k=0)
+
+
+def test_tfidf_keywords_plan_no_window(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    out = textstats.tfidf_keywords(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
