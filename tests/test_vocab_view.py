@@ -130,3 +130,39 @@ def test_delta_doc_identity_from_preimage_on_delete(spark):
         for r in vocab_view.vocab_delta(changes, "doc_id", "text").collect()
     }
     assert d["x"] == (-2, -2)
+
+
+def test_tailer_loop_keeps_vocabulary_current(spark, tmp_path):
+    """The operational loop: tailer applies each newly-arriving batch,
+    MaintainedVocabulary.refresh() folds the feed — after every poll
+    the stored vocabulary equals a full recompute of the table."""
+    import shutil
+
+    from csv_cruncher_spark.streaming.tailer import ChangeLogTailer
+
+    paths = generate_change_log(
+        ChangeLogSpec(
+            n_urls=50,
+            n_batches=3,
+            events_per_batch=80,
+            seed=31,
+            out_dir=str(tmp_path / "all"),
+        )
+    )
+    bdir = tmp_path / "incoming"
+    bdir.mkdir()
+    lake = str(tmp_path / "lake")
+    tailer = ChangeLogTailer(lake, str(bdir), n_buckets=4)
+    mv = vocab_view.MaintainedVocabulary(lake, str(tmp_path / "vocab"))
+    for p in paths:
+        shutil.copy(p, bdir / os.path.basename(p))
+        applied = tailer.poll_once(spark)
+        assert len(applied) == 1
+        mv.refresh(spark)
+        table = LakeTable.load(lake)
+        want = vocab_view.compute_vocab(table.read(spark), "url", "text")
+        assert _vdict(mv.read(spark)) == _vdict(want)
+    # idle poll applies nothing and refresh is a no-op
+    assert tailer.poll_once(spark) == []
+    e = mv.refresh(spark)
+    assert e == LakeTable.load(lake).snapshot()["epoch_id"]
