@@ -67,6 +67,11 @@ def main() -> int:
                          "against stored members at every refresh "
                          "(config pinned at bootstrap; see corpus_view "
                          "docstring for the precedence/rebuild contract)")
+    ap.add_argument("--maintain-vocab", default=None, metavar="STORE",
+                    help="after replay, refresh an incrementally-"
+                         "maintained (token, tf, df) vocabulary store "
+                         "(lake/vocab_view.py) — only changed documents "
+                         "explode, no table rescan")
     ap.add_argument("--build-corpus", default=None, metavar="OUT",
                     help="after replay, run the corpus builder over the "
                          "table state and write (url, lang, split) parquet "
@@ -185,6 +190,13 @@ def main() -> int:
         )
         corpus_epoch = mc.refresh(spark)
 
+    vocab_epoch = None
+    if args.maintain_vocab:
+        from csv_cruncher_spark.lake.vocab_view import MaintainedVocabulary
+
+        vv = MaintainedVocabulary(args.table, args.maintain_vocab)
+        vocab_epoch = vv.refresh(spark)
+
     corpus_rows = None
     if args.build_corpus:
         from csv_cruncher_spark.lake.table import LakeTable
@@ -221,6 +233,7 @@ def main() -> int:
                 "feed_rows": feed_rows,
                 "maintained_epoch": maintained_epoch,
                 "corpus_epoch": corpus_epoch,
+                "vocab_epoch": vocab_epoch,
                 "rejected_rows": sum((ckpt.get("rejected_rows") or {}).values())
                 if args.on_malformed == "dlq" else None,
                 "corpus_rows": corpus_rows,

@@ -205,3 +205,41 @@ def test_replay_maintain_corpus_incremental(spark, change_log, monkeypatch, caps
         ).select("url", "split").collect()
     }
     assert got == expect and got
+
+
+def test_replay_maintain_vocab_incremental(spark, change_log, monkeypatch, capsys, tmp_path):
+    """--maintain-vocab keeps the (token, tf, df) store equal to a full
+    recompute across an incremental two-stage replay."""
+    import shutil
+
+    from csv_cruncher_spark.lake import vocab_view
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    base, paths = change_log
+    table = str(base / "lake")
+    store = str(base / "vocab")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+
+    for cut in (2, len(paths)):
+        for p in paths[:cut]:
+            dst = staged / os.path.basename(p)
+            if not dst.exists():
+                shutil.copy(p, dst)
+        out = _run_replay(
+            monkeypatch,
+            capsys,
+            ["--table", table, "--batches", str(staged),
+             "--maintain-vocab", store],
+        )
+        t = LakeTable.load(table)
+        assert out["vocab_epoch"] == t.snapshot()["epoch_id"]
+        mv = vocab_view.MaintainedVocabulary(table, store)
+        want = {
+            (r["token"], r["tf"], r["df"])
+            for r in vocab_view.compute_vocab(
+                t.read(spark), "url", "text"
+            ).collect()
+        }
+        got = {(r["token"], r["tf"], r["df"]) for r in mv.read(spark).collect()}
+        assert got == want
