@@ -1549,6 +1549,18 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(docs, "text", n_merges=10).orderBy("merge_rank")
 
 
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law corpus diagnostic (textstats.zipf_fit): least-squares
+    slope of ln(tf) vs ln(rank) over the top-100 tokens. Ranks and
+    frequencies become integer micro-logs, the normal-equation terms
+    accumulate as exact 64-bit integers, and the slope is one double
+    division — DuckDB replays the REGRESSION FIT bit-for-bit. The
+    corpus-scale work is a single partial-combined word count; the fit
+    itself touches 100 rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.zipf_fit(docs, "text", top_n=100)
+
+
 def doc_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (textstats.tfidf_keywords): top-3
     salient terms per document with idf in integer micro-units
@@ -1785,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": doc_bpe_tokens,
         "maintained_vocab": maintained_vocab,
         "doc_tfidf_keywords": doc_tfidf_keywords,
+        "corpus_zipf_slope": corpus_zipf_slope,
     }
 
 
@@ -2082,6 +2095,35 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return {
+        "corpus_zipf_slope": """
+            WITH v AS (
+              SELECT token, CAST(count(*) AS BIGINT) AS tf FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+                FROM documents) t
+              GROUP BY token
+            ),
+            top AS (
+              SELECT tf, row_number() OVER (ORDER BY tf DESC, token) AS r
+              FROM v ORDER BY tf DESC, token LIMIT 100
+            ),
+            pts AS (
+              SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+                     CAST(round(ln(CAST(tf AS DOUBLE)) * 1000000) AS BIGINT) AS y
+              FROM top
+            ),
+            s AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM pts
+            )
+            SELECT n AS n_points,
+                   CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+                     AS zipf_slope
+            FROM s
+        """,
         "doc_tfidf_keywords": """
             WITH per AS (
               SELECT doc_id, token, count(*) AS c FROM (

@@ -49,6 +49,7 @@ from .similarity import kmeans_fit_exact
 from .textstats import (
     bigram_logprob,
     tfidf_keywords,
+    zipf_fit,
     duplicate_spans,
     gopher_quality_filter,
     importance_logweight,
@@ -108,4 +109,5 @@ __all__ = [
     "gopher_quality_filter",
     "kmeans_fit_exact",
     "tfidf_keywords",
+    "zipf_fit",
 ]

@@ -975,3 +975,68 @@ def tfidf_keywords(
         F.col("__kw.token").alias("token"),
         F.col("__kw.score_micro").alias("score_micro"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 100,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """Zipf-law diagnostic: the least-squares slope of ln(tf) vs
+    ln(rank) over the corpus' ``top_n`` tokens — natural text sits near
+    −1; a pipeline bug (boilerplate flood, dedup failure, tokenizer
+    drift) shows up as a slope shift, which makes this the cheap
+    whole-corpus canary to chart per snapshot.
+
+    Returns ONE row: (n_points, zipf_slope). Exactness: ranks and
+    frequencies map to integer micro-logs (round(ln·10^6), the module's
+    transcendental-score trick), the normal-equation terms
+    nΣxy − ΣxΣy and nΣxx − (Σx)² accumulate as exact 64-bit integers
+    (magnitudes bounded: |x|,|y| ≤ ~5·10^7 micro at any realistic tf,
+    so the cross terms stay far under 2^63 for ``top_n`` ≤ 1000), and
+    the slope is their single double division — so DuckDB replays the
+    whole FIT bit-for-bit, not just the token counts.
+
+    Scale shape: the corpus-scale work is ONE partial-combined hash
+    aggregation (reusing :func:`~csv_cruncher_spark.operators.bpe.
+    word_frequencies`); the top-n cut is a bounded TakeOrdered (tf
+    DESC, token ASC — total order, no ties left to the engine) and the
+    fit is one aggregate over ``top_n`` rows. No windows, no Python."""
+    if top_n <= 1 or top_n > 1000:
+        raise ValueError(f"top_n must be in [2, 1000], got {top_n}")
+    from .bpe import word_frequencies
+
+    vocab = word_frequencies(df, text_col, pattern).select(
+        F.col("word").alias("token"), F.col("freq").alias("tf")
+    )
+    top = vocab.orderBy(F.col("tf").desc(), "token").limit(top_n)
+    # bounded collect (<= top_n rows, the centroid-collect contract):
+    # ranks are positions in the already-total order
+    rows = top.select("tf").collect()
+    spark = df.sparkSession
+    pts = spark.createDataFrame(
+        [(i + 1, int(r["tf"])) for i, r in enumerate(rows)],
+        "r long, tf long",
+    ).select(
+        F.round(F.log(F.col("r").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("tf").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("zipf_slope"),
+    )

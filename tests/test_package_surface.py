@@ -32,7 +32,7 @@ def test_every_public_operator_reexported():
         "release", "dropped_buckets",
         "chunk_documents", "quantile_buckets", "gopher_quality_filter",
         "kmeans_fit_exact", "bpe_train", "bpe_encode", "word_frequencies",
-        "tfidf_keywords",
+        "tfidf_keywords", "zipf_fit",
     ]:
         assert callable(getattr(ops, fn, None)), fn
         assert fn in ops.__all__, fn

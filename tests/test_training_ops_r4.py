@@ -453,3 +453,37 @@ def test_tfidf_keywords_plan_no_window(spark):
     out = textstats.tfidf_keywords(docs, "doc_id", "text")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan, plan
+
+
+def test_zipf_fit_exact_slope_known_points(spark):
+    import math
+
+    # three tokens with tf 8, 4, 2 -> exact micro-log points replayed
+    # in pure python with the same integer normal equations
+    docs = spark.createDataFrame(
+        [(1, " ".join(["aa"] * 8 + ["bb"] * 4 + ["cc"] * 2))],
+        "doc_id long, text string",
+    )
+    out = textstats.zipf_fit(docs, "text", top_n=3).collect()[0]
+    pts = [
+        (round(math.log(r) * 1_000_000), round(math.log(tf) * 1_000_000))
+        for r, tf in [(1, 8), (2, 4), (3, 2)]
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    want = float(n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert out["n_points"] == 3
+    assert out["zipf_slope"] == want
+    # geometric tf decay over rank is steeper than Zipf's -1 here
+    assert out["zipf_slope"] < -1.0
+
+
+def test_zipf_fit_validation(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        textstats.zipf_fit(docs, "text", top_n=1)
+    with pytest.raises(ValueError):
+        textstats.zipf_fit(docs, "text", top_n=2000)
