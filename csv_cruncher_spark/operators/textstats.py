@@ -929,7 +929,11 @@ def tfidf_keywords(
     bounded by per-doc distinct tokens — never a global window."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
+    from .bpe import _sql_str
+
+    toks = F.expr(
+        f"regexp_extract_all(lower({text_col}), {_sql_str(pattern)}, 0)"
+    )
     docs = df.select(F.col(id_col), toks.alias("__toks"))
     per = (
         docs.select(F.col(id_col), F.explode("__toks").alias("token"))
@@ -992,19 +996,25 @@ def zipf_fit(
     Returns ONE row: (n_points, zipf_slope). Exactness: ranks and
     frequencies map to integer micro-logs (round(ln·10^6), the module's
     transcendental-score trick), the normal-equation terms
-    nΣxy − ΣxΣy and nΣxx − (Σx)² accumulate as exact 64-bit integers
-    (magnitudes bounded: |x|,|y| ≤ ~5·10^7 micro at any realistic tf,
-    so the cross terms stay far under 2^63 for ``top_n`` ≤ 1000), and
-    the slope is their single double division — so DuckDB replays the
-    whole FIT bit-for-bit, not just the token counts.
+    nΣxy − ΣxΣy and nΣxx − (Σx)² accumulate as exact 64-bit integers,
+    and the slope is their single double division — so DuckDB replays
+    the whole FIT bit-for-bit, not just the token counts. ``top_n`` is
+    capped at 200 because that is where int64 exactness ends under the
+    worst admissible frequency: with tf up to 10^14 (a 100-TB corpus),
+    y ≤ ln(10^14)·10^6 ≈ 3.3·10^7 and the cross term n·Σxy ≈
+    n²·x̄·ȳ reaches ~7·10^18 at n = 200 — inside int64; 250 points
+    would overflow (ANSI mode would throw; casting to double first
+    would break the bit-exact contract, so the bound is the honest
+    fix). A degenerate corpus with a single distinct token yields a 0
+    denominator → NULL slope (both engines), never a DIVIDE_BY_ZERO.
 
     Scale shape: the corpus-scale work is ONE partial-combined hash
     aggregation (reusing :func:`~csv_cruncher_spark.operators.bpe.
     word_frequencies`); the top-n cut is a bounded TakeOrdered (tf
     DESC, token ASC — total order, no ties left to the engine) and the
     fit is one aggregate over ``top_n`` rows. No windows, no Python."""
-    if top_n <= 1 or top_n > 1000:
-        raise ValueError(f"top_n must be in [2, 1000], got {top_n}")
+    if top_n <= 1 or top_n > 200:
+        raise ValueError(f"top_n must be in [2, 200], got {top_n}")
     from .bpe import word_frequencies
 
     vocab = word_frequencies(df, text_col, pattern).select(
@@ -1033,10 +1043,9 @@ def zipf_fit(
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     return s.select(
         F.col("n").cast("long").alias("n_points"),
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        ).alias("zipf_slope"),
+        F.when(den != 0, num / den).alias("zipf_slope"),
     )

@@ -481,9 +481,28 @@ def test_zipf_fit_exact_slope_known_points(spark):
     assert out["zipf_slope"] < -1.0
 
 
+def test_zipf_fit_single_token_corpus_null_slope(spark):
+    docs = spark.createDataFrame(
+        [(1, "same same same"), (2, "same")], "doc_id long, text string"
+    )
+    out = textstats.zipf_fit(docs, "text", top_n=5).collect()[0]
+    # one point at x = ln(1) = 0 -> zero denominator -> NULL, not a
+    # DIVIDE_BY_ZERO crash (ANSI mode), matching the DuckDB oracle
+    assert out["n_points"] == 1 and out["zipf_slope"] is None
+
+
+def test_tfidf_pattern_with_quote_is_safe(spark):
+    docs = spark.createDataFrame(
+        [(1, "don't won't don't"), (2, "can't")], "doc_id long, text string"
+    )
+    out = textstats.tfidf_keywords(docs, "doc_id", "text", k=1, pattern="[a-z']+")
+    got = {r["doc_id"]: r["token"] for r in out.collect()}
+    assert got[1] == "don't" and got[2] == "can't"
+
+
 def test_zipf_fit_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         textstats.zipf_fit(docs, "text", top_n=1)
     with pytest.raises(ValueError):
-        textstats.zipf_fit(docs, "text", top_n=2000)
+        textstats.zipf_fit(docs, "text", top_n=500)
