@@ -31,12 +31,15 @@ from csv_cruncher_spark.lake import ivm, salt  # noqa: E402
 from csv_cruncher_spark.operators import (  # noqa: E402
     bloom,
     boilerplate,
+    c4,
     corpus,
     decontam,
     dedup,
     multimodal,
     packing,
+    recall,
     sampling,
+    semdedup,
     similarity,
     textstats,
 )
@@ -1702,6 +1705,97 @@ def gopher_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- contract --
 
 
+def _semdedup_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings ∪ planted near-copies (every 50th vector, +0.001 on
+    dim 0 — an additive nudge keeps the copy in its source's L2
+    neighbourhood, so cluster assignment cannot separate the pair the
+    way the rescale used by embedding_near_dup_pairs could). Natural
+    max pairwise cosine is ≈0.48, so at threshold 0.95 the duplicate
+    set is exactly the planted pairs — deterministic, and the oracle
+    replays the construction."""
+    emb = _t(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> cast(x as double) + if(i = 0, 0.001d, 0d))"
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("embedding"),
+        "label",
+    ).unionByName(planted)
+
+
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup within-cluster duplicate pairs (operators/semdedup.py,
+    Abbas et al. 2023): deterministic seed-centroid clustering + exact
+    micro-quantized cosine, fully DuckDB-oracled including the cluster
+    assignment itself."""
+    both = _semdedup_input(spark, sf_dir)
+    pairs = semdedup.semantic_dedup_pairs(
+        both, "vec_id", "embedding", threshold=0.95, n_clusters=8
+    )
+    return pairs.select(
+        "a_id", "b_id", "cid", F.round("cosine", 6).alias("cosine")
+    ).orderBy("a_id", "b_id")
+
+
+def semdedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors — the lowest-id member of each within-cluster
+    semantic-duplicate group keeps its row; every planted near-copy is
+    dropped."""
+    both = _semdedup_input(spark, sf_dir)
+    out = semdedup.semantic_dedup(
+        both, "vec_id", "embedding", threshold=0.95, n_clusters=8
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
+
+
+def c4_cleaned_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 heuristic cleanup (operators/c4.py, Raffel et al. 2020 §2.2)
+    over planted multi-line documents: two content lines built from the
+    corpus text (terminal punctuation → kept), a too-short line and a
+    JavaScript banner (line rules drop them), and lorem-ipsum / curly
+    brace poisons on every 13th/17th doc (document rules drop the whole
+    doc). Zero-shuffle projection; the oracle replays the construction
+    and every predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.substring("text", 1, 40), F.lit(" end of part one.")),
+            F.lit("short line"),
+            F.lit("Please enable JavaScript to continue viewing."),
+            F.concat(F.substring("text", 10, 60), F.lit(" and so it goes!")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit("lorem ipsum dolor sit amet.")),
+            F.when(F.col("doc_id") % 17 == 0, F.lit("function f() { return 1; }")),
+        ).alias("text"),
+    )
+    out = c4.c4_clean(planted, "doc_id", "text", min_words=5, min_kept_lines=2)
+    return out.orderBy("doc_id")
+
+
+def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation (operators/recall.py): recall@10 of an
+    n_probe=2-of-8 IVF probe against the exact cosine ground truth, per
+    query — the operator that turns index hyper-parameters into a
+    number. Every stage (assignment, probe choice, both top-k rankings,
+    the recall join) is micro-quantized exact and replayed by the
+    oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = recall.exact_topk_multi(emb, "vec_id", "embedding", q, "qid", "qvec", k=10)
+    approx = recall.ivf_topk_multi(
+        emb, "vec_id", "embedding", q, "qid", "qvec", k=10, n_clusters=8, n_probe=2
+    )
+    return recall.ann_recall(truth, approx).orderBy("query_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1798,6 +1892,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maintained_vocab": maintained_vocab,
         "doc_tfidf_keywords": doc_tfidf_keywords,
         "corpus_zipf_slope": corpus_zipf_slope,
+        "semdedup_pairs": semdedup_pairs,
+        "semdedup_docs": semdedup_docs,
+        "c4_cleaned_docs": c4_cleaned_docs,
+        "ivf_recall_at_k": ivf_recall_at_k,
     }
 
 
@@ -2093,6 +2191,72 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY doc_id
     """
+
+    # semdedup / ivf_recall oracles: the same micro-quantization +
+    # lowest-id seed-centroid recipe as kmeans_sql (every distance/dot
+    # term is an exact integer-valued double; assignment ties
+    # (dist, cid) == the Spark fold's strict-< first minimum; the only
+    # rounding is the cosine's IEEE sqrt/divide, identical per engine).
+    sd_d = 64
+    sd_assign = f"""
+            vm AS (
+              SELECT vec_id, list_transform(v,
+                       x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+              FROM base
+            ),
+            c AS (
+              SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+                     list_transform(vm, x -> CAST(x AS DOUBLE)) AS cm
+              FROM (SELECT vec_id, vm FROM vm ORDER BY vec_id LIMIT 8)
+            ),
+            a AS (
+              SELECT vec_id, vm, cid FROM (
+                SELECT v.vec_id, v.vm, c.cid,
+                       list_reduce(list_transform(range(1, {sd_d + 1}),
+                         j -> (CAST(v.vm[j] AS DOUBLE) - c.cm[j])
+                              * (CAST(v.vm[j] AS DOUBLE) - c.cm[j])),
+                         (x, y) -> x + y) AS dist
+                FROM vm v CROSS JOIN c)
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cid) = 1
+            ),
+            n AS (
+              SELECT vec_id, cid, vm,
+                     list_dot_product(CAST(vm AS DOUBLE[]),
+                                      CAST(vm AS DOUBLE[])) AS nn
+              FROM a
+            )"""
+    # planted near-copies: +0.001 on dim 1 (mirrors _semdedup_input)
+    sd_base = """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     label
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 10000000 AS vec_id,
+                     list_prepend(CAST(embedding[1] AS DOUBLE) + 0.001,
+                                  list_transform(embedding[2:],
+                                                 x -> CAST(x AS DOUBLE))) AS v,
+                     label
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),"""
+    sd_pairs = """,
+            p AS (
+              SELECT x.vec_id AS a_id, y.vec_id AS b_id, x.cid AS cid,
+                     list_dot_product(CAST(x.vm AS DOUBLE[]),
+                                      CAST(y.vm AS DOUBLE[]))
+                       / (sqrt(x.nn) * sqrt(y.nn)) AS cosine
+              FROM n x JOIN n y ON x.cid = y.cid AND x.vec_id < y.vec_id
+              WHERE x.nn > 0 AND y.nn > 0
+            )"""
+    ir_base = """
+            WITH base AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+                     label
+              FROM embeddings
+            ),"""
 
     return {
         "corpus_zipf_slope": """
@@ -3614,5 +3778,97 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs WHERE cos >= 0.25
             ) WHERE rn = 1
             ORDER BY vec_id
+        """,
+        "semdedup_pairs": sd_base + sd_assign + sd_pairs + """
+            SELECT a_id, b_id, cid, round(cosine, 6) AS cosine
+            FROM p WHERE cosine >= 0.95 ORDER BY a_id, b_id
+        """,
+        "semdedup_docs": sd_base + sd_assign + sd_pairs + """,
+            d AS (SELECT DISTINCT b_id FROM p WHERE cosine >= 0.95)
+            SELECT b.vec_id, b.label FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.b_id = b.vec_id)
+            ORDER BY b.vec_id
+        """,
+        "c4_cleaned_docs": """
+            WITH planted AS (
+              SELECT doc_id,
+                     concat_ws(chr(10),
+                       substring(text, 1, 40) || ' end of part one.',
+                       'short line',
+                       'Please enable JavaScript to continue viewing.',
+                       substring(text, 10, 60) || ' and so it goes!',
+                       CASE WHEN doc_id % 13 = 0
+                            THEN 'lorem ipsum dolor sit amet.' END,
+                       CASE WHEN doc_id % 17 = 0
+                            THEN 'function f() { return 1; }' END) AS text
+              FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)),
+                       x -> regexp_matches(trim(x), '[.!?"]$')
+                            AND len(string_split_regex(trim(x), ' +')) >= 5
+                            AND NOT contains(lower(x), 'javascript')) AS kept,
+                     len(string_split(text, chr(10))) AS n_all
+              FROM planted)
+            SELECT doc_id,
+                   array_to_string(kept, chr(10)) AS text,
+                   CAST(len(kept) AS BIGINT) AS n_kept_lines,
+                   CAST(n_all - len(kept) AS BIGINT) AS n_dropped_lines
+            FROM s
+            WHERE NOT contains(lower(text), 'lorem ipsum')
+              AND NOT contains(text, '{')
+              AND len(kept) >= 2
+            ORDER BY doc_id
+        """,
+        "ivf_recall_at_k": ir_base + sd_assign + f""",
+            q AS (
+              SELECT vec_id AS qid, vm AS qvm,
+                     list_dot_product(CAST(vm AS DOUBLE[]),
+                                      CAST(vm AS DOUBLE[])) AS qn
+              FROM vm WHERE vec_id % 50 = 0
+            ),
+            probes AS (
+              SELECT qid, qvm, qn, cid FROM (
+                SELECT q.qid, q.qvm, q.qn, c.cid,
+                       list_reduce(list_transform(range(1, {sd_d + 1}),
+                         j -> (CAST(q.qvm[j] AS DOUBLE) - c.cm[j])
+                              * (CAST(q.qvm[j] AS DOUBLE) - c.cm[j])),
+                         (x, y) -> x + y) AS dist
+                FROM q CROSS JOIN c)
+              QUALIFY row_number() OVER (PARTITION BY qid
+                                         ORDER BY dist, cid) <= 2
+            ),
+            approx AS (
+              SELECT qid, vec_id FROM (
+                SELECT p.qid, n.vec_id,
+                       list_dot_product(CAST(n.vm AS DOUBLE[]),
+                                        CAST(p.qvm AS DOUBLE[]))
+                         / (sqrt(n.nn) * sqrt(p.qn)) AS cosine
+                FROM probes p JOIN n ON n.cid = p.cid
+                WHERE n.nn > 0 AND p.qn > 0)
+              QUALIFY row_number() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, vec_id) <= 10
+            ),
+            truth AS (
+              SELECT qid, vec_id FROM (
+                SELECT q.qid, n.vec_id,
+                       list_dot_product(CAST(n.vm AS DOUBLE[]),
+                                        CAST(q.qvm AS DOUBLE[]))
+                         / (sqrt(n.nn) * sqrt(q.qn)) AS cosine
+                FROM q CROSS JOIN n
+                WHERE n.nn > 0 AND q.qn > 0)
+              QUALIFY row_number() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, vec_id) <= 10
+            )
+            SELECT t.qid AS query_id,
+                   count(*) AS n_truth,
+                   CAST(sum(CASE WHEN ap.vec_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+                   round(CAST(sum(CASE WHEN ap.vec_id IS NOT NULL
+                                       THEN 1 ELSE 0 END) AS BIGINT)
+                         / count(*), 6) AS recall
+            FROM truth t
+            LEFT JOIN approx ap ON ap.qid = t.qid AND ap.vec_id = t.vec_id
+            GROUP BY t.qid ORDER BY query_id
         """,
     }

@@ -2,6 +2,7 @@ from . import (
     bloom,
     boilerplate,
     bpe,
+    c4,
     corpus,
     curriculum,
     decontam,
@@ -10,11 +11,16 @@ from . import (
     multimodal,
     packing,
     ranking,
+    recall,
     sampling,
+    semdedup,
     shuffle,
     similarity,
     textstats,
 )
+from .c4 import c4_clean
+from .recall import ann_recall, exact_topk_multi, ivf_topk_multi
+from .semdedup import semantic_dedup, semantic_dedup_pairs
 from .boilerplate import (
     boilerplate_lines,
     dedup_paragraphs,
@@ -61,6 +67,15 @@ __all__ = [
     "bloom",
     "boilerplate",
     "bpe",
+    "c4",
+    "c4_clean",
+    "recall",
+    "ann_recall",
+    "exact_topk_multi",
+    "ivf_topk_multi",
+    "semdedup",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "bpe_train",
     "bpe_encode",
     "word_frequencies",
