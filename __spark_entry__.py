@@ -1796,6 +1796,65 @@ def ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall.ann_recall(truth, approx).orderBy("query_id")
 
 
+# classifier entries: the label rule (stopword ratio >= 0.06, i.e.
+# standardized x_stop >= 0) splits documents ~56/44 at every SF, so both
+# classes are populated and the rule is learnable; 20 iterations at
+# lr=1.0 reach ~96% train accuracy with positive weight on x_stop
+_CLF_ITERS = 20
+_CLF_LR = 1.0
+
+
+def _clf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from csv_cruncher_spark.operators import classifier
+
+    docs = _t(spark, sf_dir, "documents")
+    return classifier.micro_feature_frame(docs).withColumn(
+        "y", (F.col("x_stop") >= 0).cast("int")
+    )
+
+
+def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3/CCNet-style trained quality classifier
+    (operators/classifier.py): batch logistic regression over integer-
+    micro text features, TRAINING INCLUDED in the oracle — each of the 8
+    gradient iterations is one map-side-combinable aggregation of k+2
+    int64 sums (order-independent, so any partitioning yields the same
+    weights), and DuckDB replays every iteration as a chained CTE from
+    the same generated arithmetic strings. Returns the per-document
+    quantized probability and the >=0.5 keep decision — the
+    classifier-filtered-corpus pattern. Per iteration nothing shuffles:
+    partial aggs move k+2 longs per partition."""
+    from csv_cruncher_spark.operators import classifier
+
+    feats = _clf_features(spark, sf_dir).persist()
+    w = classifier.train_logreg(feats, "y", iters=_CLF_ITERS, lr=_CLF_LR)
+    p = classifier.score_micro(w)
+    return feats.select(
+        "doc_id",
+        "y",
+        p.alias("p_micro"),
+        (p >= 500_000).cast("int").alias("pred"),
+    ).orderBy("doc_id")
+
+
+def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned weight vector itself — the training artifact, oracled
+    bit-for-bit (DuckDB reruns all 8 iterations and must land on the
+    same doubles; the 9dp comparison would surface any engine
+    divergence in the gradient arithmetic). Weights are O(k) driver
+    scalars by design (the classic distributed-GD layout), so building
+    the 4-row result frame on the driver is the honest shape."""
+    from csv_cruncher_spark.operators import classifier
+
+    feats = _clf_features(spark, sf_dir).persist()
+    w = classifier.train_logreg(feats, "y", iters=_CLF_ITERS, lr=_CLF_LR)
+    names = ("bias",) + classifier.DEFAULT_FEATURES
+    return spark.createDataFrame(
+        [(j, names[j], float(wj)) for j, wj in enumerate(w)],
+        "j INT, feature STRING, weight DOUBLE",
+    ).orderBy("j")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1896,6 +1955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_docs": semdedup_docs,
         "c4_cleaned_docs": c4_cleaned_docs,
         "ivf_recall_at_k": ivf_recall_at_k,
+        "classifier_quality_scores": classifier_quality_scores,
+        "classifier_weights": classifier_weights,
     }
 
 
@@ -2258,7 +2319,41 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings
             ),"""
 
+    # classifier oracles (operators/classifier.py): DuckDB retrains all
+    # _CLF_ITERS gradient iterations as chained CTEs generated from the
+    # SAME arithmetic helpers the Spark side executes, then scores /
+    # unpivots the final weight row. Integer-micro gradient sums make
+    # the weights order-independent and bit-identical across engines.
+    from csv_cruncher_spark.operators import classifier as _clf
+
+    _clf_train = _clf.oracle_training_sql(
+        _clf.micro_feature_sql(),
+        "CAST(x_stop >= 0 AS INT)",
+        iters=_CLF_ITERS,
+        lr=_CLF_LR,
+        keep_cols=("doc_id",),
+    )
+    _clf_q = _clf.cte_sigmoid_micro_sql()
+    clf_scores_sql = f"""
+            {_clf_train}
+            SELECT doc_id, y, q AS p_micro, CAST(q >= 500000 AS INT) AS pred
+            FROM (SELECT doc_id, y, {_clf_q} AS q
+                  FROM feats CROSS JOIN it{_CLF_ITERS})
+            ORDER BY doc_id
+    """
+    clf_weights_sql = f"""
+            {_clf_train}
+            SELECT j, feature, weight FROM (
+              SELECT 0 AS j, 'bias' AS feature, w0 AS weight FROM it{_CLF_ITERS}
+              UNION ALL SELECT 1, 'x_stop', w1 FROM it{_CLF_ITERS}
+              UNION ALL SELECT 2, 'x_toklen', w2 FROM it{_CLF_ITERS}
+              UNION ALL SELECT 3, 'x_alpha', w3 FROM it{_CLF_ITERS}
+            ) ORDER BY j
+    """
+
     return {
+        "classifier_quality_scores": clf_scores_sql,
+        "classifier_weights": clf_weights_sql,
         "corpus_zipf_slope": """
             WITH v AS (
               SELECT token, CAST(count(*) AS BIGINT) AS tf FROM (

@@ -3,6 +3,7 @@ from . import (
     boilerplate,
     bpe,
     c4,
+    classifier,
     corpus,
     curriculum,
     decontam,
@@ -19,6 +20,7 @@ from . import (
     textstats,
 )
 from .c4 import c4_clean
+from .classifier import micro_feature_frame, score_micro, train_logreg
 from .recall import ann_recall, exact_topk_multi, ivf_topk_multi
 from .semdedup import semantic_dedup, semantic_dedup_pairs
 from .boilerplate import (
@@ -69,6 +71,10 @@ __all__ = [
     "bpe",
     "c4",
     "c4_clean",
+    "classifier",
+    "micro_feature_frame",
+    "train_logreg",
+    "score_micro",
     "recall",
     "ann_recall",
     "exact_topk_multi",
