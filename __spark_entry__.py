@@ -1855,6 +1855,39 @@ def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+# BM25 retrieval: the query workload is a fixed literal set (a query
+# surface, not data) — both engines rank the same corpus for the same
+# four queries
+_BM25_QUERIES = [
+    ("q1", "spark window merge"),
+    ("q2", "customer filter order"),
+    ("q3", "hash join agg"),
+    ("q4", "vector stream scan"),
+]
+_BM25_K = 5
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 top-k retrieval (operators/retrieval.py): Okapi
+    scoring with Lucene-form idf in integer micro-units and the
+    rational k1=6/5, b=3/4 algebra multiplied through to EXACT int64
+    numerator/denominator pairs — each per-(query, doc, token) term is
+    one shared-SQL-string double divide+multiply then a single
+    rounding, summed as int64, so ranking is pure integer comparison
+    and DuckDB replays scores and tie-breaks bit-for-bit. Query tokens
+    broadcast; df/idf aggregate only over the matched slice of the
+    inverted index; per-query top-k is a bounded sort/slice partial
+    aggregation, never a corpus-wide window."""
+    from csv_cruncher_spark.operators import retrieval
+
+    docs = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        _BM25_QUERIES, "query_id STRING, query_text STRING"
+    )
+    out = retrieval.bm25_topk(docs, "doc_id", "text", q, k=_BM25_K)
+    return out.orderBy("query_id", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -1957,6 +1990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_at_k": ivf_recall_at_k,
         "classifier_quality_scores": classifier_quality_scores,
         "classifier_weights": classifier_weights,
+        "bm25_search": bm25_search,
     }
 
 
@@ -2351,9 +2385,61 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY j
     """
 
+    # BM25 oracle (operators/retrieval.py): the per-term expression is
+    # the SAME generated SQL string Spark executes via F.expr — one
+    # double divide+multiply on exact int64 operands, rounded once —
+    # so scores, ranking, and tie-breaks replay bit-for-bit
+    from csv_cruncher_spark.operators import retrieval as _ret
+
+    _bm25_vals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+    _bm25_term = _ret.bm25_term_sql(
+        "per.tf", "dl.dl", "idf.idf", "consts.n", "consts.t"
+    )
+    bm25_sql = f"""
+            WITH q(query_id, query_text) AS (VALUES {_bm25_vals}),
+            per AS (
+              SELECT doc_id, token, COUNT(*) AS tf FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+                FROM documents) t
+              GROUP BY doc_id, token),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM per GROUP BY doc_id),
+            consts AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                              (SELECT SUM(tf) FROM per) AS t),
+            qtok AS (SELECT DISTINCT query_id, token FROM (
+                       SELECT query_id,
+                              unnest(regexp_extract_all(lower(query_text),
+                                     '[a-z0-9]+')) AS token
+                       FROM q) s),
+            dfreq AS (SELECT token, COUNT(*) AS df FROM per
+                      WHERE token IN (SELECT DISTINCT token FROM qtok)
+                      GROUP BY token),
+            idf AS (SELECT token,
+                           CAST(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                                      * 1000000) AS BIGINT) AS idf
+                    FROM dfreq CROSS JOIN consts),
+            terms AS (SELECT qtok.query_id, per.doc_id, {_bm25_term} AS term
+                      FROM per JOIN qtok USING (token)
+                               JOIN idf USING (token)
+                               JOIN dl USING (doc_id)
+                               CROSS JOIN consts),
+            scored AS (SELECT query_id, doc_id,
+                              CAST(SUM(term) AS BIGINT) AS score_micro
+                       FROM terms GROUP BY query_id, doc_id),
+            r AS (SELECT query_id, doc_id, score_micro,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY score_micro DESC,
+                                                     doc_id ASC) AS rn
+                  FROM scored)
+            SELECT query_id, CAST(rn AS BIGINT) AS "rank", doc_id, score_micro
+            FROM r WHERE rn <= {_BM25_K} ORDER BY query_id, "rank"
+    """
+
     return {
         "classifier_quality_scores": clf_scores_sql,
         "classifier_weights": clf_weights_sql,
+        "bm25_search": bm25_sql,
         "corpus_zipf_slope": """
             WITH v AS (
               SELECT token, CAST(count(*) AS BIGINT) AS tf FROM (

@@ -13,6 +13,7 @@ from . import (
     packing,
     ranking,
     recall,
+    retrieval,
     sampling,
     semdedup,
     shuffle,
@@ -22,6 +23,7 @@ from . import (
 from .c4 import c4_clean
 from .classifier import micro_feature_frame, score_micro, train_logreg
 from .recall import ann_recall, exact_topk_multi, ivf_topk_multi
+from .retrieval import bm25_topk
 from .semdedup import semantic_dedup, semantic_dedup_pairs
 from .boilerplate import (
     boilerplate_lines,
@@ -79,6 +81,8 @@ __all__ = [
     "ann_recall",
     "exact_topk_multi",
     "ivf_topk_multi",
+    "retrieval",
+    "bm25_topk",
     "semdedup",
     "semantic_dedup",
     "semantic_dedup_pairs",
