@@ -1855,6 +1855,40 @@ def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set evaluation of the quality classifier
+    (classifier.evaluate): ONE row of exact int64 confusion counts plus
+    accuracy/precision/recall/F1 in micro units, each a single rounded
+    division of two exact sums (F1 via the harmonic identity — no
+    rounded intermediate feeds another division). The oracle retrains
+    all iterations in DuckDB, rescores, and must land on the identical
+    nine integers. One partial-combined aggregation — four longs per
+    partition cross the wire."""
+    from csv_cruncher_spark.operators import classifier
+
+    feats = _clf_features(spark, sf_dir).persist()
+    w = classifier.train_logreg(feats, "y", iters=_CLF_ITERS, lr=_CLF_LR)
+    p = classifier.score_micro(w)
+    scored = feats.select("y", (p >= 500_000).cast("int").alias("pred"))
+    return classifier.evaluate(scored)
+
+
+def classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained classifier
+    (classifier.calibration_bins): decile bins of the quantized
+    probability with per-bin count, mean predicted probability,
+    empirical positive rate, and their exact integer gap. Binning is
+    int64 floor division (`div`/`//` — never a double->int cast, whose
+    rounding differs across engines); the per-bin ratios are single
+    rounded divisions. One ≤10-group hash agg."""
+    from csv_cruncher_spark.operators import classifier
+
+    feats = _clf_features(spark, sf_dir).persist()
+    w = classifier.train_logreg(feats, "y", iters=_CLF_ITERS, lr=_CLF_LR)
+    scored = feats.select("y", classifier.score_micro(w).alias("p_micro"))
+    return classifier.calibration_bins(scored).orderBy("bin")
+
+
 # BM25 retrieval: the query workload is a fixed literal set (a query
 # surface, not data) — both engines rank the same corpus for the same
 # four queries
@@ -1990,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall_at_k": ivf_recall_at_k,
         "classifier_quality_scores": classifier_quality_scores,
         "classifier_weights": classifier_weights,
+        "classifier_eval": classifier_eval,
+        "classifier_calibration": classifier_calibration,
         "bm25_search": bm25_search,
     }
 
@@ -2385,6 +2421,54 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY j
     """
 
+    # classifier evaluation oracles: retrain in DuckDB (same chained
+    # CTEs), rescore, then replay the exact-integer confusion /
+    # calibration arithmetic
+    clf_eval_sql = f"""
+            {_clf_train},
+            scored AS (
+              SELECT y, CAST(q >= 500000 AS INT) AS pred
+              FROM (SELECT y, {_clf_q} AS q
+                    FROM feats CROSS JOIN it{_CLF_ITERS})),
+            c AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(y * pred) AS BIGINT) AS tp,
+                     CAST(SUM((1 - y) * pred) AS BIGINT) AS fp,
+                     CAST(SUM(y * (1 - pred)) AS BIGINT) AS fn,
+                     CAST(SUM((1 - y) * (1 - pred)) AS BIGINT) AS tn
+              FROM scored)
+            SELECT n, tp, fp, fn, tn,
+                   CASE WHEN n != 0 THEN
+                     CAST(ROUND(1000000.0 * (tp + tn) / n) AS BIGINT) END
+                     AS accuracy_micro,
+                   CASE WHEN tp + fp != 0 THEN
+                     CAST(ROUND(1000000.0 * tp / (tp + fp)) AS BIGINT) END
+                     AS precision_micro,
+                   CASE WHEN tp + fn != 0 THEN
+                     CAST(ROUND(1000000.0 * tp / (tp + fn)) AS BIGINT) END
+                     AS recall_micro,
+                   CASE WHEN 2 * tp + fp + fn != 0 THEN
+                     CAST(ROUND(1000000.0 * (2 * tp) / (2 * tp + fp + fn))
+                          AS BIGINT) END AS f1_micro
+            FROM c
+    """
+    clf_calib_sql = f"""
+            {_clf_train},
+            scored AS (
+              SELECT y, {_clf_q} AS q FROM feats CROSS JOIN it{_CLF_ITERS}),
+            b AS (
+              SELECT LEAST(q * 10 // 1000000, 9) AS bin, COUNT(*) AS n,
+                     CAST(SUM(q) AS BIGINT) AS sp,
+                     CAST(SUM(y) AS BIGINT) AS sy
+              FROM scored GROUP BY 1)
+            SELECT bin, n,
+                   CAST(ROUND(sp / n) AS BIGINT) AS mean_p_micro,
+                   CAST(ROUND(1000000.0 * sy / n) AS BIGINT) AS pos_rate_micro,
+                   CAST(ROUND(sp / n) AS BIGINT)
+                     - CAST(ROUND(1000000.0 * sy / n) AS BIGINT) AS gap_micro
+            FROM b ORDER BY bin
+    """
+
     # BM25 oracle (operators/retrieval.py): the per-term expression is
     # the SAME generated SQL string Spark executes via F.expr — one
     # double divide+multiply on exact int64 operands, rounded once —
@@ -2439,6 +2523,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "classifier_quality_scores": clf_scores_sql,
         "classifier_weights": clf_weights_sql,
+        "classifier_eval": clf_eval_sql,
+        "classifier_calibration": clf_calib_sql,
         "bm25_search": bm25_sql,
         "corpus_zipf_slope": """
             WITH v AS (

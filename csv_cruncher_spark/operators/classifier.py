@@ -291,3 +291,100 @@ def oracle_training_sql(
 def score_micro(weights: list[float], feature_cols: tuple[str, ...] = DEFAULT_FEATURES):
     """Column: quantized predicted probability under trained weights."""
     return F.expr(sigmoid_micro_sql(list(weights), feature_cols))
+
+
+def _ratio_micro(num, den):
+    """round(1e6 * num/den) as int64, NULL when den = 0 — ONE IEEE
+    division of two exact int64 sums then one rounding, so both engines
+    agree bit-for-bit (the module's established quantization shape)."""
+    return F.when(
+        den != 0,
+        F.round(F.lit(1_000_000.0) * num / den).cast("bigint"),
+    )
+
+
+def evaluate(
+    scored: DataFrame,
+    label_col: str = "y",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Classifier evaluation — ONE row of exact confusion counts and
+    micro-quantized metrics: (n, tp, fp, fn, tn, accuracy_micro,
+    precision_micro, recall_micro, f1_micro).
+
+    The counts are int64 sums of 0/1 indicators (order-independent,
+    exact); each metric is a single rounded division of two of those
+    sums — f1 uses the harmonic identity ``2·tp / (2·tp + fp + fn)``
+    directly so no rounded intermediate ever feeds another division.
+    Degenerate denominators (no positive predictions / no positive
+    labels / empty frame) yield NULL, never a fake 0. Scale shape: one
+    partial-combined aggregation, four longs per partition to one
+    reducer."""
+    y = F.col(label_col).cast("long")
+    p = F.col(pred_col).cast("long")
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y * p).alias("tp"),
+        F.sum((1 - y) * p).alias("fp"),
+        F.sum(y * (1 - p)).alias("fn"),
+        F.sum((1 - y) * (1 - p)).alias("tn"),
+    )
+    tp, fp, fn, tn, n = (F.col(c) for c in ("tp", "fp", "fn", "tn", "n"))
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        _ratio_micro(tp + tn, n).alias("accuracy_micro"),
+        _ratio_micro(tp, tp + fp).alias("precision_micro"),
+        _ratio_micro(tp, tp + fn).alias("recall_micro"),
+        _ratio_micro(2 * tp, 2 * tp + fp + fn).alias("f1_micro"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    p_col: str = "p_micro",
+    label_col: str = "y",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram as data: bucket the quantized probability
+    into ``n_bins`` equal-width bins and report per bin (bin, n,
+    mean_p_micro, pos_rate_micro, gap_micro) — a well-calibrated
+    classifier has gap ≈ 0 everywhere; Σ n·|gap|/Σn is the expected
+    calibration error. Binning is pure integer arithmetic
+    (``p·n_bins div 1e6``, top edge folded into the last bin), the two
+    per-bin ratios are single rounded divisions of exact int64 sums,
+    and ``gap_micro`` is their exact integer difference — fully
+    cross-engine-exact. One hash aggregation over ≤ ``n_bins`` groups;
+    empty bins are absent (nothing was observed there)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    p = F.col(p_col).cast("long")
+    y = F.col(label_col).cast("long")
+    # integer floor-division binning: `div` in Spark, `//` in DuckDB —
+    # exact int64 semantics on both, never a double->int cast (whose
+    # rounding convention differs across engines)
+    b = F.least(
+        F.expr(f"CAST({p_col} AS BIGINT) * {n_bins} div {MICRO}"),
+        F.lit(n_bins - 1).cast("bigint"),
+    )
+    agg = (
+        scored.select(b.alias("bin"), p.alias("__p"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__p").alias("__sp"),
+            F.sum("__y").alias("__sy"),
+        )
+    )
+    mean_p = F.round(F.col("__sp") / F.col("n")).cast("bigint")
+    pos = _ratio_micro(F.col("__sy"), F.col("n"))
+    return agg.select(
+        "bin",
+        "n",
+        mean_p.alias("mean_p_micro"),
+        pos.alias("pos_rate_micro"),
+        (mean_p - pos).alias("gap_micro"),
+    )

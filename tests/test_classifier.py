@@ -129,3 +129,61 @@ def test_feature_scan_is_column_pruned_and_shuffle_free(spark):
     assert "partial_sum" in aplan or "Partial" in aplan
     # the only exchange is the k+2-long single-partition combine
     assert aplan.count("Exchange") == 1 and "SinglePartition" in aplan
+
+
+def test_evaluate_counts_and_metrics(spark):
+    # 3 TP, 1 FP, 2 FN, 4 TN
+    rows = (
+        [(1, 1)] * 3 + [(0, 1)] * 1 + [(1, 0)] * 2 + [(0, 0)] * 4
+    )
+    df = spark.createDataFrame(rows, "y INT, pred INT")
+    r = classifier.evaluate(df).collect()[0]
+    assert (r.n, r.tp, r.fp, r.fn, r.tn) == (10, 3, 1, 2, 4)
+    assert r.accuracy_micro == 700_000
+    assert r.precision_micro == 750_000
+    assert r.recall_micro == 600_000
+    # f1 = 2*3/(2*3+1+2) = 6/9
+    assert r.f1_micro == 666_667
+
+
+def test_evaluate_null_on_degenerate_denominators(spark):
+    df = spark.createDataFrame([(0, 0), (0, 0)], "y INT, pred INT")
+    r = classifier.evaluate(df).collect()[0]
+    assert r.precision_micro is None  # no positive predictions
+    assert r.recall_micro is None  # no positive labels
+    assert r.f1_micro is None
+    assert r.accuracy_micro == 1_000_000
+
+
+def test_calibration_bins_exact(spark):
+    rows = [
+        (50_000, 0),  # bin 0
+        (149_999, 1),  # bin 1
+        (150_001, 0),  # bin 1
+        (999_999, 1),  # bin 9
+        (1_000_000, 1),  # p = 1.0 folds into the last bin
+    ]
+    df = spark.createDataFrame(rows, "p_micro BIGINT, y INT")
+    out = {r.bin: r for r in classifier.calibration_bins(df).collect()}
+    assert set(out) == {0, 1, 9}
+    b1 = out[1]
+    assert b1.n == 2
+    assert b1.mean_p_micro == 150_000
+    assert b1.pos_rate_micro == 500_000
+    assert b1.gap_micro == 150_000 - 500_000
+    b9 = out[9]
+    assert b9.n == 2 and b9.pos_rate_micro == 1_000_000
+
+
+def test_calibration_layout_independent(spark):
+    rows = [((i * 37) % 1_000_001, i % 2) for i in range(500)]
+    df = spark.createDataFrame(rows, "p_micro BIGINT, y INT")
+    a = sorted(map(tuple, classifier.calibration_bins(df).collect()))
+    b = sorted(map(tuple, classifier.calibration_bins(df.repartition(7)).collect()))
+    assert a == b
+
+
+def test_calibration_validates_bins(spark):
+    df = spark.createDataFrame([(1, 1)], "p_micro BIGINT, y INT")
+    with pytest.raises(ValueError):
+        classifier.calibration_bins(df, n_bins=1)
