@@ -1855,6 +1855,28 @@ def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (sampling.weighted_sample_topk): the 50 documents winning the
+    token-count-weighted lottery under the salted md5 stream. The E-S
+    key ln(u)/w uses a once-rounded integer-micro ln(u) and ONE IEEE
+    division, so the selected set, order, and the key doubles replay
+    bit-for-bit in DuckDB. Plan: narrow projection + TakeOrdered
+    (per-partition k-heaps — no global sort shuffle)."""
+    from csv_cruncher_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    weighted = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long")
+        .alias("weight"),
+    )
+    out = weighted_sample_topk(weighted, "doc_id", "weight", 50, key_out="es_key")
+    return out.orderBy(F.desc("es_key"), "doc_id")
+
+
 def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-set evaluation of the quality classifier
     (classifier.evaluate): ONE row of exact int64 confusion counts plus
@@ -2027,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_eval": classifier_eval,
         "classifier_calibration": classifier_calibration,
         "bm25_search": bm25_search,
+        "weighted_sample_docs": weighted_sample_docs,
     }
 
 
@@ -2526,6 +2549,28 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": clf_eval_sql,
         "classifier_calibration": clf_calib_sql,
         "bm25_search": bm25_sql,
+        "weighted_sample_docs": """
+            WITH w AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                          AS BIGINT) AS weight
+              FROM documents
+            ),
+            d AS (
+              SELECT doc_id, lang, weight,
+                     ('0x' || substr(md5(doc_id || ':wsample-v1'), 1, 8))::BIGINT
+                       AS v
+              FROM w WHERE weight > 0
+            ),
+            s AS (
+              SELECT doc_id, lang, weight,
+                     CAST(ROUND(ln((v + 0.5) / 4294967296.0) * 1000000)
+                          AS BIGINT) AS lnu
+              FROM d
+            )
+            SELECT doc_id, lang, weight, lnu / weight AS es_key
+            FROM s ORDER BY es_key DESC, doc_id LIMIT 50
+        """,
         "corpus_zipf_slope": """
             WITH v AS (
               SELECT token, CAST(count(*) AS BIGINT) AS tf FROM (

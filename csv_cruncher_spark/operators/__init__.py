@@ -51,6 +51,7 @@ from .sampling import (
     stratified_sample,
     temperature_fractions,
     temperature_sample,
+    weighted_sample_topk,
 )
 from .dedup import dropped_buckets, release
 from .shuffle import epoch_shuffle
@@ -114,6 +115,7 @@ __all__ = [
     "assign_split",
     "temperature_fractions",
     "temperature_sample",
+    "weighted_sample_topk",
     "dedup",
     "joins",
     "multimodal",

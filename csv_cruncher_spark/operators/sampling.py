@@ -38,6 +38,7 @@ __all__ = [
     "assign_split",
     "temperature_fractions",
     "temperature_sample",
+    "weighted_sample_topk",
 ]
 
 
@@ -201,3 +202,63 @@ def assign_split(
     last = F.lit(names[-1])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn(out_col, out)
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    salt: str = "wsample-v1",
+    key_out: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis–Spirakis A-ES scheme (Inf. Process. Lett. 97(5), 2006):
+    every row gets the score  u^(1/w)  for a uniform draw u and weight
+    w, and the k highest scores ARE a weighted sample without
+    replacement. Ranking by ``u^(1/w)`` is order-equivalent to ranking
+    by ``ln(u)/w``, which is what's computed (no pow, no overflow, no
+    underflow at large weights).
+
+    Everything is derived from the module's salted md5 stream, so the
+    sample is a pure function of (key, salt): layout-independent,
+    replayable, and append-stable in the E-S sense (a new row displaces
+    the current minimum only if its own score wins — exactly the
+    reservoir semantics, evaluated batch-side). Weights must be POSITIVE
+    integers (token counts, byte sizes, quality micro-scores);
+    rows with NULL or non-positive weight are excluded (E-S is undefined
+    there), matching the oracle's filter.
+
+    Cross-engine exactness: the uniform draw is the 8-hex md5 prefix as
+    a uint32 v; ``ln((v + 0.5)/2^32)`` is rounded ONCE to int64 micro
+    units, and the ranking key is the single IEEE division
+    ``lnu_micro / w`` — identical doubles in any engine, ties broken by
+    key ascending. Scale shape: a narrow projection plus ONE
+    TakeOrdered top-k (per-partition heaps of k, no global sort
+    shuffle); keep k small relative to executor memory — for
+    corpus-sized k use the threshold form (rank once, filter) instead.
+
+    Returns the selected rows with all original columns, plus the E-S
+    key as ``key_out`` when requested.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = (
+        F.col(weight_col).cast("long")
+        if isinstance(weight_col, str)
+        else weight_col.cast("long")
+    )
+    v = F.conv(hash_bucket(F.col(key_col), salt), 16, 10).cast("long")
+    lnu = F.round(
+        F.log((v + F.lit(0.5)) / F.lit(4294967296.0)) * 1_000_000
+    ).cast("bigint")
+    out = (
+        df.withColumn("__w", w)
+        .filter(F.col("__w") > 0)
+        .withColumn("__es", lnu / F.col("__w"))
+        .orderBy(F.desc("__es"), F.col(key_col).asc())
+        .limit(k)
+    )
+    if key_out is not None:
+        out = out.withColumn(key_out, F.col("__es"))
+    return out.drop("__w", "__es")

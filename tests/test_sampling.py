@@ -207,3 +207,63 @@ def test_temperature_sample_null_stratum_participates(spark):
     assert None in got
     for k in (None, "en", "de"):
         assert 140 <= got.get(k, 0) <= 260, got
+
+
+# --- weighted_sample_topk (Efraimidis–Spirakis) -------------------------
+
+
+def test_weighted_topk_deterministic_and_layout_free(spark):
+    from csv_cruncher_spark.operators.sampling import weighted_sample_topk
+
+    rows = [(f"k{i}", (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id STRING, w INT")
+    a = sorted(r.id for r in weighted_sample_topk(df, "id", "w", 20).collect())
+    b = sorted(
+        r.id
+        for r in weighted_sample_topk(df.repartition(9), "id", "w", 20).collect()
+    )
+    c = sorted(r.id for r in weighted_sample_topk(df, "id", "w", 20).collect())
+    assert a == b == c
+    assert len(a) == 20
+
+
+def test_weighted_topk_weight_bias(spark):
+    """Across many salts, a row with 20x the weight of its peers must be
+    selected far more often — the E-S inclusion-probability contract."""
+    from csv_cruncher_spark.operators.sampling import weighted_sample_topk
+
+    rows = [("heavy", 200)] + [(f"light{i}", 10) for i in range(49)]
+    df = spark.createDataFrame(rows, "id STRING, w INT").cache()
+    heavy_in = light0_in = 0
+    for s in range(12):
+        got = {
+            r.id
+            for r in weighted_sample_topk(df, "id", "w", 10, salt=f"s{s}").collect()
+        }
+        heavy_in += "heavy" in got
+        light0_in += "light0" in got
+    assert heavy_in >= 10  # ~always sampled (weight share 200/690 vs k=10)
+    assert light0_in <= heavy_in
+
+
+def test_weighted_topk_excludes_nonpositive_and_null(spark):
+    from csv_cruncher_spark.operators.sampling import weighted_sample_topk
+
+    rows = [("a", 5), ("b", 0), ("c", -3), ("d", None), ("e", 2)]
+    df = spark.createDataFrame(rows, "id STRING, w INT")
+    got = {r.id for r in weighted_sample_topk(df, "id", "w", 10).collect()}
+    assert got == {"a", "e"}
+
+
+def test_weighted_topk_key_out_and_validation(spark):
+    import pytest as _pytest
+
+    from csv_cruncher_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([("a", 1)], "id STRING, w INT")
+    out = weighted_sample_topk(df, "id", "w", 1, key_out="es_key")
+    row = out.collect()[0]
+    assert row.es_key < 0  # ln(u)/w is always negative
+    assert set(out.columns) == {"id", "w", "es_key"}
+    with _pytest.raises(ValueError):
+        weighted_sample_topk(df, "id", "w", 0)
