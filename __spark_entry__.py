@@ -1855,6 +1855,41 @@ def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift (textstats.corpus_drift): KL
+    divergence of each source's unigram mix from the whole corpus —
+    CCNet's per-shard canary for scraper regressions and boilerplate
+    floods. Both log-probabilities are once-rounded integer micro-nats,
+    the per-group sum is exact int64, and ``kl_micro`` is its single
+    terminal division — bit-replayed by DuckDB. One (group, token)
+    hash agg + a vocabulary-keyed equi-join; no unbounded broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    out = textstats.corpus_drift(docs, "source", "text")
+    return out.orderBy("source")
+
+
+def grouped_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP-level dataset split (sampling.assign_split
+    keyed on ``source``): every document of a source lands in the same
+    split, so near-duplicates within a domain can never straddle
+    train/test — the split-by-group discipline eval-contamination
+    audits demand. Reports per split the exact source and document
+    counts; the oracle replays the md5 threshold math per source and
+    must land on identical partitions."""
+    docs = _t(spark, sf_dir, "documents")
+    split = sampling.assign_split(
+        docs, "source", {"train": 8, "val": 1, "test": 1}, salt="gsplit-v1"
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
 def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sampling without replacement
     (sampling.weighted_sample_topk): the 50 documents winning the
@@ -2050,6 +2085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_calibration": classifier_calibration,
         "bm25_search": bm25_search,
         "weighted_sample_docs": weighted_sample_docs,
+        "corpus_drift_report": corpus_drift_report,
+        "grouped_split_stats": grouped_split_stats,
     }
 
 
@@ -2549,6 +2586,47 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": clf_eval_sql,
         "classifier_calibration": clf_calib_sql,
         "bm25_search": bm25_sql,
+        "corpus_drift_report": """
+            WITH per AS (
+              SELECT source, token, COUNT(*) AS tfg FROM (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS token
+                FROM documents) t
+              GROUP BY source, token),
+            gt AS (SELECT source, CAST(SUM(tfg) AS BIGINT) AS tg
+                   FROM per GROUP BY source),
+            corp AS (SELECT token, CAST(SUM(tfg) AS BIGINT) AS tfc
+                     FROM per GROUP BY token),
+            tot AS (SELECT CAST(SUM(tfc) AS BIGINT) AS tc FROM corp),
+            j AS (
+              SELECT per.source, per.tfg,
+                     per.tfg * (
+                       CAST(ROUND(ln(CAST(per.tfg AS DOUBLE) / gt.tg)
+                                  * 1000000) AS BIGINT)
+                     - CAST(ROUND(ln(CAST(corp.tfc AS DOUBLE) / tot.tc)
+                                  * 1000000) AS BIGINT)) AS contrib
+              FROM per JOIN gt USING (source) JOIN corp USING (token)
+                   CROSS JOIN tot),
+            a AS (SELECT source, CAST(SUM(tfg) AS BIGINT) AS n_tokens,
+                         CAST(SUM(contrib) AS BIGINT) AS s
+                  FROM j GROUP BY source)
+            SELECT source, n_tokens, s / n_tokens AS kl_micro
+            FROM a ORDER BY source
+        """,
+        "grouped_split_stats": f"""
+            WITH s AS (
+              SELECT doc_id, source,
+                     CASE WHEN substr(md5(source || ':gsplit-v1'), 1, 8)
+                            < '{sampling._hex_threshold(0.8)}' THEN 'train'
+                          WHEN substr(md5(source || ':gsplit-v1'), 1, 8)
+                            < '{sampling._hex_threshold(0.9)}' THEN 'val'
+                          ELSE 'test' END AS split
+              FROM documents)
+            SELECT split, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   COUNT(*) AS n_docs
+            FROM s GROUP BY split ORDER BY split
+        """,
         "weighted_sample_docs": """
             WITH w AS (
               SELECT doc_id, lang,

@@ -1049,3 +1049,88 @@ def zipf_fit(
         F.col("n").cast("long").alias("n_points"),
         F.when(den != 0, num / den).alias("zipf_slope"),
     )
+
+
+def corpus_drift(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    pattern: str = TOKEN_REGEX,
+) -> DataFrame:
+    """Distribution-drift diagnostic: per group (source, snapshot, shard
+    — whatever ``group_col`` slices), the KL divergence of the group's
+    unigram distribution from the WHOLE corpus'
+
+        KL(P_g || P_corpus) = Σ_t P_g(t) · [ln P_g(t) − ln P_c(t)]
+
+    — the standard data-quality canary for "did this source/crawl
+    snapshot drift away from the corpus mix" (CCNet monitors exactly
+    this per shard; a boilerplate flood, language shift, or scraper
+    regression shows up as a KL spike long before eval metrics move).
+    Always ≥ 0 up to quantization; a group matching the corpus mix
+    scores ≈ 0.
+
+    Exactness (the module's fixed-point discipline): the two log
+    probabilities are each rounded ONCE to int64 micro-nats —
+    ``round(1e6·ln(tf_g/T_g))`` and ``round(1e6·ln(tf_c/T_c))``, single
+    IEEE divide→ln→round chains on exact int64 counts — then the sum
+    ``Σ tf_g·(ln_g − ln_c)`` accumulates as EXACT int64 products
+    (order-independent, any layout), and the returned ``kl_micro`` is
+    that sum's one terminal division by ``T_g`` (micro-nats per token;
+    raw double, no terminal rounding — unigram_logprob's convention).
+    Every group token is in the corpus by construction (group ⊆ corpus),
+    so no OOV smoothing is needed, unlike the cross-corpus scorers.
+
+    Int64-exactness bound: |ln_g − ln_c| ≤ ~35e6 micro-nats, so the sum
+    is exact while the group holds ≲ 2.6·10^11 tokens; shard larger
+    groups or scale both T's by a common power of 10 (a constant shift
+    — ranking unchanged).
+
+    Scale shape: ONE (group, token) hash agg (map-side combined, the
+    'the'-skew arrives pre-summed), token totals fold from it, the
+    corpus side joins ON TOKEN (vocabulary-sized equi-join, one idf-row
+    per token — tfidf_keywords' shape, never a broadcast of an
+    unbounded vocab), and the per-group reduce moves one int64 per
+    (group, token). Returns (group_col, n_tokens, kl_micro).
+    """
+    from .bpe import _sql_str
+
+    toks = F.expr(f"regexp_extract_all(lower({text_col}), {_sql_str(pattern)}, 0)")
+    per = (
+        df.select(F.col(group_col).alias("__g"), F.explode(toks).alias("token"))
+        .groupBy("__g", "token")
+        .agg(F.count(F.lit(1)).alias("__tfg"))
+    )
+    gt = per.groupBy("__g").agg(F.sum("__tfg").alias("__tg"))
+    corp = per.groupBy("token").agg(F.sum("__tfg").alias("__tfc"))
+    tot = corp.agg(F.sum("__tfc").alias("__tc"))
+
+    ln_micro = lambda num, den: F.round(  # noqa: E731 — shared shape
+        F.log(num.cast("double") / den) * 1_000_000
+    ).cast("bigint")
+
+    j = (
+        per.join(gt, "__g")
+        .join(corp, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "__g",
+            "__tfg",
+            (
+                F.col("__tfg")
+                * (
+                    ln_micro(F.col("__tfg"), F.col("__tg"))
+                    - ln_micro(F.col("__tfc"), F.col("__tc"))
+                )
+            ).alias("__contrib"),
+        )
+    )
+    agg = j.groupBy("__g").agg(
+        F.sum("__tfg").alias("n_tokens"),
+        F.sum("__contrib").alias("__s"),
+    )
+    return agg.select(
+        F.col("__g").alias(group_col),
+        "n_tokens",
+        (F.col("__s") / F.col("n_tokens")).alias("kl_micro"),
+    )

@@ -378,3 +378,46 @@ def test_sortorder_guard_no_false_positive_on_desc_named_column(spark):
         order=F.col("a DESC b"), descending=True,
     )
     assert [r["doc_id"] for r in out.collect()] == [2]
+
+
+# --- corpus_drift (KL divergence diagnostic) -----------------------------
+
+
+def test_corpus_drift_zero_for_identical_mix(spark):
+    from csv_cruncher_spark.operators.textstats import corpus_drift
+
+    # two groups with IDENTICAL token distributions -> KL == 0 exactly
+    rows = [("a", "x x y"), ("b", "x x y"), ("a", "y z"), ("b", "y z")]
+    df = spark.createDataFrame(rows, "src STRING, text STRING")
+    out = {r.src: r for r in corpus_drift(df, "src", "text").collect()}
+    assert out["a"].kl_micro == 0.0
+    assert out["b"].kl_micro == 0.0
+    assert out["a"].n_tokens == 5
+
+
+def test_corpus_drift_detects_skewed_group(spark):
+    from csv_cruncher_spark.operators.textstats import corpus_drift
+
+    # healthy groups dominate the corpus; one group floods boilerplate
+    rows = (
+        [("ok1", "alpha beta gamma delta spam")] * 5
+        + [("ok2", "alpha beta gamma delta spam")] * 5
+        + [("flood", "spam spam spam spam spam")] * 2
+    )
+    df = spark.createDataFrame(rows, "src STRING, text STRING")
+    out = {r.src: r for r in corpus_drift(df, "src", "text").collect()}
+    # the boilerplate-flooded group diverges much further from the
+    # corpus mix than the healthy ones (which differ only by the flood's
+    # dilution of the corpus totals)
+    assert out["flood"].kl_micro > 10 * out["ok1"].kl_micro
+    assert out["ok1"].kl_micro >= 0
+
+
+def test_corpus_drift_layout_independent(spark):
+    from csv_cruncher_spark.operators.textstats import corpus_drift
+
+    rows = [(f"s{i % 3}", f"tok{i % 11} tok{i % 7} common") for i in range(120)]
+    df = spark.createDataFrame(rows, "src STRING, text STRING")
+    a = sorted(map(tuple, corpus_drift(df, "src", "text").collect()))
+    b = sorted(map(tuple, corpus_drift(df.repartition(13), "src", "text").collect()))
+    assert a == b
