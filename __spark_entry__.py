@@ -1855,6 +1855,53 @@ def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+def ivm_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained MIN/MAX (ivm.apply_changes_to_minmax):
+    per-event_type extremum cents over the LWW user state, bootstrapped
+    from a 3/4 subset and folded forward by the NET pre-image feed —
+    insertions self-maintain via least/greatest; retractions that touch
+    a stored extremum re-aggregate ONLY the endangered groups through a
+    semi-join on the post state (the rescan is explicit in the API, not
+    a hidden table scan). The oracle recomputes from the FULL final
+    state, so fold, endangered detection, group birth/death, and the
+    all-null-survivors case all gate the value hash. Extrema are
+    order-independent, so maintained == recompute bit-for-bit even on
+    unquantized measures."""
+    ev = _t(spark, sf_dir, "events")
+
+    def state(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("event_type", "value"), F.struct("ts", "event_id")
+                ).alias("_l")
+            )
+            .select(
+                "user_id",
+                F.col("_l.event_type").alias("event_type"),
+                F.round(F.col("_l.value") * 100).cast("long").alias("value_cents"),
+            )
+        )
+
+    pre = state(ev.filter(F.col("event_id") % 4 != 0))
+    post = state(ev)
+    group = ["event_type"]
+    mins, maxs = {"min_cents": "value_cents"}, {"max_cents": "value_cents"}
+    maintained = ivm.apply_changes_to_minmax(
+        ivm.compute_minmax(pre, group, mins=mins, maxs=maxs, count_col="n_users"),
+        ivm.diff_states(pre, post, "user_id"),
+        post,
+        group,
+        mins=mins,
+        maxs=maxs,
+        count_col="n_users",
+    )
+    return maintained.select(
+        "event_type", "n_users", "min_cents", "max_cents"
+    ).orderBy("event_type")
+
+
 def corpus_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift (textstats.corpus_drift): KL
     divergence of each source's unigram mix from the whole corpus —
@@ -2087,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": weighted_sample_docs,
         "corpus_drift_report": corpus_drift_report,
         "grouped_split_stats": grouped_split_stats,
+        "ivm_minmax_stats": ivm_minmax_stats,
     }
 
 
@@ -2586,6 +2634,19 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": clf_eval_sql,
         "classifier_calibration": clf_calib_sql,
         "bm25_search": bm25_sql,
+        "ivm_minmax_stats": """
+            SELECT event_type,
+                   COUNT(*) AS n_users,
+                   MIN(CAST(round(value * 100) AS BIGINT)) AS min_cents,
+                   MAX(CAST(round(value * 100) AS BIGINT)) AS max_cents
+            FROM (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) t
+            WHERE rn = 1
+            GROUP BY event_type ORDER BY event_type
+        """,
         "corpus_drift_report": """
             WITH per AS (
               SELECT source, token, COUNT(*) AS tfg FROM (

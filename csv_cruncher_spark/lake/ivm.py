@@ -7,10 +7,13 @@ table scan every time a batch lands. With pre-images
 and AVG as SUM/COUNT — can be maintained exactly by applying
 O(changed keys) retractions (+1 per appearing row, -1 per disappearing
 row), the classic counting algorithm from the materialized-view
-literature (Gupta/Mumick et al.). MIN/MAX are deliberately NOT offered:
-they are not self-maintainable under deletion (a retraction of the
-current extremum needs a rescan of the group), and silently recomputing
-would hide a table scan inside an "incremental" API.
+literature (Gupta/Mumick et al.). MIN/MAX are not self-maintainable
+under deletion (a retraction of the current extremum needs a rescan of
+the group), so they live behind a separate API —
+:func:`apply_changes_to_minmax` — whose signature TAKES the post-batch
+state and re-aggregates ONLY the endangered groups through a semi-join:
+the rescan is explicit and bounded, never a table scan hidden inside an
+"incremental" call.
 
 Scale shape at 100 TB: the maintained aggregate is typically orders of
 magnitude smaller than the table and a change batch is batch-sized, so
@@ -388,3 +391,166 @@ class MaintainedAggregate:
         )
         self._persist(agg, cur)
         return cur
+
+
+def compute_minmax(
+    state: DataFrame,
+    group_cols: list[str],
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Bootstrap a maintainable MIN/MAX aggregate from a full state
+    read: ``group_cols`` + row count + one column per requested extremum
+    (``mins``/``maxs`` map output name -> source column). The result is
+    what :func:`apply_changes_to_minmax` expects and returns."""
+    mins, maxs = mins or {}, maxs or {}
+    if not mins and not maxs:
+        raise ValueError("compute_minmax needs at least one of mins/maxs")
+    aggs = [F.count(F.lit(1)).alias(count_col)]
+    aggs += [F.min(c).alias(n) for n, c in mins.items()]
+    aggs += [F.max(c).alias(n) for n, c in maxs.items()]
+    return state.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_changes_to_minmax(
+    agg: DataFrame,
+    changes: DataFrame,
+    state: DataFrame,
+    group_cols: list[str],
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Fold one change batch into a maintained MIN/MAX aggregate — the
+    self-maintainability gap the module docstring refuses to paper over,
+    closed HONESTLY: MIN/MAX are self-maintainable under insertion
+    (fold with least/greatest) but not under deletion, so retractions
+    that touch a group's stored extremum mark the group ENDANGERED and
+    only those groups are re-aggregated from ``state`` — the rescan is
+    in the API signature, not hidden inside an "incremental" call.
+
+    ``state`` must be the POST-batch table state (e.g.
+    ``LakeTable.read``); it is touched through ONE semi-join on the
+    endangered group keys, so the physical read is bounded by the
+    endangered groups' rows (broadcastable key set in the common case,
+    partition-prunable when the table is laid out by the group key).
+    A batch with no extremum-touching retraction costs O(|agg| +
+    |changes|) and never opens ``state``'s files at all (the semi-join
+    side is empty).
+
+    Group lifecycle matches :func:`apply_changes_to_agg`: born groups
+    fold from their insertions, groups whose maintained row count
+    reaches 0 are dropped, and an endangered-but-alive group whose
+    surviving measures are all NULL gets a NULL extremum (recompute
+    parity). MIN/MAX retraction has no float-associativity caveat —
+    extrema are order-independent — so the maintained result is
+    bit-equal to a recompute for ANY measure type, which the oracled
+    entry checks end to end.
+
+    Returns ``group_cols`` + ``count_col`` + the maintained extrema.
+    """
+    mins, maxs = mins or {}, maxs or {}
+    if not mins and not maxs:
+        raise ValueError("apply_changes_to_minmax needs at least one of mins/maxs")
+    both = {**mins, **maxs}
+    names = [count_col] + list(both)
+    for n in names:
+        if n not in agg.columns:
+            raise ValueError(
+                f"aggregate is missing maintained column {n!r} — build it "
+                f"with compute_minmax(group_cols={group_cols}, mins={mins}, "
+                f"maxs={maxs})"
+            )
+    if len(both) != len(mins) + len(maxs):
+        raise ValueError("mins and maxs must use distinct output names")
+
+    before = changes.filter(F.col("__before").isNotNull())
+    after = changes.filter(F.col("__op") != "D")
+    bg = [F.col(f"__before.{g}").alias(g) for g in group_cols]
+
+    # --- row-count maintenance (the counting algorithm's count leg) ----
+    cnt_delta = (
+        before.select(*bg, F.lit(-1).cast("long").alias("__w"))
+        .unionByName(after.select(*group_cols, F.lit(1).cast("long").alias("__w")))
+        .groupBy(*group_cols)
+        .agg(F.sum("__w").alias("__dc"))
+    )
+    alive = (
+        agg.select(*group_cols, count_col)
+        .join(cnt_delta, group_cols, "full_outer")
+        .select(
+            *group_cols,
+            (
+                F.coalesce(F.col(count_col), F.lit(0))
+                + F.coalesce(F.col("__dc"), F.lit(0))
+            ).alias(count_col),
+        )
+        .filter(F.col(count_col) > 0)
+    )
+
+    # --- insertion fold: self-maintainable side --------------------------
+    ins = after.groupBy(*group_cols).agg(
+        *[F.min(c).alias(f"__ins_{n}") for n, c in mins.items()],
+        *[F.max(c).alias(f"__ins_{n}") for n, c in maxs.items()],
+    )
+    folded = (
+        agg.select(*group_cols, *both)
+        .join(ins, group_cols, "full_outer")
+        .select(
+            *group_cols,
+            *[
+                # least/greatest skip NULLs: an untouched side passes
+                # the other through
+                (
+                    F.least(F.col(n), F.col(f"__ins_{n}"))
+                    if n in mins
+                    else F.greatest(F.col(n), F.col(f"__ins_{n}"))
+                ).alias(n)
+                for n in both
+            ],
+        )
+    )
+
+    # --- endangered groups: a retraction at (or past) the stored
+    # extremum, or a retraction from a group this aggregate has never
+    # seen (inconsistent inputs — rescan rather than trust)
+    b_vals = before.select(
+        *bg, *[F.col(f"__before.{c}").alias(f"__d_{n}") for n, c in both.items()]
+    )
+    j = b_vals.join(
+        agg.select(*group_cols, *both, F.lit(True).alias("__in_agg")),
+        group_cols,
+        "left",
+    )
+    danger = F.col("__in_agg").isNull()
+    for n in mins:
+        danger = danger | (F.col(f"__d_{n}") <= F.col(n))
+    for n in maxs:
+        danger = danger | (F.col(f"__d_{n}") >= F.col(n))
+    endangered = j.filter(danger).select(*group_cols).distinct()
+
+    rescan = (
+        state.join(endangered, group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(
+            *[F.min(c).alias(f"__rs_{n}") for n, c in mins.items()],
+            *[F.max(c).alias(f"__rs_{n}") for n, c in maxs.items()],
+        )
+        .withColumn("__rescanned", F.lit(True))
+    )
+
+    return (
+        alive.join(folded, group_cols, "left")
+        .join(rescan, group_cols, "left")
+        .select(
+            *group_cols,
+            count_col,
+            *[
+                F.when(F.col("__rescanned"), F.col(f"__rs_{n}"))
+                .otherwise(F.col(n))
+                .alias(n)
+                for n in both
+            ],
+        )
+    )

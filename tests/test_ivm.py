@@ -284,3 +284,107 @@ def test_maintained_aggregate_read_before_refresh_raises(spark, tmp_path):
     mv = _mv(tmp_path)
     with pytest.raises(ValueError, match="refresh"):
         mv.read(spark)
+
+
+# ------------------------------------------------- MIN/MAX maintenance --
+
+
+def _mm_dict(df):
+    return {
+        r.g: (r.n_rows, r.min_v, r.max_v) for r in df.collect()
+    }
+
+
+def _mm(pre, post, poisoned_state=None):
+    changes = ivm.diff_states(pre, post, "k")
+    return ivm.apply_changes_to_minmax(
+        ivm.compute_minmax(pre, ["g"], mins={"min_v": "v"}, maxs={"max_v": "v"}),
+        changes,
+        poisoned_state if poisoned_state is not None else post,
+        ["g"],
+        mins={"min_v": "v"},
+        maxs={"max_v": "v"},
+    )
+
+
+def test_minmax_maintenance_equals_recompute_randomized(spark):
+    """Property: maintained MIN/MAX == recompute for randomized pre/post
+    with nulls, births, deaths, group moves, and extremum deletions."""
+    rng = random.Random(4321)
+    groups = ["a", "b", "c", "d"]
+    for trial in range(4):
+        pre_rows = [
+            (k, rng.choice(groups), rng.choice([None, rng.randrange(100)]))
+            for k in range(60)
+            if rng.random() < 0.7
+        ]
+        pre_keys = {r[0] for r in pre_rows}
+        post_rows = [
+            (k, rng.choice(groups), rng.choice([None, rng.randrange(100)]))
+            for k in range(80)
+            if rng.random() < 0.7 and (k in pre_keys or k >= 60 or rng.random() < 0.5)
+        ]
+        post_rows = [r for r in post_rows if r[1] != "d"]  # group death
+        pre, post = _state_df(spark, pre_rows), _state_df(spark, post_rows)
+        maintained = _mm(pre, post)
+        expected = ivm.compute_minmax(
+            post, ["g"], mins={"min_v": "v"}, maxs={"max_v": "v"}
+        )
+        assert _mm_dict(maintained) == _mm_dict(expected), trial
+
+
+def test_minmax_extremum_deletion_rescans_group(spark):
+    pre = _state_df(spark, [(1, "a", 5), (2, "a", 50), (3, "a", 20)])
+    post = _state_df(spark, [(2, "a", 50), (3, "a", 20)])  # min row deleted
+    out = _mm_dict(_mm(pre, post))
+    assert out == {"a": (2, 20, 50)}
+
+
+def test_minmax_all_null_survivors_give_null(spark):
+    pre = _state_df(spark, [(1, "a", 7), (2, "a", None)])
+    post = _state_df(spark, [(2, "a", None)])
+    out = _mm_dict(_mm(pre, post))
+    assert out == {"a": (1, None, None)}
+
+
+def test_minmax_insert_only_never_consults_state(spark):
+    """Insertions (and non-extremum deletions) are self-maintainable:
+    a POISONED state frame proves the rescan path stayed cold."""
+    pre = _state_df(spark, [(1, "a", 10), (2, "a", 30)])
+    # delete the NON-extremum? 30 is the max -> endangers. Use a middle
+    # value instead: insert only + delete nothing.
+    post = _state_df(
+        spark, [(1, "a", 10), (2, "a", 30), (4, "a", 20), (5, "b", 1)]
+    )
+    poisoned = _state_df(spark, [(9, "a", -999), (10, "b", 999)])
+    out = _mm_dict(_mm(pre, post, poisoned_state=poisoned))
+    assert out == {"a": (3, 10, 30), "b": (1, 1, 1)}
+
+
+def test_minmax_mid_value_deletion_stays_incremental(spark):
+    """Deleting a strictly-interior value endangers nothing — the
+    poisoned state proves no rescan fired."""
+    pre = _state_df(spark, [(1, "a", 10), (2, "a", 20), (3, "a", 30)])
+    post = _state_df(spark, [(1, "a", 10), (3, "a", 30)])
+    poisoned = _state_df(spark, [(9, "a", -999)])
+    out = _mm_dict(_mm(pre, post, poisoned_state=poisoned))
+    assert out == {"a": (2, 10, 30)}
+
+
+def test_minmax_validates_inputs(spark):
+    import pytest
+
+    pre = _state_df(spark, [(1, "a", 1)])
+    with pytest.raises(ValueError):
+        ivm.compute_minmax(pre, ["g"])
+    agg = ivm.compute_minmax(pre, ["g"], mins={"min_v": "v"})
+    with pytest.raises(ValueError):
+        ivm.apply_changes_to_minmax(
+            agg, ivm.diff_states(pre, pre, "k"), pre, ["g"],
+            mins={"other": "v"},
+        )
+    with pytest.raises(ValueError):
+        ivm.apply_changes_to_minmax(
+            agg, ivm.diff_states(pre, pre, "k"), pre, ["g"],
+            mins={"min_v": "v"}, maxs={"min_v": "v"},
+        )
