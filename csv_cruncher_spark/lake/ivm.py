@@ -348,18 +348,26 @@ class MaintainedAggregate:
             df = df.withColumn(name, fn(lambda c: F.col(c)))
         return df
 
+    # the two maintenance steps are overridable so sibling views (e.g.
+    # :class:`MaintainedExtrema`) reuse the store/refresh machinery with
+    # different aggregate algebra
+    def _compute(self, state_df: DataFrame) -> DataFrame:
+        return compute_agg(
+            state_df, self.group_cols, self.sums, count_col=self.count_col
+        )
+
+    def _apply(self, agg: DataFrame, feed: DataFrame, table, spark) -> DataFrame:
+        return apply_changes_to_agg(
+            agg, feed, self.group_cols, self.sums, count_col=self.count_col
+        )
+
     def bootstrap(self, spark) -> int:
         """Full-scan initialization at the table's current epoch."""
         from .table import LakeTable
 
         table = LakeTable.load(self.table_path)
         epoch = table.snapshot()["epoch_id"]
-        agg = compute_agg(
-            self._prepared_state(table, spark),
-            self.group_cols,
-            self.sums,
-            count_col=self.count_col,
-        )
+        agg = self._compute(self._prepared_state(table, spark))
         self._persist(agg, epoch)
         return epoch
 
@@ -382,15 +390,64 @@ class MaintainedAggregate:
         )
         if self.derives:
             feed = derive(feed, **self.derives)
-        agg = apply_changes_to_agg(
-            self.read(spark),
-            feed,
-            self.group_cols,
-            self.sums,
-            count_col=self.count_col,
-        )
+        agg = self._apply(self.read(spark), feed, table, spark)
         self._persist(agg, cur)
         return cur
+
+
+class MaintainedExtrema(MaintainedAggregate):
+    """Durable incrementally-maintained MIN/MAX view — the
+    :class:`MaintainedAggregate` store/refresh machinery (epoch-named
+    parquet versions, atomic pointer swap, idempotent per-epoch refresh,
+    tailer-loop compatible) with :func:`apply_changes_to_minmax` as the
+    maintenance step. Each refresh folds insertions with
+    least/greatest and re-aggregates only the groups whose stored
+    extremum was retracted, reading the table through ONE semi-join on
+    those group keys — after bootstrap there is never an unconditional
+    table scan, and a refresh whose feed endangers nothing stays
+    O(|agg| + |changes|)."""
+
+    def __init__(
+        self,
+        table_path: str,
+        store_path: str,
+        group_cols: list[str],
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
+        count_col: str = "n_rows",
+        derives: dict | None = None,
+    ):
+        super().__init__(
+            table_path,
+            store_path,
+            group_cols,
+            sums={},
+            count_col=count_col,
+            derives=derives,
+        )
+        self.mins, self.maxs = mins or {}, maxs or {}
+        if not self.mins and not self.maxs:
+            raise ValueError("MaintainedExtrema needs at least one of mins/maxs")
+
+    def _compute(self, state_df: DataFrame) -> DataFrame:
+        return compute_minmax(
+            state_df,
+            self.group_cols,
+            mins=self.mins,
+            maxs=self.maxs,
+            count_col=self.count_col,
+        )
+
+    def _apply(self, agg: DataFrame, feed: DataFrame, table, spark) -> DataFrame:
+        return apply_changes_to_minmax(
+            agg,
+            feed,
+            self._prepared_state(table, spark),
+            self.group_cols,
+            mins=self.mins,
+            maxs=self.maxs,
+            count_col=self.count_col,
+        )
 
 
 def compute_minmax(

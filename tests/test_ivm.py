@@ -388,3 +388,62 @@ def test_minmax_validates_inputs(spark):
             agg, ivm.diff_states(pre, pre, "k"), pre, ["g"],
             mins={"min_v": "v"}, maxs={"min_v": "v"},
         )
+
+
+def test_maintained_extrema_follows_table(spark, tmp_path):
+    """Durable MIN/MAX view: bootstrap on a prefix, refresh after more
+    batches (deletes included in the fixture log, so endangered rescans
+    fire) — stored extrema must equal a recompute at every step and the
+    no-op refresh is idempotent."""
+    paths = _mk_log(tmp_path, n_batches=4, seed=23)
+    bdir = os.path.dirname(paths[0])
+    p = str(tmp_path / "lake")
+    pipe = CdcPipeline(p, n_buckets=4)
+    first_two = "|".join(os.path.basename(x) for x in paths[:2])
+    pipe.run(spark, bdir, include=f".*/({first_two})")
+
+    from csv_cruncher_spark.lake import MaintainedExtrema
+
+    mv = MaintainedExtrema(
+        p,
+        str(tmp_path / "mmx"),
+        ["lang"],
+        mins={"min_len": "text_len"},
+        maxs={"max_len": "text_len"},
+        count_col="n_pages",
+        derives={"text_len": lambda c: F.length(c("text"))},
+    )
+    e1 = mv.refresh(spark)
+
+    def recompute():
+        st = LakeTable.load(p).read(spark).withColumn(
+            "text_len", F.length("text")
+        )
+        return ivm.compute_minmax(
+            st, ["lang"], mins={"min_len": "text_len"},
+            maxs={"max_len": "text_len"}, count_col="n_pages",
+        )
+
+    def as_dict(df):
+        return {r.lang: (r.n_pages, r.min_len, r.max_len) for r in df.collect()}
+
+    got1 = as_dict(mv.read(spark))
+    assert got1 and got1 == as_dict(recompute())
+
+    pipe.run(spark, bdir)
+    e2 = mv.refresh(spark)
+    assert e2 > e1
+    assert as_dict(mv.read(spark)) == as_dict(recompute())
+
+    st_before = mv.state()
+    assert mv.refresh(spark) == e2
+    assert mv.state() == st_before
+
+
+def test_maintained_extrema_requires_measures(tmp_path):
+    import pytest
+
+    from csv_cruncher_spark.lake import MaintainedExtrema
+
+    with pytest.raises(ValueError):
+        MaintainedExtrema("t", str(tmp_path / "x"), ["g"])
