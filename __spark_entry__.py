@@ -1855,6 +1855,18 @@ def classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("j")
 
 
+def source_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew audit (lake/salt.key_skew_report): top-20 sources with exact
+    counts, per-key share, and cumulative share in micro units — the
+    report that drives salting/bucketing decisions ("top 3 domains hold
+    80% of rows"). Counts pre-combine map-side; the rank/cumsum window
+    runs on the already-limited 20 rows, never corpus-wide; shares are
+    single rounded divisions by the exact total, replayed bit-for-bit
+    by DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    return salt.key_skew_report(docs, "source", top_k=20).orderBy("rank")
+
+
 def ivm_minmax_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained MIN/MAX (ivm.apply_changes_to_minmax):
     per-event_type extremum cents over the LWW user state, bootstrapped
@@ -2135,6 +2147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_drift_report": corpus_drift_report,
         "grouped_split_stats": grouped_split_stats,
         "ivm_minmax_stats": ivm_minmax_stats,
+        "source_skew_report": source_skew_report,
     }
 
 
@@ -2634,6 +2647,23 @@ def oracle_sql() -> dict[str, str]:
         "classifier_eval": clf_eval_sql,
         "classifier_calibration": clf_calib_sql,
         "bm25_search": bm25_sql,
+        "source_skew_report": """
+            WITH c AS (SELECT source AS key, COUNT(*) AS n
+                       FROM documents GROUP BY source),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM c),
+            top AS (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 20),
+            r AS (SELECT key, n,
+                         row_number() OVER (ORDER BY n DESC, key) AS rank,
+                         CAST(SUM(n) OVER (ORDER BY n DESC, key
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                           AS BIGINT) AS cum
+                  FROM top)
+            SELECT rank, key, n,
+                   CAST(ROUND(1000000.0 * n / tt) AS BIGINT) AS share_micro,
+                   CAST(ROUND(1000000.0 * cum / tt) AS BIGINT)
+                     AS cum_share_micro
+            FROM r CROSS JOIN t ORDER BY rank
+        """,
         "ivm_minmax_stats": """
             SELECT event_type,
                    COUNT(*) AS n_users,

@@ -142,3 +142,47 @@ def salted_two_stage_agg(
         for col, fn in aggs.items()
     ]
     return mid.groupBy(*key_cols).agg(*finals)
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """:func:`key_histogram` as a DataFrame with exact share math — the
+    auditable skew report an operator attaches to a pipeline run before
+    deciding salting/bucketing: per top-key (rank, key, n, share_micro,
+    cum_share_micro). "The top 3 domains hold 80% of the rows" reads
+    directly off ``cum_share_micro``.
+
+    Exactness: counts and the cumulative count are int64; each share is
+    ONE rounded division by the exact total (micro units), so any
+    engine replays the report bit-for-bit. Scale shape: a
+    partial-combined count per key (the hot key arrives pre-summed),
+    ONE TakeOrdered top-k, and the rank/cumsum window runs on the
+    ALREADY-LIMITED ``top_k`` rows — a bounded single partition by
+    construction, never a corpus-wide window."""
+    if top_k <= 0:
+        raise ValueError(f"top_k must be positive, got {top_k}")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__t"))
+    top = counts.orderBy(F.desc("n"), F.asc("key")).limit(top_k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("key"))))
+        .withColumn("__cum", F.sum("n").over(w))
+        .select(
+            "rank",
+            "key",
+            "n",
+            F.round(F.lit(1_000_000.0) * F.col("n") / F.col("__t"))
+            .cast("bigint")
+            .alias("share_micro"),
+            F.round(F.lit(1_000_000.0) * F.col("__cum") / F.col("__t"))
+            .cast("bigint")
+            .alias("cum_share_micro"),
+        )
+    )

@@ -459,3 +459,33 @@ def test_kmeans_exact_validation(spark):
         similarity.kmeans_fit_exact(df, "vec_id", "v", n_centroids=0)
     with pytest.raises(ValueError):
         similarity.kmeans_fit_exact(df, "vec_id", "v", n_centroids=2)
+
+
+def test_key_skew_report_exact_shares(spark):
+    from csv_cruncher_spark.lake.salt import key_skew_report
+
+    rows = [("hot",)] * 8 + [("warm",)] * 2 + [("cold",)] * 0 + [("c1",), ("c2",)]
+    df = spark.createDataFrame(rows, "k STRING")
+    got = {r.rank: r for r in key_skew_report(df, "k", top_k=3).collect()}
+    assert [got[i].key for i in (1, 2, 3)] == ["hot", "warm", "c1"]
+    assert got[1].share_micro == round(1e6 * 8 / 12)
+    assert got[1].cum_share_micro == round(1e6 * 8 / 12)
+    assert got[2].cum_share_micro == round(1e6 * 10 / 12)
+    assert got[3].cum_share_micro == round(1e6 * 11 / 12)
+
+
+def test_key_skew_report_layout_independent(spark):
+    import pytest as _pytest
+
+    from csv_cruncher_spark.lake.salt import key_skew_report
+
+    rows = [(f"k{i % 13}",) for i in range(300)]
+    df = spark.createDataFrame(rows, "k STRING")
+    a = [tuple(r) for r in key_skew_report(df, "k", 5).orderBy("rank").collect()]
+    b = [
+        tuple(r)
+        for r in key_skew_report(df.repartition(11), "k", 5).orderBy("rank").collect()
+    ]
+    assert a == b and len(a) == 5
+    with _pytest.raises(ValueError):
+        key_skew_report(df, "k", 0)
