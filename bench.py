@@ -203,6 +203,7 @@ def run_scaling_probe(
     load_gate: float = 5.0,
     target_best: float = 0.85,
     target_median: float = 0.82,
+    settle_max_s: float = 150.0,
 ) -> dict:
     """Core-budgeted two-level CDC replay — the north rule's N vs 4N
     executors evidence, in-sandbox form.
@@ -237,7 +238,17 @@ def run_scaling_probe(
       two pairs — a noisy window costs wall time instead of a false
       fail; a quiet window exits after ``min_pairs``. A crashed leg
       (nonzero exit / no throughput line) makes its pair ``failed``
-      rather than a fake 0.0-efficiency measurement."""
+      rather than a fake 0.0-efficiency measurement.
+    - SETTLE-WAIT before every leg (round-5 hardening): /proc/loadavg is
+      a ~60s-decay average, so a leg launched right after the previous
+      leg exits reads the PREVIOUS leg's load tail, not live contention —
+      under ABBA ordering every hi-first pair put two 8-core legs
+      back-to-back and was thereby structurally flagged dirty (r4/r5
+      sidecars discarded pairs measuring 0.85-0.87 for exactly this).
+      Each leg now waits (up to ``settle_max_s``) for load1 to decay
+      under the gate before launching: the gate then measures ambient
+      tenants, not the probe's own wake, and the ABBA cancellation
+      actually gets its clean pairs."""
     import subprocess
 
     cpus = os.cpu_count() or 8
@@ -267,7 +278,19 @@ def run_scaling_probe(
             )
         )
 
+        def settle() -> float:
+            """Wait (bounded) for the 1-min load average to decay under
+            the gate before launching a leg; returns seconds waited."""
+            t0 = time.perf_counter()
+            while (
+                _load1() > load_gate
+                and time.perf_counter() - t0 < settle_max_s
+            ):
+                time.sleep(5)
+            return round(time.perf_counter() - t0, 1)
+
         def one_run(level: int) -> dict:
+            settled = settle()
             cmd = []
             if have_taskset:
                 cmd += ["taskset", "-c", f"0-{level - 1}"]
@@ -291,6 +314,7 @@ def run_scaling_probe(
                 "events_per_sec": eps if eps else None,
                 "load1_at_start": load,
                 "load1_at_end": _load1(),
+                "settle_wait_s": settled,
                 # per-rep seconds + loads from inside the leg (round-4
                 # advice: the swing is diagnosable only if the replay
                 # legs themselves log load)
@@ -393,11 +417,14 @@ def run_scaling_probe(
             "scaling_note": (
                 "ABBA-interleaved matched pairs, each level taskset-pinned to "
                 "its core budget (JVM + Arrow python workers share it, like an "
-                "executor cgroup); per-leg load at start+end; pairs whose legs "
-                f"started under load {load_gate} are 'clean' and, when any "
-                "exist, the only ones summarized; noisy windows trigger extra "
-                "pairs instead of a false fail. The 16M-event controlled study "
-                "is in BASELINE.md 'Measured results'"
+                "executor cgroup); every leg first waits (bounded) for load1 "
+                "to decay under the gate so the gate reads ambient tenants, "
+                "not the probe's own just-exited leg; per-leg load at "
+                f"start+end; pairs whose legs started under load {load_gate} "
+                "are 'clean' and, when any exist, the only ones summarized; "
+                "noisy windows trigger extra pairs instead of a false fail. "
+                "The 16M-event controlled study is in BASELINE.md "
+                "'Measured results'"
             ),
         }
     except Exception as e:  # scaling probe must never sink the bench

@@ -53,6 +53,12 @@ def main() -> int:
                          "group columns via --agg-group)")
     ap.add_argument("--agg-group", default="lang",
                     help="comma-separated group columns for --maintain-agg")
+    ap.add_argument("--maintain-minmax", default=None, metavar="STORE",
+                    help="after the replay, refresh a maintained per-group "
+                         "MIN/MAX view of text_len (lake/ivm.py "
+                         "MaintainedExtrema; groups from --agg-group): "
+                         "insertions fold incrementally, extremum "
+                         "retractions rescan ONLY the endangered groups")
     ap.add_argument("--on-malformed", choices=["drop", "dlq"], default="drop",
                     help="dlq: quarantine keyless/unknown-op/bad-timestamp "
                          "rows to <table>/dlq/<batch> instead of lenient "
@@ -173,6 +179,23 @@ def main() -> int:
         )
         maintained_epoch = mv.refresh(spark)
 
+    minmax_epoch = None
+    if args.maintain_minmax:
+        from pyspark.sql import functions as F
+
+        from csv_cruncher_spark.lake.ivm import MaintainedExtrema
+
+        mx = MaintainedExtrema(
+            args.table,
+            args.maintain_minmax,
+            args.agg_group.split(","),
+            mins={"min_text_len": "text_len"},
+            maxs={"max_text_len": "text_len"},
+            count_col="n_pages",
+            derives={"text_len": lambda c: F.length(c("text"))},
+        )
+        minmax_epoch = mx.refresh(spark)
+
     corpus_epoch = None
     if args.maintain_corpus:
         from csv_cruncher_spark.lake.corpus_view import MaintainedCorpus
@@ -232,6 +255,7 @@ def main() -> int:
                 "total_batches": len(ckpt["batches_applied"]),
                 "feed_rows": feed_rows,
                 "maintained_epoch": maintained_epoch,
+                "minmax_epoch": minmax_epoch,
                 "corpus_epoch": corpus_epoch,
                 "vocab_epoch": vocab_epoch,
                 "rejected_rows": sum((ckpt.get("rejected_rows") or {}).values())

@@ -243,3 +243,58 @@ def test_replay_maintain_vocab_incremental(spark, change_log, monkeypatch, capsy
         }
         got = {(r["token"], r["tf"], r["df"]) for r in mv.read(spark).collect()}
         assert got == want
+
+
+def test_replay_maintain_minmax_incremental(spark, change_log, monkeypatch, capsys, tmp_path):
+    """--maintain-minmax keeps the per-lang text_len extrema store equal
+    to a full recompute across an incremental two-stage replay (deletes
+    in the fixture log exercise the endangered-group rescan)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    base, paths = change_log
+    table = str(base / "lake")
+    store = str(base / "mmx")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+
+    for cut in (2, len(paths)):
+        for p in paths[:cut]:
+            dst = staged / os.path.basename(p)
+            if not dst.exists():
+                shutil.copy(p, dst)
+        out = _run_replay(
+            monkeypatch,
+            capsys,
+            ["--table", table, "--batches", str(staged),
+             "--maintain-minmax", store],
+        )
+        t = LakeTable.load(table)
+        assert out["minmax_epoch"] == t.snapshot()["epoch_id"]
+        from csv_cruncher_spark.lake.ivm import MaintainedExtrema
+
+        mx = MaintainedExtrema(
+            table, store, ["lang"],
+            mins={"min_text_len": "text_len"},
+            maxs={"max_text_len": "text_len"},
+            count_col="n_pages",
+        )
+        want = {
+            r["lang"]: (r["n_pages"], r["min_text_len"], r["max_text_len"])
+            for r in t.read(spark)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_pages"),
+                F.min(F.length("text")).alias("min_text_len"),
+                F.max(F.length("text")).alias("max_text_len"),
+            )
+            .collect()
+        }
+        got = {
+            r["lang"]: (r["n_pages"], r["min_text_len"], r["max_text_len"])
+            for r in mx.read(spark).collect()
+        }
+        assert got == want
