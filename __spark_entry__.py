@@ -2038,6 +2038,44 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("query_id", "rank")
 
 
+def crawl_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer-micro PageRank over the deterministic md5
+    pseudo link graph (operators/graph.py pagerank_micro): crawl-frontier
+    prioritization for the CDC web-ingest pipeline. All arithmetic is
+    int64 (rank div out_degree contributions, damped sum div 100), so
+    the DuckDB oracle unrolls the same 3 iterations bit-for-bit. Top 50
+    by (rank_micro DESC, doc_id ASC) — a unique ordering."""
+    from csv_cruncher_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    ranks = graph.pagerank_micro(
+        docs, "doc_id", out_degree=3, iterations=3, damping_pct=85
+    )
+    return (
+        ranks.select(F.col("node").alias("doc_id"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
+def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs |A∩B| / min(|A|,|B|) over distinct
+    3-shingles (operators/dedup.py ngram_containment_pairs) — catches
+    quote/template inclusion near-dups Jaccard's union denominator
+    dilutes. Exact integer set sizes; ratio rounded 6dp on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", min_containment=0.5
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("containment", 6).alias("containment"),
+        "n_a",
+        "n_b",
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2081,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_subtree_props": json_subtree_props,
         "salted_revenue_by_nation": salted_revenue_by_nation,
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
+        "containment_near_dups": containment_near_dups,
+        "crawl_frontier_rank": crawl_frontier_rank,
         "media_decode_features": media_decode_features,
         "ann_ivf_topk": ann_ivf_topk,
         "parts_starting_with": parts_starting_with,
@@ -4040,6 +4080,70 @@ def oracle_sql() -> dict[str, str]:
                         JOIN sizes sb ON sb.id = common.id_b
             WHERE n_common / (sa.n + sb.n - n_common) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        "containment_near_dups": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM documents
+            ),
+            keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100),
+            f AS (SELECT sh.id, sh.shingle FROM sh JOIN keep USING (shingle)),
+            sizes AS (SELECT id, count(*) AS n FROM f GROUP BY id),
+            common AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+              FROM f a JOIN f b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / least(sa.n, sb.n), 6) AS containment,
+                   sa.n AS n_a, sb.n AS n_b
+            FROM common JOIN sizes sa ON sa.id = common.id_a
+                        JOIN sizes sb ON sb.id = common.id_b
+            WHERE n_common / least(sa.n, sb.n) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "crawl_frontier_rank": """
+            WITH nodes AS (SELECT doc_id::BIGINT AS node FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     (('0x' || substr(md5(node::VARCHAR || ':lnk:' || j::VARCHAR), 1, 12))::BIGINT
+                       % (SELECT n FROM nn)) AS dst
+              FROM nodes, (SELECT unnest([0, 1, 2]) AS j) slots
+            ),
+            r0 AS (SELECT node, 1000000::BIGINT AS r FROM nodes),
+            r1 AS (
+              SELECT nodes.node,
+                     (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r0 ON r0.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r1 ON r1.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r2 ON r2.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            )
+            SELECT node AS doc_id, r AS rank_micro
+            FROM r3
+            ORDER BY rank_micro DESC, doc_id ASC
+            LIMIT 50
         """,
         "dedup_groups": """
             WITH RECURSIVE sh AS (

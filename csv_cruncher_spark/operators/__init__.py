@@ -8,6 +8,7 @@ from . import (
     curriculum,
     decontam,
     dedup,
+    graph,
     joins,
     multimodal,
     packing,
@@ -53,7 +54,8 @@ from .sampling import (
     temperature_sample,
     weighted_sample_topk,
 )
-from .dedup import dropped_buckets, release
+from .dedup import dropped_buckets, ngram_containment_pairs, release
+from .graph import derive_link_graph, pagerank_micro
 from .shuffle import epoch_shuffle
 from .joins import asof_join, asof_join_bucketed, interval_join
 from .similarity import kmeans_fit_exact
@@ -117,6 +119,10 @@ __all__ = [
     "temperature_sample",
     "weighted_sample_topk",
     "dedup",
+    "graph",
+    "derive_link_graph",
+    "pagerank_micro",
+    "ngram_containment_pairs",
     "joins",
     "multimodal",
     "similarity",

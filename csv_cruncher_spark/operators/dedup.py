@@ -858,6 +858,66 @@ def ngram_jaccard_pairs(
     return _pin(sh, out)
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_containment: float = 0.6,
+    max_df: int = 100,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment of the SMALLER
+    document, ``|A ∩ B| / min(|A|, |B|)`` over distinct k-shingles.
+    Jaccard misses inclusion relationships — a page quoting another
+    page verbatim, a template wrapping a shared article body, a crawl
+    snapshot that is a strict superset of an earlier one — because the
+    union in its denominator dilutes the overlap; containment scores a
+    strict subset 1.0 regardless of the host's extra length (Broder's
+    containment measure, the other half of the resemblance/containment
+    pair his shingling paper defines).
+
+    Same inverted-index plan as :func:`ngram_jaccard_pairs` (exact set
+    sizes via distinct-shingle explode, stop-shingle cutoff at
+    ``max_df`` to kill quadratic hot buckets, pair join on shingle with
+    ``id_a < id_b``), so the same 100 TB shape holds: everything is an
+    equi-join + partial aggregate. Returns
+    (id_a, id_b, containment, n_a, n_b) — the sizes ship so callers can
+    tell which side is the contained one (the smaller).
+    """
+    sh = _spread(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
+    # sizes over the FILTERED vocabulary, like ngram_jaccard_pairs: the
+    # numerator and denominator must share a shingle space or a doc made
+    # mostly of stop-shingles scores far below its true containment
+    sizes = filtered.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    l, r = filtered.alias("l"), filtered.alias("r")
+    common = (
+        l.join(
+            r,
+            (F.col("l.shingle") == F.col("r.shingle")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_shingles").alias("n_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("n_common") / F.least(F.col("n_a"), F.col("n_b")),
+        )
+        .filter(F.col("containment") >= min_containment)
+        .select("id_a", "id_b", "containment", "n_a", "n_b")
+    )
+    return _pin(sh, out)
+
+
 def shingle_index(
     corpus: DataFrame,
     id_col: str,

@@ -1,0 +1,151 @@
+"""Link-graph analytics for crawl-frontier prioritization.
+
+A CDC web-ingest pipeline (the north rule's Common-Crawl replay) wants
+to decide WHICH urls to re-crawl / re-ingest first; the standard signal
+is link-graph centrality (PageRank) over the host/page graph. This
+module gives that as a fixed-iteration, integer-exact PageRank whose
+every step is an equi-join + partial aggregate — no cartesian shapes,
+no driver-side graph, no floats.
+
+Cross-engine exactness (the repo's oracle discipline): ranks live in
+micro units (1.0 == 1_000_000) as int64; per-edge contributions use
+integer division (``rank div out_degree``), the damping step is
+``base + (damping_pct * sum) div 100``; int64 sums are associative and
+order-independent, so the same unrolled iterations replay bit-for-bit
+in DuckDB. Quantization error vs real-valued PageRank is < out_degree
+micro per node per iteration — irrelevant for ranking, priceless for
+verification.
+
+Scale notes (100 TB / 10^10 nodes):
+- the edge list is built once, persisted, and reused across iterations;
+  each iteration is two shuffles (edges-by-src join, contribs-by-dst
+  agg) — the canonical Pregel-as-DataFrame shape. At cluster scale,
+  bucket BOTH edges (by src) and ranks (by node) on the same key count
+  to make the join exchange-free; the agg shuffle is O(nodes), not
+  O(edges), because contributions partial-aggregate map-side.
+- int64 headroom: total rank mass is N * 10^6 micro ≈ 10^16 at N=10^10;
+  a universal hub absorbing all of it stays < 2^63 through the
+  ``damping_pct *`` step (8.5e17).
+- iteration count is fixed (power iteration converges geometrically at
+  rate ~damping); for frontier ORDERING 5-10 iterations suffice
+  (Boldi et al., "PageRank: Functional Dependencies").
+
+The deterministic pseudo-link generator exists because the test tables
+(TESTDATA.md) carry no anchor/link column: links are derived from the
+md5 of the source id and slot, the same portable
+hex-prefix-as-integer trick ``minhash_md5_signatures`` pins cross-engine
+(operators/dedup.py:291). On real crawl data, replace
+:func:`derive_link_graph` with the extracted href edges; the PageRank
+kernel is source-agnostic.
+
+Reference parity note: the reference engine (csv-cruncher) has no graph
+operators at all — this is part of the beyond-reference training-data /
+crawl-ops layer, like the dedup and corpus stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def derive_link_graph(
+    docs: DataFrame, id_col: str = "doc_id", out_degree: int = 3
+) -> DataFrame:
+    """Deterministic pseudo link graph over a contiguous id space:
+    node ``src`` gets ``out_degree`` out-links, slot ``j`` pointing at
+    ``hex48(md5(src || ':lnk:' || j)) mod N``. Self-loops are allowed
+    (they occur with probability 1/N and PageRank is well-defined with
+    them), which keeps the generator a pure per-row projection.
+
+    Returns (src, dst) int64. The only non-projection cost is one
+    ``count()`` for N (a 1-value driver aggregate).
+    """
+    n = docs.count()
+    slots = F.explode(
+        F.array(*[F.lit(j) for j in range(out_degree)])
+    ).alias("slot")
+    with_slots = docs.select(F.col(id_col).cast("long").alias("src")).select(
+        "src", slots
+    )
+    # conv(hex, 16, 10): 12 hex chars = 48 bits, exact in int64; verified
+    # equal to DuckDB's ('0x' || hex)::BIGINT on the same md5 text.
+    dst = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("src"), F.lit("lnk"), F.col("slot"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n),
+    )
+    return with_slots.select("src", dst.alias("dst"))
+
+
+def pagerank_micro(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    out_degree: int = 3,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-iteration integer-micro PageRank. Every node starts at
+    1_000_000 micro; one iteration is::
+
+        rank'(v) = (100 - damping_pct) * 10_000
+                 + (damping_pct * SUM_{u->v} (rank(u) div out_degree)) div 100
+
+    computed entirely in int64 (order-independent, bit-reproducible).
+    Nodes with no in-links keep the teleport base — the LEFT join +
+    coalesce(0) below, which the oracle mirrors.
+
+    ``edges`` defaults to :func:`derive_link_graph`; pass the real href
+    edge list in production (every src must have exactly ``out_degree``
+    out-edges for the div to be the true out-degree split — for variable
+    degree, pre-join a per-src degree column and divide by it instead;
+    the fixed-degree form keeps the synthetic oracle exact).
+
+    Plan shape per iteration: edges ⋈ ranks on src (equi-join; broadcast
+    nothing — both sides are big at scale), partial-agg SUM by dst,
+    LEFT equi-join back to the node list. The edge frame is persisted
+    once and reused across iterations; intermediate rank lineage stays
+    short (``iterations`` is small and fixed).
+    """
+    nodes = docs.select(F.col(id_col).cast("long").alias("node"))
+    e = edges if edges is not None else derive_link_graph(docs, id_col, out_degree)
+    e = e.persist()
+    base = (100 - damping_pct) * 10_000
+    ranks = nodes.select(
+        "node", F.lit(1_000_000).cast("long").alias("rank_micro")
+    )
+    for _ in range(iterations):
+        # explicit aliases: after the first iteration the rank frame's
+        # lineage contains `nodes`, so unqualified columns would be
+        # ambiguous in the left join below
+        contribs = (
+            e.alias("e")
+            .join(ranks.alias("r"), F.col("e.src") == F.col("r.node"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                F.expr(f"r.rank_micro div {out_degree}").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(contribs.alias("c"), F.col("n.node") == F.col("c.dst"), "left")
+            .select(
+                F.col("n.node").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(c.s, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+    return ranks

@@ -1,0 +1,129 @@
+"""Link-graph analytics (operators/graph.py) + containment pairs
+(operators/dedup.py ngram_containment_pairs).
+
+PageRank is verified three ways: an exact hand-computable cycle (ranks
+are a fixed point), structural invariants (teleport floor, bounded mass
+loss from integer division, determinism), and a hub test (the node every
+other node links to out-ranks the rest). The DuckDB bit-exactness of the
+default pseudo-graph path is covered by the `crawl_frontier_rank` oracle
+entry (tests/test_oracle_parity.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from csv_cruncher_spark.operators import dedup, graph  # noqa: E402
+
+
+def _docs(spark, n=40):
+    return spark.range(n).select(F.col("id").alias("doc_id"))
+
+
+def test_link_graph_shape_and_determinism(spark):
+    docs = _docs(spark)
+    e1 = graph.derive_link_graph(docs, "doc_id", out_degree=3)
+    rows = e1.collect()
+    assert len(rows) == 40 * 3
+    assert all(0 <= r.dst < 40 for r in rows)
+    e2 = graph.derive_link_graph(docs, "doc_id", out_degree=3)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, e2.collect()))
+
+
+def test_pagerank_cycle_is_exact_fixed_point(spark):
+    # 0 -> 1 -> 2 -> 0 with out_degree 1: contribution = rank div 1,
+    # new rank = 150000 + 85% of 1_000_000 = exactly 1_000_000 again.
+    docs = _docs(spark, 3)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src LONG, dst LONG"
+    )
+    out = graph.pagerank_micro(
+        docs, "doc_id", out_degree=1, iterations=4, edges=edges
+    ).collect()
+    assert {r.node: r.rank_micro for r in out} == {0: 10**6, 1: 10**6, 2: 10**6}
+
+
+def test_pagerank_invariants_and_hub(spark):
+    n = 40
+    docs = _docs(spark, n)
+    # every node links to the hub (node 0) and to its two neighbours
+    rows = []
+    for i in range(n):
+        rows += [(i, 0), (i, (i + 1) % n), (i, (i + 2) % n)]
+    edges = spark.createDataFrame(rows, "src LONG, dst LONG")
+    ranks = graph.pagerank_micro(
+        docs, "doc_id", out_degree=3, iterations=3, edges=edges
+    )
+    got = {r.node: r.rank_micro for r in ranks.collect()}
+    # teleport floor: nobody below the base
+    assert all(v >= 150_000 for v in got.values())
+    # integer division only ever LOSES micro-mass: total <= N * 1e6, and
+    # the loss is bounded (< out_degree micro per edge-div + 1 per node
+    # per iteration — generous envelope 10 micro * N * iterations)
+    total = sum(got.values())
+    assert total <= n * 10**6
+    assert total >= n * 10**6 - 10 * n * 3
+    # the hub out-ranks everyone else
+    hub = got.pop(0)
+    assert hub > max(got.values())
+    # deterministic across runs
+    again = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_micro(
+            docs, "doc_id", out_degree=3, iterations=3, edges=edges
+        ).collect()
+    }
+    again.pop(0)
+    assert again == got
+
+
+def test_pagerank_plan_has_no_nested_loop(spark):
+    docs = _docs(spark, 20)
+    ranks = graph.pagerank_micro(docs, "doc_id", iterations=2)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_containment_detects_strict_inclusion(spark):
+    # B contains A verbatim plus a long unique tail: containment 1.0
+    # while Jaccard is well below the same threshold.
+    a = "alpha beta gamma delta epsilon zeta"
+    b = a + " " + " ".join(f"tail{i}" for i in range(18))
+    c = "totally different words nothing shared here at all"
+    docs = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id LONG, text STRING"
+    )
+    pairs = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", min_containment=0.9
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p.id_a, p.id_b) == (0, 1)
+    assert p.containment == 1.0
+    # sizes identify the contained (smaller) side
+    assert p.n_a < p.n_b
+    # the symmetric Jaccard on the same pair is diluted by the tail
+    j = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", min_jaccard=0.0
+    ).collect()
+    jmap = {(r.id_a, r.id_b): r.jaccard for r in j}
+    assert jmap[(0, 1)] < 0.9
+
+
+def test_containment_threshold_filters(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g h"), (1, "a b c x y z w v")],
+        "doc_id LONG, text STRING",
+    )
+    # 8 tokens -> 6 distinct 3-shingles each; exactly one shared ("a b c")
+    low = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", min_containment=0.1
+    ).collect()
+    assert len(low) == 1 and abs(low[0].containment - 1 / 6) < 1e-9
+    high = dedup.ngram_containment_pairs(
+        docs, "doc_id", "text", min_containment=0.5
+    ).collect()
+    assert high == []
