@@ -2076,6 +2076,31 @@ def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def doc_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per document (operators/dedup.py
+    novelty_scores): fraction of a doc's distinct 3-shingles whose
+    minimum owning doc_id is this doc — the marginal-content curve of
+    the corpus in ingestion order. Exact integers; ratio rounded 6dp on
+    both sides; empty docs keep NULL novelty."""
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup.novelty_scores(docs, "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        F.round("novelty", 6).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-pair collocations by pointwise mutual information
+    (operators/textstats.py pmi_collocations), min_count=5 floor against
+    hapax-pair noise; the micro-quantized ln formula text is mirrored
+    verbatim in the oracle so the doubles agree bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.pmi_collocations(docs, "text", min_count=5, top_k=100)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2121,6 +2146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "containment_near_dups": containment_near_dups,
         "crawl_frontier_rank": crawl_frontier_rank,
+        "doc_novelty_scores": doc_novelty_scores,
+        "pmi_collocations_top": pmi_collocations_top,
         "media_decode_features": media_decode_features,
         "ann_ivf_topk": ann_ivf_topk,
         "parts_starting_with": parts_starting_with,
@@ -4144,6 +4171,55 @@ def oracle_sql() -> dict[str, str]:
             FROM r3
             ORDER BY rank_micro DESC, doc_id ASC
             LIMIT 50
+        """,
+        "doc_novelty_scores": """
+            WITH sh AS (
+              SELECT doc_id AS id,
+                     unnest(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                        i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+                     ))) AS shingle
+              FROM documents
+            ),
+            first AS (SELECT shingle, min(id) AS first_id FROM sh GROUP BY shingle),
+            per AS (
+              SELECT id, count(*) AS n_shingles,
+                     sum(CASE WHEN id = first_id THEN 1 ELSE 0 END) AS n_novel
+              FROM sh JOIN first USING (shingle)
+              GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(per.n_shingles, 0)::BIGINT AS n_shingles,
+                   coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+                   round(per.n_novel / per.n_shingles, 6) AS novelty
+            FROM documents d LEFT JOIN per ON per.id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "pmi_collocations_top": """
+            WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+            uni AS (SELECT unnest(w) AS word FROM t),
+            uc AS (SELECT word, count(*) AS c FROM uni GROUP BY word),
+            tu AS (SELECT sum(c)::BIGINT AS v FROM uc),
+            bp AS (
+              SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+                SELECT unnest(list_transform(
+                  range(1, len(w)),
+                  i -> {'w1': w[i], 'w2': w[i + 1]}
+                )) AS p FROM t
+              )
+            ),
+            tb AS (SELECT count(*)::BIGINT AS v FROM bp),
+            bc AS (
+              SELECT w1, w2, count(*) AS n_pair FROM bp
+              GROUP BY w1, w2 HAVING count(*) >= 5
+            )
+            SELECT bc.w1, bc.w2, bc.n_pair,
+                   CAST(ROUND(LN((CAST(bc.n_pair AS DOUBLE) * (SELECT v FROM tu) * (SELECT v FROM tu)) /
+                     (CAST((SELECT v FROM tb) AS DOUBLE) * ca.c * cb.c)) * 1000000, 0) AS BIGINT) AS pmi_micro
+            FROM bc JOIN uc ca ON ca.word = bc.w1
+                    JOIN uc cb ON cb.word = bc.w2
+            ORDER BY pmi_micro DESC, bc.w1, bc.w2
+            LIMIT 100
         """,
         "dedup_groups": """
             WITH RECURSIVE sh AS (

@@ -54,7 +54,12 @@ from .sampling import (
     temperature_sample,
     weighted_sample_topk,
 )
-from .dedup import dropped_buckets, ngram_containment_pairs, release
+from .dedup import (
+    dropped_buckets,
+    ngram_containment_pairs,
+    novelty_scores,
+    release,
+)
 from .graph import derive_link_graph, pagerank_micro
 from .shuffle import epoch_shuffle
 from .joins import asof_join, asof_join_bucketed, interval_join
@@ -66,6 +71,7 @@ from .textstats import (
     duplicate_spans,
     gopher_quality_filter,
     importance_logweight,
+    pmi_collocations,
     remove_duplicate_spans,
     unigram_logprob,
 )
@@ -123,6 +129,8 @@ __all__ = [
     "derive_link_graph",
     "pagerank_micro",
     "ngram_containment_pairs",
+    "novelty_scores",
+    "pmi_collocations",
     "joins",
     "multimodal",
     "similarity",

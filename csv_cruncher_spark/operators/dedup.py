@@ -918,6 +918,66 @@ def ngram_containment_pairs(
     return _pin(sh, out)
 
 
+def novelty_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document first-occurrence novelty: the fraction of a doc's
+    distinct k-shingles whose FIRST owner (minimum ``id_col`` across the
+    corpus) is this document. A crawl/CDC curation signal orthogonal to
+    pairwise near-dup mining: a page can evade every Jaccard/MinHash
+    threshold yet contribute almost nothing new (novelty → 0 as the
+    corpus saturates), and ordering ingestion by arrival id makes
+    novelty the marginal-content curve data-mixture work measures
+    (diminishing returns per added document).
+
+    Plan shape (100 TB): explode distinct shingles (narrow), ONE
+    partial-combined MIN aggregation per shingle for the first owner,
+    equi-join back on the uniform shingle key, ONE count aggregation per
+    doc. No windows, no skewed-key sort — the hottest shingle only ever
+    carries (shingle, min_id). Returns
+    (id, n_shingles, n_novel, novelty) with novelty in [0, 1]; docs with
+    zero shingles (empty/NULL text) keep n_shingles = 0 and NULL
+    novelty rather than vanishing.
+    """
+    ids = _spread(df).select(F.col(id_col).alias("id"))
+    # NULL text must contribute NO shingles (shingles() would otherwise
+    # emit one degenerate '' via greatest()'s NULL-skip + concat_ws) —
+    # the left join below restores these docs with n_shingles = 0
+    sh = (
+        _spread(df)
+        .filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(shingles(text_col, shingle_k))
+            ).alias("shingle"),
+        )
+    )
+    first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        ids.join(per_doc, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
+        )
+    )
+
+
 def shingle_index(
     corpus: DataFrame,
     id_col: str,

@@ -1134,3 +1134,84 @@ def corpus_drift(
         "n_tokens",
         (F.col("__s") / F.col("n_tokens")).alias("kl_micro"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus-level collocation mining: top-``top_k`` adjacent word
+    pairs by pointwise mutual information
+
+        PMI(w1, w2) = ln( P(w1, w2) / (P(w1) · P(w2)) )
+                    = ln( (c_ab · Tu · Tu) / (Tb · c_a · c_b) )
+
+    with unigram probabilities from the whole token stream (Tu tokens)
+    and the bigram probability from the adjacent-pair stream (Tb = Tu −
+    n_docs pairs). High-PMI pairs are multiword units ("new york",
+    "machine learning") — tokenizer-vocabulary and phrase-mining input
+    upstream of BPE, and a corpus-quality diagnostic (boilerplate
+    corpora surface their templates as impossibly high PMI mass).
+
+    ``min_count`` floors the bigram count BEFORE scoring — raw PMI is
+    notoriously dominated by hapax pairs (one co-occurrence of two rare
+    words maximizes the ratio), so unfloored output is noise.
+
+    Cross-engine exactness: counts are int64 partial-combined
+    aggregations; the two stream totals are 1-row aggregates collected
+    once; the score is quantized to integer micro-units with ONE
+    ln/round over a double expression whose text is mirrored verbatim
+    in the DuckDB oracle (same operand order → same IEEE doubles), the
+    ``tfidf_keywords``/``bm25_topk`` discipline.
+
+    Scale shape (100 TB): bigram explode is narrow (two words a row);
+    both count aggregations partial-combine map-side; the c_a / c_b
+    attach is two equi-joins on the word key (skew-capped by min_count
+    — a post-floor bigram vocabulary has no quadratic key); top-k is
+    TakeOrdered (no global sort). Returns
+    (w1, w2, n_pair, pmi_micro) ordered (pmi_micro DESC, w1, w2).
+    """
+    toks = F.split(F.col(text_col), " ")
+    uni = df.select(F.explode(toks).alias("w"))
+    uni_counts = uni.groupBy("w").agg(F.count("*").alias("c"))
+    # guard: sequence(1, 0) DESCENDS ([1, 0]) rather than producing an
+    # empty array, and element_at(_, 0) throws under ANSI — single-token
+    # and empty docs must yield an empty pair list explicitly
+    bi = df.select(
+        F.explode(
+            F.expr(
+                f"transform(if(size(split({text_col}, ' ')) >= 2, "
+                f"sequence(1, size(split({text_col}, ' ')) - 1), "
+                f"cast(array() as array<int>)), "
+                f"i -> struct(element_at(split({text_col}, ' '), i) AS w1, "
+                f"element_at(split({text_col}, ' '), i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    tu = uni_counts.agg(F.sum("c")).collect()[0][0] or 0
+    tb = bi.count()
+    ca = uni_counts.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    cb = uni_counts.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bi_counts.join(ca, "w1")
+        .join(cb, "w2")
+        .withColumn(
+            "pmi_micro",
+            F.expr(
+                f"CAST(ROUND(LN((CAST(n_pair AS DOUBLE) * {tu} * {tu}) / "
+                f"(CAST({tb} AS DOUBLE) * c_a * c_b)) * 1000000, 0) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        scored.select("w1", "w2", "n_pair", "pmi_micro")
+        .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
+        .limit(top_k)
+    )
