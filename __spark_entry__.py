@@ -2101,6 +2101,31 @@ def pmi_collocations_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pmi_collocations(docs, "text", min_count=5, top_k=100)
 
 
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + probe (operators/sketch.py): estimate
+    the corpus's top-20 exact token counts through a 4×1024 sketch and
+    ship (tok, exact_count, est_count) side by side — est ≥ exact always
+    (one-sided CMS error), equality when the cell is collision-free.
+    Bucket hash is the portable md5-prefix mod, counters are int64 SUMs,
+    so the DuckDB oracle replays build AND probe bit-for-bit."""
+    from csv_cruncher_spark.operators import sketch as cms
+
+    docs = _t(spark, sf_dir, "documents")
+    sk = cms.count_min_build(docs, "text", depth=4, width=1024)
+    exact = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    top = exact.orderBy(F.desc("exact_count"), F.asc("tok")).limit(20)
+    est = cms.count_min_estimate(sk, top.select("tok"), "tok", depth=4, width=1024)
+    return (
+        top.join(est, "tok")
+        .select("tok", "exact_count", "est_count")
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2148,6 +2173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_rank": crawl_frontier_rank,
         "doc_novelty_scores": doc_novelty_scores,
         "pmi_collocations_top": pmi_collocations_top,
+        "cms_token_counts": cms_token_counts,
         "media_decode_features": media_decode_features,
         "ann_ivf_topk": ann_ivf_topk,
         "parts_starting_with": parts_starting_with,
@@ -4220,6 +4246,37 @@ def oracle_sql() -> dict[str, str]:
                     JOIN uc cb ON cb.word = bc.w2
             ORDER BY pmi_micro DESC, bc.w1, bc.w2
             LIMIT 100
+        """,
+        "cms_token_counts": """
+            WITH toks AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            exact AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok),
+            top AS (
+              SELECT tok, exact_count FROM exact
+              ORDER BY exact_count DESC, tok ASC LIMIT 20
+            ),
+            rr AS (SELECT unnest([0, 1, 2, 3]) AS r),
+            cells AS (
+              SELECT rr.r AS r,
+                     (('0x' || substr(md5(tok || ':cms:' || rr.r::VARCHAR), 1, 12))::BIGINT
+                       % 1024) AS bucket,
+                     count(*) AS c
+              FROM toks, rr
+              GROUP BY 1, 2
+            ),
+            probe AS (
+              SELECT t.tok, t.exact_count, rr.r AS r,
+                     (('0x' || substr(md5(t.tok || ':cms:' || rr.r::VARCHAR), 1, 12))::BIGINT
+                       % 1024) AS bucket
+              FROM top t, rr
+            )
+            SELECT p.tok, p.exact_count,
+                   min(coalesce(cells.c, 0))::BIGINT AS est_count
+            FROM probe p LEFT JOIN cells
+              ON cells.r = p.r AND cells.bucket = p.bucket
+            GROUP BY 1, 2
+            ORDER BY exact_count DESC, tok ASC
         """,
         "dedup_groups": """
             WITH RECURSIVE sh AS (

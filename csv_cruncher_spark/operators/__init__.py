@@ -19,8 +19,10 @@ from . import (
     semdedup,
     shuffle,
     similarity,
+    sketch,
     textstats,
 )
+from .sketch import count_min_build, count_min_estimate
 from .c4 import c4_clean
 from .classifier import micro_feature_frame, score_micro, train_logreg
 from .recall import ann_recall, exact_topk_multi, ivf_topk_multi
@@ -131,6 +133,9 @@ __all__ = [
     "ngram_containment_pairs",
     "novelty_scores",
     "pmi_collocations",
+    "sketch",
+    "count_min_build",
+    "count_min_estimate",
     "joins",
     "multimodal",
     "similarity",
