@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from .dedup import _pin
+
 
 def derive_link_graph(
     docs: DataFrame, id_col: str = "doc_id", out_degree: int = 3
@@ -116,7 +118,6 @@ def pagerank_micro(
     """
     nodes = docs.select(F.col(id_col).cast("long").alias("node"))
     e = edges if edges is not None else derive_link_graph(docs, id_col, out_degree)
-    e = e.persist()
     base = (100 - damping_pct) * 10_000
     ranks = nodes.select(
         "node", F.lit(1_000_000).cast("long").alias("rank_micro")
@@ -148,4 +149,6 @@ def pagerank_micro(
                 .alias("rank_micro"),
             )
         )
-    return ranks
+    # the edge frame feeds every iteration: persist with a reachable
+    # release point (operators.dedup.release), the repo's _pin discipline
+    return _pin(e, ranks)
