@@ -97,3 +97,45 @@ def test_cms_probe_broadcasts_sketch(spark):
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cms_streaming_build_equals_batch(spark, tmp_path):
+    """The sketch build is a plain groupBy-count plan, so it runs
+    unchanged over a file stream (complete output mode): after all
+    files are consumed, the streamed sketch must equal the batch build
+    over the union — the repo's batch-exact-twin discipline, and the
+    shape a CDC pipeline uses to keep a LIVE token-frequency sketch."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    a = spark.createDataFrame([(0, "x y x"), (1, "y z")],
+                              "doc_id LONG, text STRING")
+    b = spark.createDataFrame([(2, "z z w")], "doc_id LONG, text STRING")
+    a.coalesce(1).write.parquet(str(d / "p1"))
+    b.coalesce(1).write.parquet(str(d / "p2"))
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "p*"))
+    )
+    q = (
+        sketch.count_min_build(stream, "text", depth=DEPTH, width=WIDTH)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("cms_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT row, bucket, c FROM cms_stream_t").collect())
+    )
+    batch = sorted(
+        map(
+            tuple,
+            sketch.count_min_build(
+                a.unionByName(b), "text", depth=DEPTH, width=WIDTH
+            ).collect(),
+        )
+    )
+    assert streamed == batch
