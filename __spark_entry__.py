@@ -2126,6 +2126,27 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def personalized_crawl_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set (operators/graph.py
+    pagerank_micro(seeds=...)): teleport mass lands only on seeds
+    (doc_id % 50 == 0 — a deterministic 2% seed set), so rank
+    concentrates in the seeds' link neighbourhood — the focused-crawl
+    frontier scorer. Same int64 micro arithmetic; the oracle unrolls the
+    3 iterations with the seed CASE inline."""
+    from csv_cruncher_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    ranks = graph.pagerank_micro(
+        docs, "doc_id", out_degree=3, iterations=3, damping_pct=85, seeds=seeds
+    )
+    return (
+        ranks.select(F.col("node").alias("doc_id"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), F.col("doc_id").asc())
+        .limit(50)
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2174,6 +2195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_novelty_scores": doc_novelty_scores,
         "pmi_collocations_top": pmi_collocations_top,
         "cms_token_counts": cms_token_counts,
+        "personalized_crawl_rank": personalized_crawl_rank,
         "media_decode_features": media_decode_features,
         "ann_ivf_topk": ann_ivf_topk,
         "parts_starting_with": parts_starting_with,
@@ -4188,6 +4210,52 @@ def oracle_sql() -> dict[str, str]:
             r3 AS (
               SELECT nodes.node,
                      (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r2 ON r2.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            )
+            SELECT node AS doc_id, r AS rank_micro
+            FROM r3
+            ORDER BY rank_micro DESC, doc_id ASC
+            LIMIT 50
+        """,
+        "personalized_crawl_rank": """
+            WITH nodes AS (SELECT doc_id::BIGINT AS node FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     (('0x' || substr(md5(node::VARCHAR || ':lnk:' || j::VARCHAR), 1, 12))::BIGINT
+                       % (SELECT n FROM nn)) AS dst
+              FROM nodes, (SELECT unnest([0, 1, 2]) AS j) slots
+            ),
+            r0 AS (
+              SELECT node,
+                     (CASE WHEN node % 50 = 0 THEN 1000000 ELSE 0 END)::BIGINT AS r
+              FROM nodes
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     ((CASE WHEN nodes.node % 50 = 0 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r0 ON r0.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     ((CASE WHEN nodes.node % 50 = 0 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r1 ON r1.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     ((CASE WHEN nodes.node % 50 = 0 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
               FROM nodes LEFT JOIN (
                 SELECT dst, sum(r // 3) AS s
                 FROM edges JOIN r2 ON r2.node = edges.src GROUP BY dst

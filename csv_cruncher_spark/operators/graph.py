@@ -93,6 +93,7 @@ def pagerank_micro(
     iterations: int = 3,
     damping_pct: int = 85,
     edges: DataFrame | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration integer-micro PageRank. Every node starts at
     1_000_000 micro; one iteration is::
@@ -110,6 +111,15 @@ def pagerank_micro(
     degree, pre-join a per-src degree column and divide by it instead;
     the fixed-degree form keeps the synthetic oracle exact).
 
+    ``seeds`` (a one-column frame of node ids) switches to PERSONALIZED
+    PageRank — the focused-crawl scorer: teleport mass lands only on
+    seed nodes (base for seeds, 0 elsewhere) and initial rank is 10^6 on
+    seeds, 0 elsewhere, so the stationary mass concentrates in the seed
+    set's link neighbourhood (Haveliwala, "Topic-Sensitive PageRank").
+    The seed membership joins once up front (broadcast when small —
+    Spark decides) and rides the node list as an int flag; the
+    per-iteration plan is unchanged.
+
     Plan shape per iteration: edges ⋈ ranks on src (equi-join; broadcast
     nothing — both sides are big at scale), partial-agg SUM by dst,
     LEFT equi-join back to the node list. The edge frame is persisted
@@ -119,9 +129,21 @@ def pagerank_micro(
     nodes = docs.select(F.col(id_col).cast("long").alias("node"))
     e = edges if edges is not None else derive_link_graph(docs, id_col, out_degree)
     base = (100 - damping_pct) * 10_000
-    ranks = nodes.select(
-        "node", F.lit(1_000_000).cast("long").alias("rank_micro")
-    )
+    if seeds is not None:
+        seed_col = seeds.columns[0]
+        flags = seeds.select(
+            F.col(seed_col).cast("long").alias("node"),
+            F.lit(1).alias("__seed"),
+        ).distinct()
+        nodes = nodes.join(flags, "node", "left").select(
+            "node", F.coalesce("__seed", F.lit(0)).alias("__seed")
+        )
+        base_expr = F.when(F.col("n.__seed") == 1, F.lit(base)).otherwise(F.lit(0))
+        init = F.when(F.col("__seed") == 1, F.lit(1_000_000)).otherwise(F.lit(0))
+    else:
+        base_expr = F.lit(base)
+        init = F.lit(1_000_000)
+    ranks = nodes.select("node", init.cast("long").alias("rank_micro"))
     for _ in range(iterations):
         # explicit aliases: after the first iteration the rank frame's
         # lineage contains `nodes`, so unqualified columns would be
@@ -142,13 +164,13 @@ def pagerank_micro(
             .select(
                 F.col("n.node").alias("node"),
                 (
-                    F.lit(base)
+                    base_expr
                     + F.expr(f"({damping_pct} * coalesce(c.s, 0L)) div 100")
                 )
                 .cast("long")
                 .alias("rank_micro"),
             )
         )
-    # the edge frame feeds every iteration: persist with a reachable
-    # release point (operators.dedup.release), the repo's _pin discipline
-    return _pin(e, ranks)
+    # the seed flag (when present) lives on `nodes` only — the rank
+    # frame stays narrow (node, rank_micro) at every step
+    return _pin(e, ranks.select("node", "rank_micro"))

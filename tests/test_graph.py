@@ -127,3 +127,40 @@ def test_containment_threshold_filters(spark):
         docs, "doc_id", "text", min_containment=0.5
     ).collect()
     assert high == []
+
+
+def test_personalized_pagerank_exact_cycle(spark):
+    # cycle 0 -> 1 -> 2 -> 0, out_degree 1, seeds = {0}:
+    #   r0 = [1e6, 0, 0]
+    #   r1 = [150000, 850000, 0]
+    #   r2 = [150000, 127500, 722500]
+    docs = _docs(spark, 3)
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src LONG, dst LONG")
+    seeds = spark.createDataFrame([(0,)], "doc_id LONG")
+    out = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_micro(
+            docs, "doc_id", out_degree=1, iterations=2, edges=edges, seeds=seeds
+        ).collect()
+    }
+    assert out == {0: 150_000, 1: 127_500, 2: 722_500}
+
+
+def test_personalized_mass_concentrates_near_seeds(spark):
+    # star: every node links to the hub; seed = one leaf. Only the hub
+    # (the leaf's target) and the seed itself can hold mass; unrelated
+    # leaves must be exactly 0.
+    n = 20
+    docs = _docs(spark, n)
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(n)], "src LONG, dst LONG"
+    )
+    seeds = spark.createDataFrame([(5,)], "doc_id LONG")
+    got = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_micro(
+            docs, "doc_id", out_degree=1, iterations=3, edges=edges, seeds=seeds
+        ).collect()
+    }
+    assert got[5] > 0 and got[0] > 0
+    assert all(v == 0 for k, v in got.items() if k not in (0, 5))
