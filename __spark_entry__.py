@@ -2147,6 +2147,35 @@ def personalized_crawl_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per source (operators/sketch.py
+    hll_build/hll_estimate) next to the exact countDistinct: 1024
+    registers per group regardless of vocabulary size — the cardinality
+    companion to cms_token_counts. Registers (present/zeros/z_scaled)
+    are exact int64s the DuckDB oracle replays bit-for-bit via the
+    shared hll_oracle_sql fragment; est_distinct mirrors the double
+    formula text verbatim."""
+    from csv_cruncher_spark.operators import sketch as sk_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sk = sk_mod.hll_build(toks, "tok", m=1024, group_cols=("source",))
+    est = sk_mod.hll_estimate(sk, m=1024, group_cols=("source",))
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return (
+        exact.join(est, "source")
+        .select(
+            "source", "exact_distinct", "present", "zeros", "z_scaled",
+            "est_distinct",
+        )
+        .orderBy("source")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2263,10 +2292,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouped_split_stats": grouped_split_stats,
         "ivm_minmax_stats": ivm_minmax_stats,
         "source_skew_report": source_skew_report,
+        "hll_distinct_tokens": hll_distinct_tokens,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from csv_cruncher_spark.operators import sketch as _sketch
+
     stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
     lang_score = {
         lang: f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({', '.join(repr(w) for w in markers)})))"
@@ -4345,6 +4377,22 @@ def oracle_sql() -> dict[str, str]:
               ON cells.r = p.r AND cells.bucket = p.bucket
             GROUP BY 1, 2
             ORDER BY exact_count DESC, tok ASC
+        """,
+        "hll_distinct_tokens": f"""
+            WITH toks AS (
+              SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            exact AS (
+              SELECT source, count(DISTINCT tok)::BIGINT AS exact_distinct
+              FROM toks GROUP BY source
+            ),
+            hll AS (
+              {_sketch.hll_oracle_sql("toks", "tok", m=1024, group_cols=("source",))}
+            )
+            SELECT e.source, e.exact_distinct, h.present, h.zeros, h.z_scaled,
+                   h.est_distinct
+            FROM exact e JOIN hll h ON h.source = e.source
+            ORDER BY e.source
         """,
         "dedup_groups": """
             WITH RECURSIVE sh AS (

@@ -85,6 +85,156 @@ def _bucket_for_rows(tok_col: str, width: int) -> F.Column:
     ).alias("bucket")
 
 
+def hll_build(
+    df: DataFrame,
+    item_col: str,
+    m: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HyperLogLog registers over ``item_col`` (Flajolet et al. 2007):
+    bounded-memory distinct counting for unbounded web key spaces
+    (distinct URLs per host, distinct tokens per source) — the
+    cardinality companion to the count-min frequency sketch above.
+
+    Each item hashes once; the first 48 bits of md5(item || ':hll')
+    pick one of ``m`` registers, the next 48 bits supply rho = number
+    of leading zero bits + 1 (49 when all 48 are zero). The sketch IS a
+    DataFrame of (group..., bucket, r) with r = MAX(rho) — ONE hash
+    aggregation whose key space is |groups|·m, so the map-side combine
+    collapses any input size to at most m partial rows per group per
+    task. Merging sketches of two corpora is a union + re-aggregate
+    (``hll_merge``); estimation (``hll_estimate``) is one more
+    aggregation over ≤ m rows per group. No driver state, no UDAF.
+
+    Cross-engine exactness: bucket and rho are pure string/arithmetic
+    ops on the md5 hex (leading-zero count via a ^0* regexp over the
+    hex chars plus a CASE on the first non-zero nibble), so DuckDB
+    replays the registers bit-for-bit; only the final estimate touches
+    doubles, and its formula text is mirrored verbatim in the oracle
+    (the ``pmi_collocations`` discipline)."""
+    gcols = list(group_cols)
+    h = F.md5(F.concat(F.col(item_col).cast("string"), F.lit(":hll")))
+    bucket = F.pmod(
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(m)
+    ).alias("bucket")
+    tail = F.substring(h, 13, 12)
+    zhex = F.length(F.regexp_extract(tail, "^0*", 0))
+    first_nonzero = tail.substr(zhex + F.lit(1), F.lit(1))
+    extra = (
+        F.when(first_nonzero == "1", 3)
+        .when(first_nonzero.isin("2", "3"), 2)
+        .when(first_nonzero.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rho = (
+        F.when(zhex == 12, F.lit(49)).otherwise(zhex * 4 + extra + 1)
+    ).cast("int").alias("rho")
+    return (
+        df.select(*gcols, bucket, rho)
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Union two register sets built with the same m: register-wise MAX.
+    Associative and idempotent — corpora can be sketched independently
+    (per partition, per day, per crawl) and folded in any order."""
+    gcols = list(group_cols)
+    return (
+        a.unionByName(b)
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+
+
+def hll_estimate(
+    sketch: DataFrame,
+    m: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct-count estimate from the registers: the classic
+    bias-corrected harmonic mean with the small-range (linear counting)
+    correction. Returns (group..., present, zeros, z_scaled,
+    est_distinct) — present/zeros/z_scaled are EXACT int64s (z_scaled =
+    sum over all m registers of 2^(49-r), absent registers contributing
+    2^49, kept integer so both engines agree bit-for-bit); only
+    est_distinct touches doubles, with the formula text mirrored
+    verbatim in the DuckDB oracle. Standard error ≈ 1.04/sqrt(m) ≈ 3.3%%
+    at m=1024. ONE aggregation over ≤ m rows per group."""
+    gcols = list(group_cols)
+    two49 = 1 << 49
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("present"),
+        (F.lit(m) - F.count(F.lit(1))).cast("long").alias("zeros"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 49 - r)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(two49)
+        ).cast("long").alias("z_scaled"),
+    )
+    alpha_expr = f"(0.7213 / (1.0 + 1.079 / {m}.0))"
+    raw = f"{alpha_expr} * {m}.0 * {m}.0 * {float(two49):.1f} / CAST(z_scaled AS DOUBLE)"
+    est = (
+        f"CAST(ROUND(CASE WHEN zeros > 0 AND {raw} <= {2.5 * m} "
+        f"THEN {m}.0 * LN({m}.0 / CAST(zeros AS DOUBLE)) "
+        f"ELSE {raw} END, 0) AS BIGINT)"
+    )
+    return agg.select(
+        *gcols, "present", "zeros", "z_scaled", F.expr(est).alias("est_distinct")
+    )
+
+
+def hll_oracle_sql(
+    source_expr: str,
+    item_expr: str,
+    m: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB fragment replaying build + estimate bit-for-bit over a
+    relation ``{source_expr}`` exposing ``{item_expr}`` (and the group
+    columns). Register arithmetic is exact; the estimate doubles mirror
+    ``hll_estimate``'s expression text verbatim."""
+    g = ", ".join(group_cols)
+    gsel = (g + ", ") if g else ""
+    gby = ("GROUP BY " + g) if g else ""
+    two49 = 1 << 49
+    h = f"md5({item_expr} || ':hll')"
+    tail = f"substr({h}, 13, 12)"
+    zhex = f"length(regexp_extract({tail}, '^0*'))"
+    raw = (
+        f"(0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * {float(two49):.1f}"
+        " / CAST(z_scaled AS DOUBLE)"
+    )
+    return f"""
+        WITH hll_cells AS (
+          SELECT {gsel}
+                 (('0x' || substr({h}, 1, 12))::BIGINT % {m}) AS bucket,
+                 max(CASE WHEN {zhex} = 12 THEN 49
+                     ELSE {zhex} * 4
+                          + (CASE substr({tail}, {zhex} + 1, 1)
+                             WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                             WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                             WHEN '7' THEN 1 ELSE 0 END)
+                          + 1 END) AS r
+          FROM {source_expr}
+          GROUP BY {", ".join(list(group_cols) + ["bucket"])}
+        ),
+        hll_agg AS (
+          SELECT {gsel}
+                 count(*)::BIGINT AS present,
+                 ({m} - count(*))::BIGINT AS zeros,
+                 (sum((1::BIGINT << (49 - r))) + ({m} - count(*)) * {two49})::BIGINT
+                   AS z_scaled
+          FROM hll_cells {gby}
+        )
+        SELECT {gsel}present, zeros, z_scaled,
+               CAST(ROUND(CASE WHEN zeros > 0 AND {raw} <= {2.5 * m}
+                    THEN {m}.0 * LN({m}.0 / CAST(zeros AS DOUBLE))
+                    ELSE {raw} END, 0) AS BIGINT) AS est_distinct
+        FROM hll_agg
+    """
+
+
 def count_min_estimate(
     sketch: DataFrame,
     probes: DataFrame,

@@ -139,3 +139,106 @@ def test_cms_streaming_build_equals_batch(spark, tmp_path):
         )
     )
     assert streamed == batch
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def _hll_py_registers(items, m):
+    """Pure-Python replay of hll_build's register set: md5-prefix bucket,
+    leading-zero-bit rho over the next 48 bits. Independent of both
+    engines — the ground truth the Spark build must equal exactly."""
+    import hashlib
+
+    regs = {}
+    for it in items:
+        h = hashlib.md5((str(it) + ":hll").encode()).hexdigest()
+        bucket = int(h[:12], 16) % m
+        tailbits = int(h[12:24], 16)
+        rho = 49 if tailbits == 0 else 48 - tailbits.bit_length() + 1
+        regs[bucket] = max(regs.get(bucket, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_pure_python_replay(spark):
+    m = 64
+    items = [f"url-{i}" for i in range(500)]
+    df = spark.createDataFrame([(x,) for x in items], "item STRING")
+    got = {r.bucket: r.r for r in sketch.hll_build(df, "item", m=m).collect()}
+    assert got == _hll_py_registers(items, m)
+
+
+def test_hll_register_count_is_bounded_and_rho_in_range(spark):
+    m = 32
+    df = spark.createDataFrame(
+        [(f"k{i}",) for i in range(10_000)], "item STRING"
+    )
+    regs = sketch.hll_build(df, "item", m=m).collect()
+    assert len(regs) <= m
+    assert all(0 <= r.bucket < m and 1 <= r.r <= 49 for r in regs)
+
+
+def test_hll_merge_equals_combined_build(spark):
+    m = 64
+    a = spark.createDataFrame([(f"a{i}",) for i in range(300)], "item STRING")
+    b = spark.createDataFrame(
+        [(f"a{i}",) for i in range(150, 450)], "item STRING"
+    )
+    merged = sketch.hll_merge(
+        sketch.hll_build(a, "item", m=m), sketch.hll_build(b, "item", m=m)
+    )
+    combined = sketch.hll_build(a.unionByName(b), "item", m=m)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, combined.collect())
+    )
+
+
+def test_hll_estimate_accuracy_raw_branch(spark):
+    """20k distinct keys at m=1024 exercises the harmonic-mean branch
+    (no zero registers survive, or E > 2.5m); the estimate must land
+    within 4 standard errors (4 * 1.04 / sqrt(1024) ≈ 13%)."""
+    m = 1024
+    n = 20_000
+    df = spark.createDataFrame([(f"u{i}",) for i in range(n)], "item STRING")
+    sk = sketch.hll_build(df, "item", m=m)
+    row = sketch.hll_estimate(sk, m=m).collect()[0]
+    assert abs(row.est_distinct - n) / n < 4 * 1.04 / (m**0.5)
+
+
+def test_hll_estimate_small_range_branch_is_near_exact(spark):
+    """A 40-distinct corpus at m=1024 forces linear counting (zeros > 0,
+    E ≤ 2.5m): with so few keys the estimate is exact unless two keys
+    share a register, so it may only undershoot, and by at most a few."""
+    m = 1024
+    df = spark.createDataFrame([(f"v{i}",) for i in range(40)], "item STRING")
+    row = sketch.hll_estimate(sketch.hll_build(df, "item", m=m), m=m).collect()[0]
+    assert row.zeros > 0
+    assert 36 <= row.est_distinct <= 40
+
+
+def test_hll_grouped_build_and_estimate(spark):
+    m = 256
+    rows = [(f"g{i % 2}", f"item{i}") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "grp STRING, item STRING")
+    sk = sketch.hll_build(df, "item", m=m, group_cols=("grp",))
+    est = {
+        r.grp: r.est_distinct
+        for r in sketch.hll_estimate(sk, m=m, group_cols=("grp",)).collect()
+    }
+    assert set(est) == {"g0", "g1"}
+    for v in est.values():
+        assert abs(v - 1000) / 1000 < 4 * 1.04 / (m**0.5)
+
+
+def test_hll_build_plan_is_single_aggregation(spark):
+    """The build must stay a scan → project → hash-aggregate plan: no
+    joins, no windows, no Python — the map-side combine collapsing to
+    ≤ m rows per task is the operator's entire scale story."""
+    df = spark.createDataFrame([("a",), ("b",)], "item STRING")
+    plan = (
+        sketch.hll_build(df, "item", m=64)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Window", "BatchEvalPython", "CartesianProduct"):
+        assert bad not in plan, f"{bad} in hll_build plan"
