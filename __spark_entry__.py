@@ -2176,6 +2176,27 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_schedule_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness crawl scheduling (operators/crawl.py crawl_schedule):
+    every frontier URL gets a fetch slot with ≤25 fetches per host per
+    slot, priority-first — computed skew-safely (narrow projection,
+    per-(host, priority) count + cumulative offset + tie-class window,
+    join-back by id) yet bit-equal to the oracle's plain ROW_NUMBER."""
+    from csv_cruncher_spark.operators import crawl
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("double").alias("prio"),
+    )
+    out = crawl.crawl_schedule(frontier, "host", "prio", "doc_id",
+                               per_host_budget=25)
+    return out.select("doc_id", "host", "rank_in_host", "slot").orderBy(
+        "host", "rank_in_host"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2293,6 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivm_minmax_stats": ivm_minmax_stats,
         "source_skew_report": source_skew_report,
         "hll_distinct_tokens": hll_distinct_tokens,
+        "crawl_schedule_slots": crawl_schedule_slots,
     }
 
 
@@ -4393,6 +4415,22 @@ def oracle_sql() -> dict[str, str]:
                    h.est_distinct
             FROM exact e JOIN hll h ON h.source = e.source
             ORDER BY e.source
+        """,
+        "crawl_schedule_slots": """
+            WITH f AS (
+              SELECT doc_id, source AS host, CAST(n_chars AS DOUBLE) AS prio
+              FROM documents
+            ),
+            r AS (
+              SELECT doc_id, host,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY prio DESC, doc_id
+                     )::BIGINT AS rank_in_host
+              FROM f
+            )
+            SELECT doc_id, host, rank_in_host,
+                   CAST(FLOOR((rank_in_host - 1) / 25.0) AS BIGINT) AS slot
+            FROM r ORDER BY host, rank_in_host
         """,
         "dedup_groups": """
             WITH RECURSIVE sh AS (

@@ -1,0 +1,102 @@
+"""Politeness-aware crawl-frontier scheduling: assign every frontier URL
+a fetch slot such that no host serves more than ``per_host_budget``
+fetches per slot, higher-priority URLs fetch first, and the assignment
+is a pure function of the input (re-runnable, resumable mid-crawl).
+
+This is the dispatch half of the focused-crawl loop whose scoring half
+is ``graph.pagerank_micro`` (crawl_frontier_rank /
+personalized_crawl_rank): PageRank says WHAT to fetch next, this says
+WHEN — the per-host rate limit is the politeness contract every real
+crawler honours, and at 10^10 frontier URLs the host key is the most
+skewed key in the system (a handful of platforms own most of the web).
+
+Scale shape — the naive plan is ``row_number() OVER (PARTITION BY host
+ORDER BY priority DESC)`` on the full frame: one task sorts the giant
+host's entire payload. Instead:
+
+1. the schedule is computed on the NARROW (host, priority, id)
+   projection and joined back by the unique id (the repo's payload-free
+   window discipline, ``ranking.cap_per_group``);
+2. rank-in-host decomposes exactly into
+   ``offset(host, priority) + tie_rank`` where ``offset`` is the count
+   of strictly-higher-priority rows — a per-(host, priority) COUNT
+   aggregation (map-side combined) plus a cumulative sum over the
+   AGGREGATED frame (one row per distinct (host, priority), so the
+   host-partitioned window sorts group counts, not rows), and
+   ``tie_rank`` is a window over (host, priority) — partitions the size
+   of a single tie class. With continuous priority scores (the
+   realistic case: they come from PageRank), tie classes are ~1 row and
+   NOTHING big is ever sorted in one task. The honest bound: a discrete
+   priority with a giant tie class re-concentrates the tie window; feed
+   scores, not grades (docstring contract, asserted in tests via the
+   plan).
+
+Cross-engine: every output column is integer arithmetic on counts and
+ranks — the DuckDB oracle replays it with a plain ROW_NUMBER and must
+agree bit-for-bit (tests + driver entry ``crawl_schedule_slots``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["crawl_schedule"]
+
+
+def crawl_schedule(
+    frontier: DataFrame,
+    host_col: str,
+    priority_col: str,
+    id_col: str,
+    per_host_budget: int = 10,
+) -> DataFrame:
+    """Schedule ``frontier`` rows into fetch slots.
+
+    Returns the input columns plus:
+
+      rank_in_host  1-based fetch order within the host
+                    (priority DESC, id ASC — total and deterministic)
+      slot          0-based time slot: floor((rank_in_host - 1) /
+                    per_host_budget); at most ``per_host_budget`` URLs
+                    of a host share a slot
+
+    Equivalent to ``row_number() OVER (PARTITION BY host ORDER BY
+    priority DESC, id)`` but computed skew-safely (module docstring);
+    ``id_col`` must be unique (it keys the join-back)."""
+    if per_host_budget <= 0:
+        raise ValueError(f"per_host_budget must be positive, got {per_host_budget}")
+    narrow = frontier.select(
+        F.col(host_col).alias("__host"),
+        F.col(priority_col).alias("__prio"),
+        F.col(id_col).alias("__id"),
+    )
+    # one row per (host, priority): how many rows share this priority
+    counts = narrow.groupBy("__host", "__prio").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # rows strictly before this tie class = running sum of higher classes
+    w_off = (
+        Window.partitionBy("__host")
+        .orderBy(F.col("__prio").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__host", "__prio", "__offset")
+    # rank within the tie class by id (partitions = one tie class each)
+    w_tie = Window.partitionBy("__host", "__prio").orderBy(F.col("__id").asc())
+    ranked = (
+        narrow.withColumn("__tie", F.row_number().over(w_tie))
+        .join(offsets, ["__host", "__prio"])
+        .select(
+            "__id",
+            (F.col("__offset") + F.col("__tie")).cast("long").alias("rank_in_host"),
+        )
+    )
+    out = frontier.join(
+        ranked, frontier[id_col] == ranked["__id"]
+    ).drop("__id")
+    return out.withColumn(
+        "slot",
+        F.floor((F.col("rank_in_host") - 1) / per_host_budget).cast("long"),
+    )

@@ -1,0 +1,96 @@
+"""Politeness crawl scheduling (operators/crawl.py): row_number
+equivalence, budget invariant, determinism across parallelism, and the
+payload-free / decomposed plan shape. Cross-engine bit-exactness is the
+`crawl_schedule_slots` oracle entry (tests/test_oracle_parity.py)."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from csv_cruncher_spark.operators import crawl  # noqa: E402
+
+
+def _frontier(spark, n=200, n_hosts=5):
+    rows = [
+        (i, f"host{i % n_hosts}", float((i * 37) % 91), f"payload-{i}" * 20)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "url_id LONG, host STRING, prio DOUBLE, body STRING"
+    )
+
+
+def test_schedule_equals_plain_row_number(spark):
+    df = _frontier(spark)
+    got = crawl.crawl_schedule(df, "host", "prio", "url_id", per_host_budget=7)
+    w = Window.partitionBy("host").orderBy(F.col("prio").desc(), F.col("url_id"))
+    want = df.withColumn("rank_in_host", F.row_number().over(w).cast("long"))
+    want = want.withColumn(
+        "slot", F.floor((F.col("rank_in_host") - 1) / 7).cast("long")
+    )
+    assert sorted(map(tuple, got.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_budget_invariant_and_priority_order(spark):
+    df = _frontier(spark)
+    got = crawl.crawl_schedule(df, "host", "prio", "url_id", per_host_budget=4)
+    per_slot = got.groupBy("host", "slot").agg(
+        F.count(F.lit(1)).alias("n"), F.min("prio").alias("lo"),
+        F.max("prio").alias("hi"),
+    ).collect()
+    assert all(r.n <= 4 for r in per_slot)
+    # slots serve monotonically non-increasing priority per host
+    by_host = {}
+    for r in sorted(per_slot, key=lambda r: (r.host, r.slot)):
+        if r.host in by_host:
+            assert r.hi <= by_host[r.host], "later slot got higher priority"
+        by_host[r.host] = r.lo
+
+
+def test_ties_break_by_id_and_ranks_are_dense(spark):
+    df = spark.createDataFrame(
+        [(1, "h", 5.0), (2, "h", 5.0), (3, "h", 9.0), (4, "h", 5.0)],
+        "url_id LONG, host STRING, prio DOUBLE",
+    )
+    got = {
+        r.url_id: r.rank_in_host
+        for r in crawl.crawl_schedule(df, "host", "prio", "url_id", 2).collect()
+    }
+    assert got == {3: 1, 1: 2, 2: 3, 4: 4}
+
+
+def test_deterministic_across_partitioning(spark):
+    df = _frontier(spark)
+    a = crawl.crawl_schedule(df.repartition(1), "host", "prio", "url_id", 5)
+    b = crawl.crawl_schedule(df.repartition(13), "host", "prio", "url_id", 5)
+    assert sorted(map(tuple, a.select("url_id", "rank_in_host", "slot").collect())) == sorted(
+        map(tuple, b.select("url_id", "rank_in_host", "slot").collect())
+    )
+
+
+def test_rejects_nonpositive_budget(spark):
+    with pytest.raises(ValueError):
+        crawl.crawl_schedule(_frontier(spark), "host", "prio", "url_id", 0)
+
+
+def test_plan_windows_are_payload_free(spark):
+    """Both windows must run on narrow frames: the payload column may
+    appear below the final join-back, never inside a Window node's
+    child projection. We assert no Window operator's subtree includes
+    the body column."""
+    df = _frontier(spark)
+    got = crawl.crawl_schedule(df, "host", "prio", "url_id", 5)
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    # every Window block in the optimized plan lists its output; body
+    # must not be among any window's attributes
+    for block in plan.split("Window ")[1:]:
+        header = block.split("\n", 1)[0]
+        assert "body" not in header, f"payload inside window: {header}"
+    assert "CartesianProduct" not in plan

@@ -9,7 +9,8 @@ import csv_cruncher_spark.operators as ops
 
 def test_every_module_registered():
     for mod in [
-        "bloom", "boilerplate", "bpe", "corpus", "curriculum", "decontam",
+        "bloom", "boilerplate", "bpe", "corpus", "crawl", "curriculum",
+        "decontam",
         "dedup", "joins", "multimodal", "packing", "ranking",
         "sampling", "shuffle", "similarity", "textstats",
     ]:
@@ -33,6 +34,7 @@ def test_every_public_operator_reexported():
         "chunk_documents", "quantile_buckets", "gopher_quality_filter",
         "kmeans_fit_exact", "bpe_train", "bpe_encode", "word_frequencies",
         "tfidf_keywords", "zipf_fit",
+        "hll_build", "hll_merge", "hll_estimate", "crawl_schedule",
     ]:
         assert callable(getattr(ops, fn, None)), fn
         assert fn in ops.__all__, fn

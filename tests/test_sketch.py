@@ -242,3 +242,39 @@ def test_hll_build_plan_is_single_aggregation(spark):
     )
     for bad in ("Join", "Window", "BatchEvalPython", "CartesianProduct"):
         assert bad not in plan, f"{bad} in hll_build plan"
+
+
+def test_hll_streaming_build_equals_batch(spark, tmp_path):
+    """hll_build is a plain groupBy-max plan, so it runs unchanged over
+    a file stream (complete output mode): after all files are consumed
+    the streamed registers must equal the batch build over the union —
+    the batch-exact-twin discipline, and the shape a CDC pipeline uses
+    to keep a LIVE distinct-URL register set."""
+    d = tmp_path / "items"
+    d.mkdir()
+    a = spark.createDataFrame([(f"u{i}",) for i in range(40)], "item STRING")
+    b = spark.createDataFrame([(f"u{i}",) for i in range(20, 70)], "item STRING")
+    a.coalesce(1).write.parquet(str(d / "p1"))
+    b.coalesce(1).write.parquet(str(d / "p2"))
+
+    stream = (
+        spark.readStream.schema("item STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d / "p*"))
+    )
+    q = (
+        sketch.hll_build(stream, "item", m=64)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("hll_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT bucket, r FROM hll_stream_t").collect())
+    )
+    batch = sorted(
+        map(tuple, sketch.hll_build(a.unionByName(b), "item", m=64).collect())
+    )
+    assert streamed == batch
