@@ -1,6 +1,7 @@
-from . import catalog, ivm, salt, vocab_view
+from . import catalog, ivm, salt, sketch_view, vocab_view
 from .corpus_view import MaintainedCorpus
 from .ivm import MaintainedAggregate, MaintainedExtrema
+from .sketch_view import MaintainedSketch
 from .table import LakeTable
 from .vocab_view import MaintainedVocabulary
 
@@ -9,9 +10,11 @@ __all__ = [
     "MaintainedAggregate",
     "MaintainedExtrema",
     "MaintainedCorpus",
+    "MaintainedSketch",
     "MaintainedVocabulary",
     "catalog",
     "ivm",
     "salt",
+    "sketch_view",
     "vocab_view",
 ]

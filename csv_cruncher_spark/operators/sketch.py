@@ -113,10 +113,21 @@ def hll_build(
     doubles, and its formula text is mirrored verbatim in the oracle
     (the ``pmi_collocations`` discipline)."""
     gcols = list(group_cols)
-    h = F.md5(F.concat(F.col(item_col).cast("string"), F.lit(":hll")))
-    bucket = F.pmod(
-        F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(m)
-    ).alias("bucket")
+    bucket, rho = hll_bucket_rho(F.col(item_col), m)
+    return (
+        df.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*gcols, "bucket")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_bucket_rho(item: F.Column, m: int) -> tuple[F.Column, F.Column]:
+    """The (register index, rho) column pair for one item — the pure
+    expressions ``hll_build`` aggregates, exposed so maintained views
+    (lake/sketch_view.py) can derive them on change-feed images. Both
+    are int expressions over the md5 hex; rho ∈ [1, 49]."""
+    h = F.md5(F.concat(item.cast("string"), F.lit(":hll")))
+    bucket = F.pmod(F.conv(F.substring(h, 1, 12), 16, 10).cast("long"), F.lit(m))
     tail = F.substring(h, 13, 12)
     zhex = F.length(F.regexp_extract(tail, "^0*", 0))
     first_nonzero = tail.substr(zhex + F.lit(1), F.lit(1))
@@ -128,12 +139,8 @@ def hll_build(
     )
     rho = (
         F.when(zhex == 12, F.lit(49)).otherwise(zhex * 4 + extra + 1)
-    ).cast("int").alias("rho")
-    return (
-        df.select(*gcols, bucket, rho)
-        .groupBy(*gcols, "bucket")
-        .agg(F.max("rho").alias("r"))
-    )
+    ).cast("int")
+    return bucket, rho
 
 
 def hll_merge(a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:

@@ -78,6 +78,19 @@ def main() -> int:
                          "maintained (token, tf, df) vocabulary store "
                          "(lake/vocab_view.py) — only changed documents "
                          "explode, no table rescan")
+    ap.add_argument("--maintain-sketch", default=None, metavar="STORE",
+                    help="after replay, refresh an incrementally-"
+                         "maintained HyperLogLog register store "
+                         "(lake/sketch_view.py) and print the live "
+                         "distinct-count estimate — O(changed rows), "
+                         "no table rescan unless a delete retracts a "
+                         "stored register maximum")
+    ap.add_argument("--sketch-item", default="url",
+                    help="column the maintained sketch counts distinct "
+                         "values of (default: url)")
+    ap.add_argument("--sketch-groups", default=None,
+                    help="comma-separated group columns for "
+                         "--maintain-sketch (default: global)")
     ap.add_argument("--build-corpus", default=None, metavar="OUT",
                     help="after replay, run the corpus builder over the "
                          "table state and write (url, lang, split) parquet "
@@ -214,11 +227,31 @@ def main() -> int:
         corpus_epoch = mc.refresh(spark)
 
     vocab_epoch = None
+    sketch_epoch = None
+    sketch_estimate = None
     if args.maintain_vocab:
         from csv_cruncher_spark.lake.vocab_view import MaintainedVocabulary
 
         vv = MaintainedVocabulary(args.table, args.maintain_vocab)
         vocab_epoch = vv.refresh(spark)
+
+    if args.maintain_sketch:
+        from csv_cruncher_spark.lake.sketch_view import MaintainedSketch
+
+        groups = (
+            [g for g in args.sketch_groups.split(",") if g]
+            if args.sketch_groups
+            else []
+        )
+        sv = MaintainedSketch(
+            args.table, args.maintain_sketch,
+            item_col=args.sketch_item, group_cols=groups,
+        )
+        sketch_epoch = sv.refresh(spark)
+        sketch_estimate = {
+            "|".join(str(row[g]) for g in groups) or "_all": row["est_distinct"]
+            for row in sv.estimate(spark).collect()
+        }
 
     corpus_rows = None
     if args.build_corpus:
@@ -258,6 +291,8 @@ def main() -> int:
                 "minmax_epoch": minmax_epoch,
                 "corpus_epoch": corpus_epoch,
                 "vocab_epoch": vocab_epoch,
+                "sketch_epoch": sketch_epoch,
+                "sketch_estimate": sketch_estimate,
                 "rejected_rows": sum((ckpt.get("rejected_rows") or {}).values())
                 if args.on_malformed == "dlq" else None,
                 "corpus_rows": corpus_rows,

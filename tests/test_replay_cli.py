@@ -298,3 +298,46 @@ def test_replay_maintain_minmax_incremental(spark, change_log, monkeypatch, caps
             for r in mx.read(spark).collect()
         }
         assert got == want
+
+
+def test_replay_maintain_sketch_incremental(spark, change_log, monkeypatch, capsys, tmp_path):
+    """--maintain-sketch keeps the per-lang HLL registers equal to a
+    fresh hll_build across an incremental two-stage replay, and the
+    printed estimate matches hll_estimate over a recompute."""
+    import shutil
+
+    from csv_cruncher_spark.lake import sketch_view
+    from csv_cruncher_spark.lake.table import LakeTable
+    from csv_cruncher_spark.operators import sketch as sk
+
+    base, paths = change_log
+    table = str(base / "lake")
+    store = str(base / "hll")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+
+    for cut in (2, len(paths)):
+        for p in paths[:cut]:
+            dst = staged / os.path.basename(p)
+            if not dst.exists():
+                shutil.copy(p, dst)
+        out = _run_replay(
+            monkeypatch,
+            capsys,
+            ["--table", table, "--batches", str(staged),
+             "--maintain-sketch", store, "--sketch-groups", "lang"],
+        )
+        t = LakeTable.load(table)
+        assert out["sketch_epoch"] == t.snapshot()["epoch_id"]
+        mv = sketch_view.MaintainedSketch(table, store, group_cols=["lang"])
+        want = sk.hll_build(t.read(spark), "url", m=1024, group_cols=("lang",))
+        got = {
+            (r["lang"], r["bucket"], r["r"])
+            for r in mv.registers(spark).collect()
+        }
+        assert got == {(r["lang"], r["bucket"], r["r"]) for r in want.collect()}
+        want_est = {
+            r["lang"]: r["est_distinct"]
+            for r in sk.hll_estimate(want, m=1024, group_cols=("lang",)).collect()
+        }
+        assert out["sketch_estimate"] == want_est
