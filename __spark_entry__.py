@@ -2197,6 +2197,31 @@ def crawl_schedule_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def focused_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole focused-crawl loop in one call
+    (operators/crawl.py focused_crawl_plan): personalized PageRank from
+    the 2% seed set scores the frontier, politeness scheduling
+    dispatches it (10 fetches per host per slot, rank-first). One
+    composition, one oracle: the unrolled 3-iteration seed-CASE chain
+    of personalized_crawl_rank feeding crawl_schedule_slots' plain
+    ROW_NUMBER."""
+    from csv_cruncher_spark.operators import crawl
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    plan = crawl.focused_crawl_plan(
+        docs.select("doc_id", F.col("source").alias("host")),
+        "doc_id",
+        "host",
+        seeds,
+        iterations=3,
+        per_host_budget=10,
+    )
+    return plan.select(
+        "doc_id", "host", "rank_micro", "rank_in_host", "slot"
+    ).orderBy("host", "rank_in_host")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2315,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_skew_report": source_skew_report,
         "hll_distinct_tokens": hll_distinct_tokens,
         "crawl_schedule_slots": crawl_schedule_slots,
+        "focused_crawl_schedule": focused_crawl_schedule,
     }
 
 
@@ -4431,6 +4457,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, rank_in_host,
                    CAST(FLOOR((rank_in_host - 1) / 25.0) AS BIGINT) AS slot
             FROM r ORDER BY host, rank_in_host
+        """,
+        "focused_crawl_schedule": """
+            WITH nodes AS (SELECT doc_id::BIGINT AS node FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     (('0x' || substr(md5(node::VARCHAR || ':lnk:' || j::VARCHAR), 1, 12))::BIGINT
+                       % (SELECT n FROM nn)) AS dst
+              FROM nodes, (SELECT unnest([0, 1, 2]) AS j) slots
+            ),
+            r0 AS (
+              SELECT node,
+                     (CASE WHEN node % 50 = 0 THEN 1000000 ELSE 0 END)::BIGINT AS r
+              FROM nodes
+            ),
+            r1 AS (
+              SELECT nodes.node,
+                     ((CASE WHEN nodes.node % 50 = 0 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r0 ON r0.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            ),
+            r2 AS (
+              SELECT nodes.node,
+                     ((CASE WHEN nodes.node % 50 = 0 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r1 ON r1.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            ),
+            r3 AS (
+              SELECT nodes.node,
+                     ((CASE WHEN nodes.node % 50 = 0 THEN 150000 ELSE 0 END)
+                       + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+              FROM nodes LEFT JOIN (
+                SELECT dst, sum(r // 3) AS s
+                FROM edges JOIN r2 ON r2.node = edges.src GROUP BY dst
+              ) c ON c.dst = nodes.node
+            ),
+            f AS (
+              SELECT d.doc_id, d.source AS host, r3.r AS rank_micro
+              FROM documents d JOIN r3 ON r3.node = d.doc_id
+            ),
+            rr AS (
+              SELECT doc_id, host, rank_micro,
+                     row_number() OVER (
+                       PARTITION BY host ORDER BY rank_micro DESC, doc_id
+                     )::BIGINT AS rank_in_host
+              FROM f
+            )
+            SELECT doc_id, host, rank_micro, rank_in_host,
+                   CAST(FLOOR((rank_in_host - 1) / 10.0) AS BIGINT) AS slot
+            FROM rr ORDER BY host, rank_in_host
         """,
         "dedup_groups": """
             WITH RECURSIVE sh AS (

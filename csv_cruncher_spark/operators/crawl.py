@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["crawl_schedule"]
+__all__ = ["crawl_schedule", "focused_crawl_plan"]
 
 
 def crawl_schedule(
@@ -99,4 +99,48 @@ def crawl_schedule(
     return out.withColumn(
         "slot",
         F.floor((F.col("rank_in_host") - 1) / per_host_budget).cast("long"),
+    )
+
+
+def focused_crawl_plan(
+    frontier: DataFrame,
+    id_col: str,
+    host_col: str,
+    seeds: DataFrame,
+    iterations: int = 3,
+    out_degree: int = 3,
+    damping_pct: int = 85,
+    per_host_budget: int = 10,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """The whole focused-crawl loop in one call: score the frontier with
+    personalized PageRank from ``seeds`` (graph.pagerank_micro —
+    teleport mass lands only on the seed set, so rank concentrates in
+    its link neighbourhood), then dispatch with :func:`crawl_schedule`
+    (priority = rank, per-host politeness budget). Returns
+    (id, host, rank_micro, rank_in_host, slot) — a complete, replayable
+    fetch plan that is a pure function of (frontier, seeds).
+
+    Both stages keep their individual scale shapes: the PageRank
+    iterations are long-only equi-joins + partial aggregations, the
+    scheduling is the decomposed payload-free rank. One composition,
+    one oracle (driver entry ``focused_crawl_schedule``)."""
+    from .graph import pagerank_micro
+
+    ranks = pagerank_micro(
+        frontier,
+        id_col,
+        out_degree=out_degree,
+        iterations=iterations,
+        damping_pct=damping_pct,
+        edges=edges,
+        seeds=seeds,
+    )
+    scored = (
+        frontier.select(id_col, host_col)
+        .join(ranks, frontier[id_col] == ranks["node"])
+        .select(id_col, host_col, "rank_micro")
+    )
+    return crawl_schedule(
+        scored, host_col, "rank_micro", id_col, per_host_budget
     )

@@ -94,3 +94,35 @@ def test_plan_windows_are_payload_free(spark):
         header = block.split("\n", 1)[0]
         assert "body" not in header, f"payload inside window: {header}"
     assert "CartesianProduct" not in plan
+
+
+def test_focused_crawl_plan_composes_rank_then_schedule(spark):
+    """The one-call plan must equal manually piping pagerank_micro into
+    crawl_schedule, and every host's slot order must follow rank."""
+    from csv_cruncher_spark.operators import graph
+
+    docs = spark.createDataFrame(
+        [(i, f"h{i % 3}") for i in range(60)], "doc_id LONG, host STRING"
+    )
+    seeds = docs.filter(F.col("doc_id") % 10 == 0).select("doc_id")
+    got = crawl.focused_crawl_plan(
+        docs, "doc_id", "host", seeds, iterations=2, per_host_budget=5
+    )
+    ranks = graph.pagerank_micro(docs, "doc_id", iterations=2, seeds=seeds)
+    scored = (
+        docs.join(ranks, docs["doc_id"] == ranks["node"])
+        .select("doc_id", "host", "rank_micro")
+    )
+    want = crawl.crawl_schedule(scored, "host", "rank_micro", "doc_id", 5)
+    cols = ["doc_id", "host", "rank_micro", "rank_in_host", "slot"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+    # rank monotonicity: within a host, later fetch order never has
+    # strictly higher rank
+    rows = sorted(got.collect(), key=lambda r: (r.host, r.rank_in_host))
+    prev = {}
+    for r in rows:
+        if r.host in prev:
+            assert r.rank_micro <= prev[r.host]
+        prev[r.host] = r.rank_micro

@@ -35,6 +35,7 @@ def test_every_public_operator_reexported():
         "kmeans_fit_exact", "bpe_train", "bpe_encode", "word_frequencies",
         "tfidf_keywords", "zipf_fit",
         "hll_build", "hll_merge", "hll_estimate", "crawl_schedule",
+        "focused_crawl_plan",
     ]:
         assert callable(getattr(ops, fn, None)), fn
         assert fn in ops.__all__, fn
