@@ -44,7 +44,13 @@ class MaintainedSketch(MaintainedExtrema):
     per ``group_cols``. ``registers(spark)`` returns the
     (group..., bucket, r) frame ``operators.sketch.hll_build`` would
     produce on the current table state; ``estimate(spark)`` returns the
-    distinct-count estimate frame of ``hll_estimate``."""
+    distinct-count estimate frame of ``hll_estimate``.
+
+    ``item_col`` must be non-null on every table row (the default,
+    ``url``, is the table's identity key, which the pipeline's
+    malformed-row handling never admits as NULL) — a NULL item would
+    derive a NULL register on the feed image, where ``hll_build``
+    filters it."""
 
     def __init__(
         self,
@@ -54,11 +60,10 @@ class MaintainedSketch(MaintainedExtrema):
         m: int = 1024,
         group_cols: list[str] | None = None,
     ):
-        from csv_cruncher_spark.operators.sketch import hll_bucket_rho
+        from csv_cruncher_spark.operators.sketch import _check_m, hll_bucket_rho
 
         gc = list(group_cols or [])
-        if m <= 0:
-            raise ValueError(f"m must be positive, got {m}")
+        _check_m(m)
         derives = {
             _BUCKET: lambda c: hll_bucket_rho(c(item_col), m)[0],
             _RHO: lambda c: hll_bucket_rho(c(item_col), m)[1],

@@ -61,8 +61,12 @@ def crawl_schedule(
                     of a host share a slot
 
     Equivalent to ``row_number() OVER (PARTITION BY host ORDER BY
-    priority DESC, id)`` but computed skew-safely (module docstring);
-    ``id_col`` must be unique (it keys the join-back)."""
+    priority DESC, id)`` with NULLS-LAST priority order (both engines'
+    default) but computed skew-safely (module docstring). A NULL host
+    forms its own partition and a NULL priority its own (last) tie
+    class — rows are never dropped. ``id_col`` must be unique AND
+    non-null: it keys the join-back, so a NULL id cannot be matched
+    back to its row (same contract as ``ranking.cap_per_group``)."""
     if per_host_budget <= 0:
         raise ValueError(f"per_host_budget must be positive, got {per_host_budget}")
     narrow = frontier.select(
@@ -77,17 +81,26 @@ def crawl_schedule(
     # rows strictly before this tie class = running sum of higher classes
     w_off = (
         Window.partitionBy("__host")
-        .orderBy(F.col("__prio").desc())
+        .orderBy(F.col("__prio").desc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.withColumn(
         "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
-    ).select("__host", "__prio", "__offset")
-    # rank within the tie class by id (partitions = one tie class each)
+    ).select(
+        F.col("__host").alias("__ohost"),
+        F.col("__prio").alias("__oprio"),
+        "__offset",
+    )
+    # rank within the tie class by id (partitions = one tie class each);
+    # null-safe join keys so NULL-host/NULL-priority rows keep their rank
     w_tie = Window.partitionBy("__host", "__prio").orderBy(F.col("__id").asc())
     ranked = (
         narrow.withColumn("__tie", F.row_number().over(w_tie))
-        .join(offsets, ["__host", "__prio"])
+        .join(
+            offsets,
+            F.col("__host").eqNullSafe(F.col("__ohost"))
+            & F.col("__prio").eqNullSafe(F.col("__oprio")),
+        )
         .select(
             "__id",
             (F.col("__offset") + F.col("__tie")).cast("long").alias("rank_in_host"),

@@ -112,13 +112,28 @@ def hll_build(
     replays the registers bit-for-bit; only the final estimate touches
     doubles, and its formula text is mirrored verbatim in the oracle
     (the ``pmi_collocations`` discipline)."""
+    _check_m(m)
     gcols = list(group_cols)
     bucket, rho = hll_bucket_rho(F.col(item_col), m)
     return (
-        df.select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
+        # NULL items count as no item (countDistinct semantics); without
+        # the filter F.concat would propagate a NULL-bucket register
+        # that corrupts present/zeros in the estimate
+        df.where(F.col(item_col).isNotNull())
+        .select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def _check_m(m: int) -> None:
+    """Register counts are bounded so the estimate's int64 harmonic sum
+    cannot overflow: z_scaled ≤ m·2^49, which needs m ≤ 2^13 to stay
+    under 2^63. Standard error is 1.04/sqrt(m), so 8192 registers
+    already give ~1.1% — beyond that, raise the exactness trade
+    explicitly rather than wrap silently."""
+    if not 1 <= m <= 8192:
+        raise ValueError(f"m must be in [1, 8192] (int64-exact estimate), got {m}")
 
 
 def hll_bucket_rho(item: F.Column, m: int) -> tuple[F.Column, F.Column]:
@@ -146,13 +161,20 @@ def hll_bucket_rho(item: F.Column, m: int) -> tuple[F.Column, F.Column]:
 def hll_merge(a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Union two register sets built with the same m: register-wise MAX.
     Associative and idempotent — corpora can be sketched independently
-    (per partition, per day, per crawl) and folded in any order."""
-    gcols = list(group_cols)
-    return (
-        a.unionByName(b)
-        .groupBy(*gcols, "bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    (per partition, per day, per crawl) and folded in any order.
+    Group columns are taken from the sketch schema itself (everything
+    except ``r``), so merging grouped sketches can never silently
+    collapse groups; passing ``group_cols`` explicitly just validates
+    they are present."""
+    if set(a.columns) != set(b.columns):
+        raise ValueError(
+            f"register schemas differ: {sorted(a.columns)} vs {sorted(b.columns)}"
+        )
+    missing = [g for g in group_cols if g not in a.columns]
+    if missing:
+        raise ValueError(f"group columns absent from the sketch: {missing}")
+    keys = [c for c in a.columns if c != "r"]
+    return a.unionByName(b).groupBy(*keys).agg(F.max("r").alias("r"))
 
 
 def hll_estimate(
@@ -169,6 +191,7 @@ def hll_estimate(
     est_distinct touches doubles, with the formula text mirrored
     verbatim in the DuckDB oracle. Standard error ≈ 1.04/sqrt(m) ≈ 3.3%%
     at m=1024. ONE aggregation over ≤ m rows per group."""
+    _check_m(m)
     gcols = list(group_cols)
     two49 = 1 << 49
     agg = sketch.groupBy(*gcols).agg(
@@ -201,6 +224,7 @@ def hll_oracle_sql(
     relation ``{source_expr}`` exposing ``{item_expr}`` (and the group
     columns). Register arithmetic is exact; the estimate doubles mirror
     ``hll_estimate``'s expression text verbatim."""
+    _check_m(m)
     g = ", ".join(group_cols)
     gsel = (g + ", ") if g else ""
     gby = ("GROUP BY " + g) if g else ""
@@ -224,6 +248,7 @@ def hll_oracle_sql(
                              WHEN '7' THEN 1 ELSE 0 END)
                           + 1 END) AS r
           FROM {source_expr}
+          WHERE {item_expr} IS NOT NULL
           GROUP BY {", ".join(list(group_cols) + ["bucket"])}
         ),
         hll_agg AS (

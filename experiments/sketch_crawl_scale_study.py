@@ -16,7 +16,9 @@ Claims under test:
     differing only in id — the worst case for the tie window).
 
 Prints one JSON line (also to $SKETCHSCALE_OUT).
-Run:  taskset -c 0-15 python experiments/sketch_crawl_scale_study.py
+Run:  taskset -c 16-31 python experiments/sketch_crawl_scale_study.py
+      (the BASELINE.md wave-4 table was recorded on cores 16-31; pin to
+      the same half-socket to reproduce comparable 1x/10x ratios)
 Env:  SKETCHSCALE_SF_DIR (default /root/testdata/sf0.1),
       SKETCHSCALE_REPLICAS (default 10), SKETCHSCALE_REPS (default 2).
 """

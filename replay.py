@@ -248,10 +248,18 @@ def main() -> int:
             item_col=args.sketch_item, group_cols=groups,
         )
         sketch_epoch = sv.refresh(spark)
-        sketch_estimate = {
-            "|".join(str(row[g]) for g in groups) or "_all": row["est_distinct"]
-            for row in sv.estimate(spark).collect()
-        }
+        if groups:
+            # display key; group values containing '|' are the caller's
+            # own ambiguity — the authoritative frame is sv.estimate()
+            sketch_estimate = {
+                "|".join(str(row[g]) for g in groups): row["est_distinct"]
+                for row in sv.estimate(spark).collect()
+            }
+        else:
+            sketch_estimate = {
+                "_all": row["est_distinct"]
+                for row in sv.estimate(spark).collect()
+            }
 
     corpus_rows = None
     if args.build_corpus:

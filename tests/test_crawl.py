@@ -126,3 +126,18 @@ def test_focused_crawl_plan_composes_rank_then_schedule(spark):
         if r.host in prev:
             assert r.rank_micro <= prev[r.host]
         prev[r.host] = r.rank_micro
+
+
+def test_null_priority_and_host_rows_are_kept_and_rank_last(spark):
+    """Review finding: NULL priority/host rows must not vanish — they
+    rank like ROW_NUMBER with NULLS-LAST priority (both engines'
+    default), NULL host forming its own partition."""
+    df = spark.createDataFrame(
+        [(1, "h", 5.0), (2, "h", None), (3, "h", 9.0), (4, None, 1.0)],
+        "url_id LONG, host STRING, prio DOUBLE",
+    )
+    got = {
+        r.url_id: (r.host, r.rank_in_host)
+        for r in crawl.crawl_schedule(df, "host", "prio", "url_id", 2).collect()
+    }
+    assert got == {3: ("h", 1), 1: ("h", 2), 2: ("h", 3), 4: (None, 1)}

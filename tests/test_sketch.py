@@ -278,3 +278,54 @@ def test_hll_streaming_build_equals_batch(spark, tmp_path):
         map(tuple, sketch.hll_build(a.unionByName(b), "item", m=64).collect())
     )
     assert streamed == batch
+
+
+def test_hll_null_items_count_as_no_item(spark):
+    """Review finding: NULL items must behave like countDistinct —
+    excluded, never a NULL-bucket register."""
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,)], "item STRING"
+    )
+    regs = sketch.hll_build(df, "item", m=64).collect()
+    assert all(r.bucket is not None and r.r is not None for r in regs)
+    est = sketch.hll_estimate(sketch.hll_build(df, "item", m=64), m=64)
+    assert est.collect()[0].est_distinct == 2
+
+
+def test_hll_merge_preserves_groups_and_validates_schema(spark):
+    """Review finding: merging grouped sketches must keep the group
+    columns (inferred from the schema), and mismatched schemas raise."""
+    import pytest as _pytest
+
+    a = spark.createDataFrame([("g0", f"a{i}") for i in range(50)],
+                              "grp STRING, item STRING")
+    b = spark.createDataFrame([("g1", f"b{i}") for i in range(50)],
+                              "grp STRING, item STRING")
+    sa = sketch.hll_build(a, "item", m=64, group_cols=("grp",))
+    sb = sketch.hll_build(b, "item", m=64, group_cols=("grp",))
+    merged = sketch.hll_merge(sa, sb)
+    assert "grp" in merged.columns
+    assert {r.grp for r in merged.select("grp").distinct().collect()} == {"g0", "g1"}
+    combined = sketch.hll_build(
+        a.unionByName(b), "item", m=64, group_cols=("grp",)
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, combined.collect())
+    )
+    with _pytest.raises(ValueError):
+        sketch.hll_merge(sa, sb.drop("grp"))
+    with _pytest.raises(ValueError):
+        sketch.hll_merge(sa, sb, group_cols=("lang",))
+
+
+def test_hll_m_bound_is_enforced(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",)], "item STRING")
+    for bad in (0, -1, 8193, 65536):
+        with _pytest.raises(ValueError):
+            sketch.hll_build(df, "item", m=bad)
+        with _pytest.raises(ValueError):
+            sketch.hll_estimate(df, m=bad)
+    with _pytest.raises(ValueError):
+        sketch.hll_oracle_sql("t", "item", m=0)
