@@ -116,3 +116,67 @@ def test_pagerank_matches_python_integer_power_iteration(spark, n, dsts, iters):
     assert got == ranks
     assert all(v >= 150_000 for v in got.values())
     assert sum(got.values()) <= n * 10**6
+
+
+# ---------------------------------------------------------------------------
+# wave 4: HLL registers and crawl scheduling
+
+hll_item = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(items=st.lists(hll_item, min_size=1, max_size=40), m=st.sampled_from([16, 64, 256]))
+def test_hll_registers_equal_python_replay_on_random_items(spark, items, m):
+    import hashlib
+
+    df = spark.createDataFrame([(x,) for x in items], "item STRING")
+    got = {r.bucket: r.r for r in sketch.hll_build(df, "item", m=m).collect()}
+    want = {}
+    for it in set(items):
+        h = hashlib.md5((it + ":hll").encode()).hexdigest()
+        b = int(h[:12], 16) % m
+        tail = int(h[12:24], 16)
+        rho = 49 if tail == 0 else 48 - tail.bit_length() + 1
+        want[b] = max(want.get(b, 0), rho)
+    assert got == want
+    # estimate is a pure function of the registers: deterministic
+    e1 = sketch.hll_estimate(sketch.hll_build(df, "item", m=m), m=m).collect()
+    e2 = sketch.hll_estimate(sketch.hll_build(df, "item", m=m), m=m).collect()
+    assert [tuple(r) for r in e1] == [tuple(r) for r in e2]
+
+
+prio_or_null = st.one_of(st.none(), st.integers(min_value=0, max_value=4).map(float))
+host_or_null = st.one_of(st.none(), st.sampled_from(["h0", "h1"]))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(st.tuples(host_or_null, prio_or_null), min_size=1, max_size=16),
+    budget=st.integers(min_value=1, max_value=4),
+)
+def test_crawl_schedule_equals_python_row_number(spark, rows, budget):
+    """For ANY frontier (including NULL hosts/priorities and heavy tie
+    classes) the decomposed rank equals a NULLS-LAST row_number replay,
+    and the per-(host, slot) budget holds."""
+    from csv_cruncher_spark.operators import crawl
+
+    frontier = [(i, h, p) for i, (h, p) in enumerate(rows)]
+    df = spark.createDataFrame(frontier, "url_id LONG, host STRING, prio DOUBLE")
+    got = {
+        r.url_id: (r.rank_in_host, r.slot)
+        for r in crawl.crawl_schedule(df, "host", "prio", "url_id", budget).collect()
+    }
+    # python replay: group by host, order by (prio desc nulls last, id)
+    by_host: dict = {}
+    for i, h, p in frontier:
+        by_host.setdefault(h, []).append((i, p))
+    want = {}
+    for h, members in by_host.items():
+        members.sort(key=lambda t: (t[1] is None, -(t[1] or 0.0), t[0]))
+        for rank, (i, _) in enumerate(members, start=1):
+            want[i] = (rank, (rank - 1) // budget)
+    assert got == want
