@@ -1445,6 +1445,73 @@ def url_snapshot_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winners.select("nurl", "doc_id", "crawl", "warc_ts").orderBy("nurl")
 
 
+def _crawl_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic crawl snapshots of the documents corpus: the
+    new crawl drops doc_id%7==0 (deleted), re-fetches doc_id%7==1 with
+    edited content and a newer timestamp (changed), discovers a second
+    page for doc_id%7==3 (added), and re-serves everything else
+    byte-identically (unchanged — the 99% case a monthly recrawl is)."""
+    docs = _t(spark, sf_dir, "documents")
+    t0 = F.lit(1_700_000_000).cast("long")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+    )
+    m = F.col("doc_id") % 7
+    old = docs.select(
+        url.alias("url"), (t0 + F.col("doc_id")).alias("warc_ts"), "text", "lang"
+    )
+    new_kept = docs.filter(m != 0).select(
+        url.alias("url"),
+        F.when(m == 1, t0 + F.col("doc_id") + 86400)
+        .otherwise(t0 + F.col("doc_id"))
+        .alias("warc_ts"),
+        F.when(m == 1, F.concat("text", F.lit(" [v2]")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    added = docs.filter(m == 3).select(
+        F.concat(url, F.lit("?page=2")).alias("url"),
+        (t0 + F.col("doc_id") + 172_800).alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    return old, new_kept.unionByName(added)
+
+
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differ (operators/snapshot.py snapshot_diff): classify
+    every url across two crawl snapshots as added/changed/unchanged/
+    deleted via md5 fingerprints over (lang, text, warc_ts). The diff
+    join carries ONLY (key, fp) — payload never enters the exchange
+    (plan-pinned in tests/test_snapshot.py). The oracle rebuilds both
+    snapshots and fingerprints independently and replays the FULL OUTER
+    classification, so a fingerprint drift or a misclassification both
+    flip the hash."""
+    from csv_cruncher_spark.operators.snapshot import snapshot_diff
+
+    old, new = _crawl_snapshots(spark, sf_dir)
+    return snapshot_diff(old, new, key_col="url").orderBy("url")
+
+
+def snapshot_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-batch generation (operators/snapshot.py
+    snapshot_to_changes): the op-coded CDC batch whose application
+    carries a table from the old crawl snapshot to the new one — I for
+    discovered urls, U (with the new payload) for changed ones, D (key +
+    delete cut time only) for departed ones; unchanged urls emit
+    NOTHING, which is what keeps a 99%-unchanged monthly recrawl cheap.
+    Round-trip through the real merge path is pinned in
+    tests/test_snapshot.py; here the oracle replays the diff and the
+    payload recovery join bit-for-bit."""
+    from csv_cruncher_spark.operators.snapshot import snapshot_to_changes
+
+    old, new = _crawl_snapshots(spark, sf_dir)
+    batch = snapshot_to_changes(old, new, key_col="url", delete_ts=1_900_000_000)
+    return batch.select("op", "url", "warc_ts", "text", "lang").orderBy("url", "op")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -2307,6 +2374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_capped_docs": source_capped_docs,
         "curriculum_docs": curriculum_docs,
         "url_snapshot_lww": url_snapshot_lww,
+        "crawl_snapshot_diff": crawl_snapshot_diff,
+        "snapshot_cdc_batch": snapshot_cdc_batch,
         "token_budget_docs": token_budget_docs,
         "embedding_decontam_report": embedding_decontam_report,
         "doc_bigram_logprob": doc_bigram_logprob,
@@ -2836,7 +2905,68 @@ def oracle_sql() -> dict[str, str]:
             FROM r WHERE rn <= {_BM25_K} ORDER BY query_id, "rank"
     """
 
+    # crawl-snapshot differ twins (operators/snapshot.py): the snapshot
+    # construction AND the md5 fingerprint (NULL-marked, sorted compare
+    # columns lang,text,warc_ts) are rebuilt independently here
+    snap_old = """
+              SELECT 'https://' || source || '.example.com/' || doc_id AS url,
+                     CAST(1700000000 + doc_id AS BIGINT) AS warc_ts, text, lang
+              FROM documents
+    """
+    snap_new = """
+              SELECT 'https://' || source || '.example.com/' || doc_id AS url,
+                     CAST(1700000000 + doc_id
+                          + CASE WHEN doc_id % 7 = 1 THEN 86400 ELSE 0 END
+                       AS BIGINT) AS warc_ts,
+                     CASE WHEN doc_id % 7 = 1 THEN text || ' [v2]' ELSE text END
+                       AS text,
+                     lang
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION ALL
+              SELECT 'https://' || source || '.example.com/' || doc_id
+                       || '?page=2' AS url,
+                     CAST(1700000000 + doc_id + 172800 AS BIGINT) AS warc_ts,
+                     text, lang
+              FROM documents WHERE doc_id % 7 = 3
+    """
+    snap_fp = (
+        "md5(coalesce(lang, chr(1)||chr(2)) || chr(1) || "
+        "coalesce(text, chr(1)||chr(2)) || chr(1) || "
+        "coalesce(CAST(warc_ts AS VARCHAR), chr(1)||chr(2)))"
+    )
+    snap_diff_ctes = f"""
+            WITH old_snap AS ({snap_old}),
+            new_snap AS ({snap_new}),
+            ofp AS (SELECT url, {snap_fp} AS fp FROM old_snap),
+            nfp AS (SELECT url, {snap_fp} AS fp FROM new_snap),
+            diff AS (
+              SELECT coalesce(o.url, n.url) AS url,
+                     CASE WHEN o.fp IS NULL THEN 'added'
+                          WHEN n.fp IS NULL THEN 'deleted'
+                          WHEN o.fp = n.fp THEN 'unchanged'
+                          ELSE 'changed' END AS status,
+                     o.fp AS fp_old, n.fp AS fp_new
+              FROM ofp o FULL OUTER JOIN nfp n ON o.url = n.url
+            )
+    """
+
     return {
+        "crawl_snapshot_diff": f"""
+            {snap_diff_ctes}
+            SELECT url, status, fp_old, fp_new FROM diff ORDER BY url
+        """,
+        "snapshot_cdc_batch": f"""
+            {snap_diff_ctes}
+            SELECT CASE WHEN d.status = 'added' THEN 'I' ELSE 'U' END AS op,
+                   n.url, n.warc_ts, n.text, n.lang
+            FROM diff d JOIN new_snap n ON d.url = n.url
+            WHERE d.status IN ('added', 'changed')
+            UNION ALL
+            SELECT 'D' AS op, url, CAST(1900000000 AS BIGINT) AS warc_ts,
+                   CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang
+            FROM diff WHERE status = 'deleted'
+            ORDER BY url, op
+        """,
         "classifier_quality_scores": clf_scores_sql,
         "classifier_weights": clf_weights_sql,
         "classifier_eval": clf_eval_sql,

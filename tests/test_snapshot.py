@@ -1,0 +1,151 @@
+"""Crawl-snapshot diffing (operators/snapshot.py): classification,
+fingerprint injectivity, the payload-free diff plan, and the round-trip
+invariant apply(snapshot_to_changes(old, new), table@old) == new through
+the REAL lake merge path. Cross-engine bit-exactness is the
+`crawl_snapshot_diff` / `snapshot_cdc_batch` oracle entries
+(tests/test_oracle_parity.py)."""
+
+import datetime
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from csv_cruncher_spark.operators.snapshot import (  # noqa: E402
+    snapshot_diff,
+    snapshot_to_changes,
+)
+
+
+def _snapshots(spark):
+    """old: u0..u9; new: u0..u3 unchanged, u4..u6 changed (html), u7..u9
+    deleted, u10..u12 added."""
+    def ts(i):
+        return datetime.datetime(2026, 1, 1) + datetime.timedelta(hours=i)
+
+    old_rows = [
+        (f"https://ex.com/{i}", ts(i), f"<p>page {i}</p>".encode(), "en")
+        for i in range(10)
+    ]
+    new_rows = (
+        [(f"https://ex.com/{i}", ts(i), f"<p>page {i}</p>".encode(), "en") for i in range(4)]
+        + [(f"https://ex.com/{i}", ts(100 + i), f"<p>page {i} v2</p>".encode(), "en") for i in range(4, 7)]
+        + [(f"https://ex.com/{i}", ts(200 + i), f"<p>page {i}</p>".encode(), "en") for i in range(10, 13)]
+    )
+    schema = "url STRING, warc_ts TIMESTAMP, html BINARY, lang STRING"
+    return (
+        spark.createDataFrame(old_rows, schema),
+        spark.createDataFrame(new_rows, schema),
+        ts,
+    )
+
+
+def test_diff_classifies_all_four_statuses(spark):
+    old, new, _ = _snapshots(spark)
+    d = {r["url"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    for i in range(4):
+        assert d[f"https://ex.com/{i}"] == "unchanged"
+    for i in range(4, 7):
+        assert d[f"https://ex.com/{i}"] == "changed"
+    for i in range(7, 10):
+        assert d[f"https://ex.com/{i}"] == "deleted"
+    for i in range(10, 13):
+        assert d[f"https://ex.com/{i}"] == "added"
+    assert len(d) == 13
+
+
+def test_fingerprint_null_vs_empty_is_a_change(spark):
+    """concat_ws would collide ('a', NULL) with ('a', '') — the NULL
+    marker must keep them distinct."""
+    old = spark.createDataFrame([("k", "a", None)], "url STRING, x STRING, y STRING")
+    new = spark.createDataFrame([("k", "a", "")], "url STRING, x STRING, y STRING")
+    [r] = snapshot_diff(old, new).collect()
+    assert r["status"] == "changed"
+
+
+def test_compare_cols_validated(spark):
+    old = spark.createDataFrame([("k", 1)], "url STRING, x INT")
+    new = spark.createDataFrame([("k", 1)], "url STRING, x INT")
+    with pytest.raises(ValueError, match="absent"):
+        snapshot_diff(old, new, compare_cols=["nope"])
+    with pytest.raises(ValueError, match="share no"):
+        snapshot_diff(
+            old.select("url"), new.select("url", F.col("x").alias("z"))
+        )
+
+
+def test_delete_ts_required(spark):
+    old, new, _ = _snapshots(spark)
+    with pytest.raises(ValueError, match="delete_ts"):
+        snapshot_to_changes(old, new)
+
+
+def test_change_batch_ops_and_payload(spark):
+    old, new, ts = _snapshots(spark)
+    batch = snapshot_to_changes(old, new, delete_ts="2026-02-01 00:00:00")
+    rows = {r["url"]: r for r in batch.collect()}
+    # unchanged keys emit nothing — the 99%-unchanged recrawl stays small
+    assert len(rows) == 9
+    for i in range(4, 7):
+        r = rows[f"https://ex.com/{i}"]
+        assert r["op"] == "U" and b"v2" in r["html"] and r["warc_ts"] == ts(100 + i)
+    for i in range(10, 13):
+        assert rows[f"https://ex.com/{i}"]["op"] == "I"
+    for i in range(7, 10):
+        r = rows[f"https://ex.com/{i}"]
+        assert r["op"] == "D" and r["html"] is None
+        assert r["warc_ts"] == datetime.datetime(2026, 2, 1)
+
+
+def test_diff_plan_is_payload_free(spark):
+    """The html payload may feed the scan-side md5 projection, never the
+    join exchange: every optimized-plan line mentioning the payload
+    column must be an md5 fingerprint computation."""
+    old, new, _ = _snapshots(spark)
+    plan = snapshot_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "html" in line and "LogicalRDD" not in line and "Relation" not in line:
+            assert "md5" in line, f"payload outside the fingerprint: {line}"
+    assert "CartesianProduct" not in plan
+
+
+def test_roundtrip_through_real_merge(spark, tmp_path):
+    """Bootstrapping a lake table at the old snapshot and applying the
+    generated batch through the REAL apply_batch yields exactly the new
+    snapshot — the invariant that makes the differ a valid CDC source."""
+    from csv_cruncher_spark.cdc.extract import extract_text_udf
+    from csv_cruncher_spark.cdc.pipeline import PAGES_FIELDS
+    from csv_cruncher_spark.lake.merge import apply_batch
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    old, new, _ = _snapshots(spark)
+    t = LakeTable.create(str(tmp_path / "lake"), PAGES_FIELDS, n_buckets=4)
+
+    def as_batch(df):
+        return df.withColumn(
+            "row_idx", F.monotonically_increasing_id()
+        )
+
+    boot = as_batch(old.select(F.lit("I").alias("op"), "url", "warc_ts", "html", "lang"))
+    apply_batch(spark, t, boot, epoch_id=0, batch_id="boot")
+
+    delta = as_batch(
+        snapshot_to_changes(old, new, delete_ts="2026-02-01 00:00:00")
+    )
+    apply_batch(spark, t, delta, epoch_id=1, batch_id="delta")
+
+    got = sorted(
+        tuple(r)
+        for r in t.read(spark).select("url", "warc_ts", "lang", "text").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in new.select(
+            "url", "warc_ts", "lang", extract_text_udf(F.col("html")).alias("text")
+        ).collect()
+    )
+    assert got == want
