@@ -2125,6 +2125,28 @@ def crawl_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hub_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer-micro HITS over the deterministic md5
+    pseudo link graph (operators/graph.py hits_micro): hubs are pages
+    worth re-crawling for their outlinks, authorities are pages worth
+    ingesting — the two crawl signals PageRank conflates. All arithmetic
+    is int64 (sum propagation, ceil-scaled-max normalization via integer
+    division), so the DuckDB oracle unrolls the same 2 iterations
+    bit-for-bit. Top 50 by (auth_micro DESC, hub_micro DESC, doc_id ASC)
+    — a unique ordering."""
+    from csv_cruncher_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    scores = graph.hits_micro(docs, "doc_id", out_degree=3, iterations=2)
+    return (
+        scores.select(F.col("node").alias("doc_id"), "hub_micro", "auth_micro")
+        .orderBy(
+            F.col("auth_micro").desc(), F.col("hub_micro").desc(), F.col("doc_id")
+        )
+        .limit(50)
+    )
+
+
 def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs |A∩B| / min(|A|,|B|) over distinct
     3-shingles (operators/dedup.py ngram_containment_pairs) — catches
@@ -2334,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "containment_near_dups": containment_near_dups,
         "crawl_frontier_rank": crawl_frontier_rank,
+        "hub_authority_rank": hub_authority_rank,
         "doc_novelty_scores": doc_novelty_scores,
         "pmi_collocations_top": pmi_collocations_top,
         "cms_token_counts": cms_token_counts,
@@ -2950,7 +2973,53 @@ def oracle_sql() -> dict[str, str]:
             )
     """
 
+    # HITS oracle (graph.hits_micro): unroll the half-steps as CTEs —
+    # propagate over one edge side, then ceil-scaled-max normalize via
+    # a scalar subquery; DuckDB // == Spark div on the non-negative ints
+    def _hits_half(prev: str, out: str, to_auth: bool) -> str:
+        join_on, grp = ("src", "dst") if to_auth else ("dst", "src")
+        return f"""
+            {out}r AS (
+              SELECT nodes.node, coalesce(c.s, 0)::BIGINT AS raw
+              FROM nodes LEFT JOIN (
+                SELECT edges.{grp} AS t, sum(v) AS s
+                FROM edges JOIN {prev} ON {prev}.node = edges.{join_on}
+                GROUP BY edges.{grp}
+              ) c ON c.t = nodes.node
+            ),
+            {out} AS (
+              SELECT node,
+                     (raw // greatest(1,
+                        ((SELECT max(raw) FROM {out}r) + 999999) // 1000000)
+                     )::BIGINT AS v
+              FROM {out}r
+            )"""
+
+    hits_halves = []
+    prev = "h0"
+    for i in range(1, 3):
+        hits_halves.append(_hits_half(prev, f"a{i}", to_auth=True))
+        hits_halves.append(_hits_half(f"a{i}", f"h{i}", to_auth=False))
+        prev = f"h{i}"
+    hits_sql = f"""
+            WITH nodes AS (SELECT doc_id::BIGINT AS node FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     (('0x' || substr(md5(node::VARCHAR || ':lnk:' || j::VARCHAR), 1, 12))::BIGINT
+                       % (SELECT n FROM nn)) AS dst
+              FROM nodes, (SELECT unnest([0, 1, 2]) AS j) slots
+            ),
+            h0 AS (SELECT node, 1000000::BIGINT AS v FROM nodes),
+            {", ".join(hits_halves)}
+            SELECT h2.node AS doc_id, h2.v AS hub_micro, a2.v AS auth_micro
+            FROM h2 JOIN a2 ON a2.node = h2.node
+            ORDER BY auth_micro DESC, hub_micro DESC, doc_id
+            LIMIT 50
+    """
+
     return {
+        "hub_authority_rank": hits_sql,
         "crawl_snapshot_diff": f"""
             {snap_diff_ctes}
             SELECT url, status, fp_old, fp_new FROM diff ORDER BY url

@@ -174,3 +174,93 @@ def pagerank_micro(
     # the seed flag (when present) lives on `nodes` only — the rank
     # frame stays narrow (node, rank_micro) at every step
     return _pin(e, ranks.select("node", "rank_micro"))
+
+
+def hits_micro(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    out_degree: int = 3,
+    iterations: int = 2,
+    edges: DataFrame | None = None,
+) -> DataFrame:
+    """Fixed-iteration integer-micro HITS (Kleinberg 1999) — the two
+    crawl signals PageRank conflates, separated: AUTHORITIES are pages
+    worth ingesting (pointed at by good hubs), HUBS are pages worth
+    re-crawling for their outlinks (pointing at good authorities). A
+    focused crawler schedules hub urls to harvest the frontier and
+    authority urls to feed the corpus.
+
+    One iteration::
+
+        a_raw(v) = SUM_{u->v} h(u);   a(v) = a_raw(v) div scale_a
+        h_raw(u) = SUM_{u->v} a(v);   h(u) = h_raw(u) div scale_h
+
+    where ``scale = greatest(1, (max_raw + 999_999) div 1_000_000)`` —
+    the max-normalization HITS needs to converge, done as a
+    DIVIDE-by-ceil-scaled-max rather than multiply-then-divide so a
+    node with 10^9 in-links cannot overflow int64 (a_raw ≤
+    in_degree·10^6 ≤ 10^15 and nothing ever multiplies it up; after
+    normalization every score is back in [0, 10^6]). All arithmetic is
+    int64 and order-independent, so the DuckDB oracle unrolls the same
+    iterations bit-for-bit (the ``pagerank_micro`` discipline).
+
+    Plan per iteration: two equi-join + partial-agg passes (edges⋈h by
+    src, edges⋈a by dst) plus two 1-row MAX aggregates attached via
+    crossJoin(broadcast) — the bounded scalar-attach shape the plan
+    sweep whitelists. Scores stay on narrow (node, value) frames; the
+    edge list is persisted once (release with :func:`release`).
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    nodes = docs.select(F.col(id_col).cast("long").alias("node"))
+    e = edges if edges is not None else derive_link_graph(docs, id_col, out_degree)
+    h = nodes.select("node", F.lit(1_000_000).cast("long").alias("v"))
+    a = None
+    pins = [e]
+    for _ in range(iterations):
+        a, p1 = _half_step(nodes, e, h, src_side="src")
+        h, p2 = _half_step(nodes, e, a, src_side="dst")
+        pins += [p1, p2]
+    out = (
+        h.select(F.col("node"), F.col("v").alias("hub_micro"))
+        .join(
+            a.select(F.col("node").alias("anode"), F.col("v").alias("auth_micro")),
+            F.col("node") == F.col("anode"),
+        )
+        .select("node", "hub_micro", "auth_micro")
+    )
+    for p in pins:
+        out = _pin(p, out)
+    return out
+
+
+def _half_step(
+    nodes: DataFrame, e: DataFrame, scores: DataFrame, src_side: str
+) -> tuple[DataFrame, DataFrame]:
+    """One HITS half-step: propagate ``scores`` across the edges from
+    ``src_side`` to the other endpoint, then ceil-scaled-max normalize
+    back into [0, 10^6]. Returns (narrow (node, v) frame, the persisted
+    pre-normalization frame — it feeds both the MAX branch and the
+    normalization branch, so without the persist each half-step would
+    recompute its whole upstream lineage twice, doubling per step)."""
+    dst_side = "dst" if src_side == "src" else "src"
+    raw = (
+        e.alias("e")
+        .join(scores.alias("s"), F.col(f"e.{src_side}") == F.col("s.node"))
+        .select(F.col(f"e.{dst_side}").alias("t"), F.col("s.v").alias("c"))
+        .groupBy("t")
+        .agg(F.sum("c").alias("s"))
+    )
+    full = (
+        nodes.alias("n")
+        .join(raw, F.col("n.node") == F.col("t"), "left")
+        .select(F.col("n.node").alias("node"), F.coalesce("s", F.lit(0)).alias("raw"))
+    )
+    mx = full.agg(F.max("raw").alias("m"))
+    norm = full.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.expr("raw div greatest(1L, (m + 999999) div 1000000)")
+        .cast("long")
+        .alias("v"),
+    )
+    return norm, full

@@ -164,3 +164,80 @@ def test_personalized_mass_concentrates_near_seeds(spark):
     }
     assert got[5] > 0 and got[0] > 0
     assert all(v == 0 for k, v in got.items() if k not in (0, 5))
+
+
+# ----------------------------------------------------------------- HITS --
+
+
+def _hits_replay(n, edges, iterations):
+    """Pure-Python replay of hits_micro's integer arithmetic: sum
+    propagation + ceil-scaled-max normalization, all // (non-negative,
+    so Python floor == Spark div)."""
+    def half(scores, to_auth):
+        raw = {i: 0 for i in range(n)}
+        for s, d in edges:
+            if to_auth:
+                raw[d] += scores[s]
+            else:
+                raw[s] += scores[d]
+        m = max(raw.values())
+        sc = max(1, (m + 999_999) // 1_000_000)
+        return {i: raw[i] // sc for i in range(n)}
+
+    h = {i: 1_000_000 for i in range(n)}
+    a = None
+    for _ in range(iterations):
+        a = half(h, to_auth=True)
+        h = half(a, to_auth=False)
+    return h, a
+
+
+def test_hits_matches_pure_python_replay(spark):
+    import random
+
+    rng = random.Random(73)
+    n = 30
+    edge_list = sorted({(rng.randrange(n), rng.randrange(n)) for _ in range(90)})
+    docs = _docs(spark, n)
+    edges = spark.createDataFrame(edge_list, "src LONG, dst LONG")
+    got = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in graph.hits_micro(docs, "doc_id", iterations=2, edges=edges).collect()
+    }
+    want_h, want_a = _hits_replay(n, edge_list, 2)
+    assert got == {i: (want_h[i], want_a[i]) for i in range(n)}
+
+
+def test_hits_hub_and_authority_separate(spark):
+    """Directory page 0 links to content pages 1..5 which nobody else
+    links to; pages 6..9 all link to content page 1. Page 0 must be the
+    top hub with ~zero authority; page 1 the top authority."""
+    docs = _docs(spark, 10)
+    edge_list = [(0, i) for i in range(1, 6)] + [(i, 1) for i in range(6, 10)]
+    edges = spark.createDataFrame(edge_list, "src LONG, dst LONG")
+    got = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in graph.hits_micro(docs, "doc_id", iterations=3, edges=edges).collect()
+    }
+    top_hub = max(got, key=lambda k: got[k][0])
+    top_auth = max(got, key=lambda k: got[k][1])
+    assert top_hub == 0 and top_auth == 1
+    assert got[0][1] == 0  # nobody links TO the directory page
+    # scores stay in [0, 10^6] after every normalization
+    assert all(0 <= h <= 1_000_000 and 0 <= a <= 1_000_000 for h, a in got.values())
+
+
+def test_hits_no_scale_fatal_plan_and_release(spark):
+    docs = _docs(spark, 25)
+    out = graph.hits_micro(docs, "doc_id", iterations=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    out.count()
+    dedup.release(out)  # every pinned intermediate gets unpersisted
+
+
+def test_hits_rejects_zero_iterations(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="iterations"):
+        graph.hits_micro(_docs(spark, 5), "doc_id", iterations=0)

@@ -35,6 +35,8 @@ BNLJ_WHITELIST = {
     "corpus_drift_report": "1-row corpus-total attach (textstats.corpus_drift)",
     "doc_tfidf_keywords": "1-row n_docs attach (textstats.tfidf_keywords)",
     "source_skew_report": "1-row grand-total attach (salt.skew_audit)",
+    "hub_authority_rank": "1-row MAX normalization attach per HITS "
+                          "half-step (graph.hits_micro)",
     # bounded benchmark/query side broadcast against the corpus
     "embedding_decontam_report": "broadcast benchmark vectors (bounded set)",
     "ivf_recall_at_k": "exact ground truth: broadcast query set x corpus "
