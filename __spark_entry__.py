@@ -42,6 +42,7 @@ from csv_cruncher_spark.operators import (  # noqa: E402
     semdedup,
     similarity,
     textstats,
+    urlfilter,
 )
 from csv_cruncher_spark.operators.joins import interval_join  # noqa: E402
 
@@ -2311,6 +2312,48 @@ def focused_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "rank_in_host")
 
 
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy in integer micro-nats
+    (operators/textstats.py char_entropy): H = ln(n) − (Σ c·ln c)/n with
+    each char-class term quantized to int64 BEFORE the sum (order-
+    independent), the pmi_collocations cross-engine discipline. Low
+    entropy flags padding/repeated-glyph pages, high entropy flags
+    binary junk — a cheap quality signal next to doc_quality and
+    doc_repetition_stats. NULL/empty text keeps its row (NULL entropy)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.char_entropy(docs, "doc_id", "text")
+
+
+def url_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist crawl screening (operators/urlfilter.py
+    blocklist_filter): every doc gets TWO url spellings (www. and a
+    deep cdn.static. subdomain) and a 3-entry blocklist must block the
+    src3 subtree via registrable-suffix match, the cdn host of src7
+    exactly, and nothing via the never-matching entry. Label-boundary
+    suffix semantics: the oracle states the SAME predicate as
+    host = d OR host LIKE '%.' || d. Zero-shuffle literal path (the
+    blocklist is config-scale); the DataFrame broadcast-join path is
+    asserted equal in tests."""
+    docs = _t(spark, sf_dir, "documents")
+    u1 = F.concat(
+        F.lit("https://www."), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    u2 = F.concat(
+        F.lit("https://cdn.static."), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    urls = docs.select("doc_id", F.explode(F.array(u1, u2)).alias("url"))
+    blocked = ["src3.example.com", "cdn.static.src7.example.com", "badhost.test"]
+    return (
+        urlfilter.blocklist_filter(urls, "url", blocked, keep="flag")
+        .select(
+            "doc_id", "url", F.col("blocked").cast("long").alias("is_blocked")
+        )
+        .orderBy("doc_id", "url")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2399,6 +2442,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_snapshot_lww": url_snapshot_lww,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "snapshot_cdc_batch": snapshot_cdc_batch,
+        "doc_char_entropy": doc_char_entropy,
+        "url_blocklist_docs": url_blocklist_docs,
         "token_budget_docs": token_budget_docs,
         "embedding_decontam_report": embedding_decontam_report,
         "doc_bigram_logprob": doc_bigram_logprob,
@@ -3020,6 +3065,59 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "hub_authority_rank": hits_sql,
+        "doc_char_entropy": """
+            WITH chars AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, length(text) + 1),
+                                           i -> text[i])) AS ch
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) >= 1),
+            pc AS (
+              SELECT doc_id, ch, count(*)::BIGINT AS c
+              FROM chars GROUP BY doc_id, ch),
+            pd AS (
+              SELECT doc_id,
+                     sum(c)::BIGINT AS n_chars,
+                     count(*)::BIGINT AS n_distinct_chars,
+                     sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000, 0)
+                              AS BIGINT))::BIGINT AS s_micro
+              FROM pc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_chars, 0) AS n_chars,
+                   coalesce(p.n_distinct_chars, 0) AS n_distinct_chars,
+                   CAST(round(ln(CAST(p.n_chars AS DOUBLE)) * 1000000
+                              - CAST(p.s_micro AS DOUBLE) / p.n_chars, 0)
+                        AS BIGINT) AS entropy_micro
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN pd p USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "url_blocklist_docs": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://www.' || source || '.example.com/' || lang
+                       || '/' || doc_id AS url,
+                     'www.' || source || '.example.com' AS host
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     'https://cdn.static.' || source || '.example.com/' || lang
+                       || '/' || doc_id AS url,
+                     'cdn.static.' || source || '.example.com' AS host
+              FROM documents),
+            block(d) AS (
+              SELECT * FROM (VALUES ('src3.example.com'),
+                                    ('cdn.static.src7.example.com'),
+                                    ('badhost.test')))
+            SELECT doc_id, url,
+                   CAST(CASE WHEN EXISTS (
+                          SELECT 1 FROM block b
+                          WHERE urls.host = b.d
+                             OR urls.host LIKE '%.' || b.d)
+                        THEN 1 ELSE 0 END AS BIGINT) AS is_blocked
+            FROM urls
+            ORDER BY doc_id, url
+        """,
         "crawl_snapshot_diff": f"""
             {snap_diff_ctes}
             SELECT url, status, fp_old, fp_new FROM diff ORDER BY url

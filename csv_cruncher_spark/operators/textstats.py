@@ -1215,3 +1215,78 @@ def pmi_collocations(
         .orderBy(F.col("pmi_micro").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document Shannon character entropy, in integer micro-nats:
+
+        H = ln(n) − (Σ_ch c_ch · ln(c_ch)) / n
+
+    (the factored form of −Σ p ln p with p = c/n). Low entropy flags
+    degenerate pages (padding, repeated glyphs, binary-as-text); high
+    entropy flags encrypted/compressed junk — a standard cheap quality
+    signal next to `quality_metrics` and `repetition_stats`.
+
+    Cross-engine exactness: per-(doc, char) counts are int64; each
+    char class contributes ONE deterministic term
+    ``ROUND(c · LN(c) · 1e6)`` quantized to int64 BEFORE summing, so
+    the sum is order-independent integer arithmetic (double summation
+    would be partition-order-dependent); the final subtraction applies
+    one more deterministic ln/round. The DuckDB oracle mirrors both
+    formula texts verbatim (the pmi_collocations discipline).
+    Quantization error is ≤0.5 micro-nat per distinct char class —
+    bounded by design, identical in both engines.
+
+    Scale shape (100 TB): the char explode is narrow (id, one char);
+    the (id, char) count partial-combines map-side (per-doc alphabet ≪
+    per-doc length, so the exchange carries roughly docs × alphabet
+    rows, not corpus characters); the per-doc fold is a second
+    partial-combined agg. No windows, no Python, no skew (keys are
+    doc-scoped). NULL and empty text yield entropy_micro NULL with the
+    row preserved (NULL-row survival discipline).
+
+    Returns (id_col, n_chars, n_distinct_chars, entropy_micro) ordered
+    by id.
+    """
+    chars = df.select(
+        F.col(id_col),
+        # guard: sequence(1, 0) DESCENDS ([1, 0]) rather than producing
+        # an empty array — empty text must yield zero char rows
+        F.explode(
+            F.expr(
+                f"transform(if(length({text_col}) >= 1, "
+                f"sequence(1, length({text_col})), "
+                f"cast(array() as array<int>)), "
+                f"i -> substring({text_col}, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    per_class = chars.groupBy(id_col, "ch").agg(F.count("*").alias("c"))
+    per_doc = per_class.groupBy(id_col).agg(
+        F.sum("c").alias("n_chars"),
+        F.count("*").alias("n_distinct_chars"),
+        F.sum(
+            F.expr("CAST(ROUND(c * LN(CAST(c AS DOUBLE)) * 1000000, 0) AS BIGINT)")
+        ).alias("s_micro"),
+    )
+    scored = per_doc.withColumn(
+        "entropy_micro",
+        F.expr(
+            "CAST(ROUND(LN(CAST(n_chars AS DOUBLE)) * 1000000 "
+            "- CAST(s_micro AS DOUBLE) / n_chars, 0) AS BIGINT)"
+        ),
+    )
+    # docs with NULL/empty text produce no char rows — join them back
+    base = df.select(id_col).distinct()
+    return (
+        base.join(scored.drop("s_micro"), id_col, "left")
+        .withColumn("n_chars", F.coalesce("n_chars", F.lit(0)))
+        .withColumn(
+            "n_distinct_chars", F.coalesce("n_distinct_chars", F.lit(0))
+        )
+        .orderBy(id_col)
+    )
