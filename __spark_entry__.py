@@ -1513,6 +1513,101 @@ def snapshot_cdc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.select("op", "url", "warc_ts", "text", "lang").orderBy("url", "op")
 
 
+def snapshot_text_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot text reuse (operators/snapshot.py
+    text_reuse_report): per NEW-crawl url, the fraction of its distinct
+    3-shingles already present anywhere in the OLD crawl — the
+    "how much of this crawl is copied text" curation diagnostic the
+    byte-level differ can't see (a moved/mirrored page diffs as
+    added+deleted but reuses 100%). Old side reduces to ONE global
+    distinct-shingle frame, reuse is a left-semi join (no payload in
+    any exchange); oracle rebuilds both snapshots and replays the
+    shingle set algebra with exact integer counts."""
+    from csv_cruncher_spark.operators.snapshot import text_reuse_report
+
+    old, new = _crawl_snapshots(spark, sf_dir)
+    return text_reuse_report(old, new, key_col="url", text_col="text", k=3).orderBy(
+        "url"
+    )
+
+
+def _synthetic_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (url, html) crawl pages over the documents corpus:
+    every page carries an absolute hub link, a root-relative index link,
+    a directory-relative sibling link, a protocol-relative CDN link
+    (doc_id%3==0), a fragment-stripped duplicate-host link (doc_id%4==0),
+    plus always-dropped fragment-only and mailto anchors."""
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/a/"), m.cast("string")
+    )
+    html = F.concat(
+        F.lit('<html><body><a href="https://hub.example.org/d'),
+        (m % 50).cast("string"),
+        F.lit('">h</a><a href="/idx/'),
+        (m % 17).cast("string"),
+        F.lit('.html">r</a><a class="s" href="p'),
+        (m % 5).cast("string"),
+        F.lit('.html">p</a>'),
+        F.when(
+            m % 3 == 0, F.lit('<a href="//cdn.example.net/lib.js">c</a>')
+        ).otherwise(F.lit("")),
+        F.lit('<a href="#top">t</a><a href="mailto:x@example.com">m</a>'),
+        F.when(
+            m % 4 == 0, F.lit('<a href="https://dup.example.com/z#sec">z</a>')
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return docs.select(url.alias("url"), html.alias("html"))
+
+
+def page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction (operators/links.py extract_outlinks): every
+    resolvable <a href> of the synthetic crawl pages, resolved against
+    the page url (absolute pass-through, scheme drop, protocol-/root-/
+    directory-relative resolution, fragment strip) — all JVM regex +
+    CASE, zero Python, zero shuffles before the distinct. The oracle
+    never parses html: it constructs the expected edge set independently
+    from the same page-synthesis formula, so a regex slip, a resolution
+    bug, and a missed drop all flip the hash."""
+    from csv_cruncher_spark.operators.links import extract_outlinks
+
+    pages = _synthetic_pages(spark, sf_dir)
+    return extract_outlinks(pages).orderBy("url", "outlink")
+
+
+def crawl_discovered_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier discovery (operators/links.py discovered_frontier):
+    outlinks of the corpus that the corpus does not already contain,
+    counted distinct per target host — the feed `crawl_schedule`
+    dispatches next. Pages self-link via a root-relative href (resolves
+    to their own url → anti-joined away as known) and fan out to
+    frontier hosts + undiscovered sibling paths; the oracle replays the
+    resolution, known-set subtraction, and per-host distinct count from
+    the synthesis formula."""
+    from csv_cruncher_spark.operators.links import discovered_frontier
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/a/"), m.cast("string")
+    )
+    html = F.concat(
+        F.lit('<a href="/a/'),
+        m.cast("string"),
+        F.lit('">self</a><a href="https://frontier-'),
+        (m % 7).cast("string"),
+        F.lit(".example.net/x/"),
+        (m % 23).cast("string"),
+        F.lit('">n</a><a href="new/'),
+        (m % 13).cast("string"),
+        F.lit('.html">n2</a>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return discovered_frontier(pages).orderBy("host")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -2442,6 +2537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_snapshot_lww": url_snapshot_lww,
         "crawl_snapshot_diff": crawl_snapshot_diff,
         "snapshot_cdc_batch": snapshot_cdc_batch,
+        "snapshot_text_reuse": snapshot_text_reuse,
+        "page_outlinks": page_outlinks,
+        "crawl_discovered_frontier": crawl_discovered_frontier,
         "doc_char_entropy": doc_char_entropy,
         "url_blocklist_docs": url_blocklist_docs,
         "token_budget_docs": token_budget_docs,
@@ -3133,6 +3231,77 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang
             FROM diff WHERE status = 'deleted'
             ORDER BY url, op
+        """,
+        "snapshot_text_reuse": f"""
+            WITH old_snap AS ({snap_old}),
+            new_snap AS ({snap_new}),
+            osh AS (SELECT DISTINCT sh FROM (
+              SELECT unnest(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+              )) AS sh
+              FROM old_snap WHERE text IS NOT NULL AND len(text) > 0)),
+            nsh AS (SELECT DISTINCT url, sh FROM (
+              SELECT url, unnest(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                i -> array_to_string(
+                       list_slice(string_split(text, ' '), i, i + 2), ' ')
+              )) AS sh
+              FROM new_snap WHERE text IS NOT NULL AND len(text) > 0)),
+            tot AS (SELECT url, count(*) AS n FROM nsh GROUP BY url),
+            hit AS (SELECT url, count(*) AS h FROM nsh
+                    WHERE sh IN (SELECT sh FROM osh) GROUP BY url)
+            SELECT b.url,
+                   coalesce(tot.n, 0)::BIGINT AS n_shingles,
+                   (CASE WHEN tot.n > 0 THEN coalesce(hit.h, 0) END)::BIGINT
+                     AS n_reused,
+                   round(coalesce(hit.h, 0) / tot.n, 6) AS reuse_ratio
+            FROM (SELECT DISTINCT url FROM new_snap) b
+            LEFT JOIN tot USING (url) LEFT JOIN hit USING (url)
+            ORDER BY b.url
+        """,
+        "page_outlinks": """
+            WITH pages AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/a/' || doc_id AS url
+              FROM documents)
+            SELECT url, outlink FROM (
+              SELECT url, 'https://hub.example.org/d' || (doc_id % 50)
+                       AS outlink FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/idx/'
+                       || (doc_id % 17) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/a/p'
+                       || (doc_id % 5) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://cdn.example.net/lib.js' FROM pages
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT url, 'https://dup.example.com/z' FROM pages
+              WHERE doc_id % 4 = 0
+            ) ORDER BY url, outlink
+        """,
+        "crawl_discovered_frontier": """
+            WITH pages AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/a/' || doc_id AS url
+              FROM documents),
+            cand AS (
+              SELECT url AS u FROM pages  -- self link, resolved
+              UNION ALL
+              SELECT 'https://frontier-' || (doc_id % 7) || '.example.net/x/'
+                       || (doc_id % 23) FROM pages
+              UNION ALL
+              SELECT 'https://' || source || '.example.com/a/new/'
+                       || (doc_id % 13) || '.html' FROM pages),
+            fresh AS (
+              SELECT DISTINCT u FROM cand
+              WHERE u NOT IN (SELECT url FROM pages))
+            SELECT regexp_extract(u, '^https://([^/]+)/', 1) AS host,
+                   count(*)::BIGINT AS n_new_urls
+            FROM fresh GROUP BY host ORDER BY host
         """,
         "classifier_quality_scores": clf_scores_sql,
         "classifier_weights": clf_weights_sql,

@@ -1,0 +1,123 @@
+"""Outlink extraction: html → resolved absolute URLs (the crawl loop's
+discovery step).
+
+The focused-crawl surface scores and schedules a frontier
+(`operators/graph.py pagerank_micro`, `operators/crawl.py
+crawl_schedule`) — this module produces that frontier: pull every
+``<a href>`` out of a page's html, resolve it against the page URL,
+and normalize. `graph.derive_link_graph`'s docstring names "the
+extracted href edges" as the production input; this is the extractor.
+
+Everything is JVM-side (`regexp_extract_all` + CASE resolution +
+`functions/urls.py` normalization) — no Python touches the html on
+this path (the north rule's no-per-row-Python posture; the Arrow UDF
+in `cdc/extract.py` exists for the TEXT extraction, which genuinely
+needs stateful regex passes — link pulling doesn't).
+
+Resolution rules (deliberately small and total):
+- absolute http(s) hrefs pass through;
+- other schemes (mailto:, javascript:, ftp:, tel:) drop;
+- protocol-relative ``//host/p`` takes the page scheme;
+- root-relative ``/p`` takes the page scheme://host;
+- fragment-only / empty hrefs drop;
+- anything else is directory-relative: scheme://host + page-dir +
+  href. Dot-segment folding (``..``) is out of scope — crawlers
+  normalize server-side anyway, and keeping the rule regex-total keeps
+  the operator fully DuckDB-oracle-able.
+
+Scale shape (100 TB): pure projection + one explode — the links of a
+page are produced in the map task that read it, zero shuffles until
+the caller aggregates; `distinct` inside is per-(page, link) and
+optional. Row amplification is the true outlink count.
+
+Reference parity: csv-cruncher has no html surface; new-engine crawl
+discovery for the webtext payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import url_host
+
+# group 1 = the href value; [^"'>] keeps the match inside the tag even
+# on unbalanced quotes. (?i) and the class syntax mean the same thing
+# to Java regex and RE2, so the DuckDB oracle can reuse the pattern.
+HREF_PATTERN = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'>]*)[\"']"
+
+
+def extract_outlinks(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    keep_fragments: bool = False,
+    distinct: bool = True,
+) -> DataFrame:
+    """(url, outlink) pairs: every resolvable ``<a href>`` in
+    ``html_col``, resolved against ``url_col`` per the module rules.
+
+    ``html_col`` may be string or binary (cast via UTF-8 decode).
+    NULL html or NULL url yields no links. Fragments are stripped
+    unless ``keep_fragments``; ``distinct`` dedupes per (url, outlink)
+    — the edge-list contract `graph.pagerank_micro(edges=...)` expects.
+    """
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+    hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
+
+    scheme = F.lower(F.try_parse_url(F.col(url_col), F.lit("PROTOCOL")))
+    host = url_host(F.col(url_col))
+    # PATH is '' (not NULL) for a bare https://host — both mean root
+    raw_path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == ""), F.lit("/")
+    ).otherwise(raw_path)
+    # page directory: path up to and including the last slash
+    page_dir = F.regexp_replace(path, "[^/]*$", "")
+
+    h = F.col("__href")
+    resolved = (
+        F.when(h.isNull() | (h == "") | h.startswith("#"), F.lit(None))
+        .when(h.rlike("(?i)^https?://"), h)
+        .when(h.rlike("(?i)^[a-z][a-z0-9+.-]*:"), F.lit(None))  # other schemes
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), host, h))
+        .otherwise(F.concat(scheme, F.lit("://"), host, page_dir, h))
+    )
+    if not keep_fragments:
+        resolved = F.regexp_replace(resolved, "#.*$", "")
+    out = (
+        df.select(F.col(url_col).alias("url"), F.explode(hrefs).alias("__href"))
+        .withColumn("outlink", resolved)
+        .filter(F.col("outlink").isNotNull())
+        .select("url", "outlink")
+    )
+    return out.distinct() if distinct else out
+
+
+def discovered_frontier(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Frontier discovery: outlinks of the corpus that the corpus does
+    not already contain, counted per target host — the feed the crawl
+    scheduler (`crawl.crawl_schedule`) dispatches next.
+
+    One anti-join on the url key (both sides narrow: (outlink) vs
+    (url)), one partial-combined count by host. Returns
+    (host, n_new_urls) with n_new_urls = DISTINCT undiscovered URLs
+    under that host.
+    """
+    links = extract_outlinks(pages, url_col, html_col)
+    known = pages.select(F.col(url_col).alias("outlink")).distinct()
+    new = links.select("outlink").distinct().join(known, "outlink", "left_anti")
+    return (
+        new.withColumn(
+            "host", F.regexp_replace(url_host(F.col("outlink")), ":[0-9]+$", "")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_new_urls"))
+    )

@@ -38,7 +38,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["snapshot_fingerprint", "snapshot_diff", "snapshot_to_changes"]
+__all__ = [
+    "snapshot_fingerprint",
+    "snapshot_diff",
+    "snapshot_to_changes",
+    "text_reuse_report",
+]
 
 # a concat separator / NULL marker that cannot collide with real text:
 # \x01 is stripped by the html extractor and never appears in urls
@@ -160,3 +165,61 @@ def snapshot_to_changes(
             del_sel.append(F.lit(None).cast(dict(new.dtypes)[c]).alias(c))
     deletes = deleted.select(*del_sel)
     return upserts.unionByName(deletes)
+
+
+def text_reuse_report(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-snapshot text-reuse: for every document of the NEW
+    snapshot, the fraction of its distinct word ``k``-shingles that
+    already occur ANYWHERE in the OLD snapshot — the "how much of this
+    crawl is copied text" curation diagnostic (same-url recrawls,
+    cross-url mirroring, template spread). `snapshot_diff` sees only
+    per-key byte changes; this sees corpus-level reuse regardless of
+    which url carries the text.
+
+    Plan shape (100 TB): both sides reduce to DISTINCT shingle frames —
+    the old corpus to ONE global distinct-shingle set (narrow, one
+    string column), the new corpus to (key, shingle) distinct pairs;
+    reuse is a LEFT SEMI equi-join (old side never carries payload,
+    new side carries only the key) followed by two partial-combined
+    counts per key. No windows, no Python, no payload in any exchange.
+    NULL-text docs keep their row with n_shingles = 0 and NULL ratio
+    (the novelty_scores discipline).
+
+    Returns (key_col, n_shingles, n_reused, reuse_ratio[6dp]) — fully
+    DuckDB-oracle-able (exact integer counts, one ROUND).
+    """
+    from .dedup import shingles
+
+    new_sh = (
+        new.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.col(key_col), F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    old_sh = (
+        old.filter(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select(F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+    )
+    reused = new_sh.join(old_sh, "sh", "left_semi")
+    totals = new_sh.groupBy(key_col).agg(F.count("*").alias("n_shingles"))
+    hits = reused.groupBy(key_col).agg(F.count("*").alias("n_reused"))
+    base = new.select(key_col).distinct()
+    return (
+        base.join(totals, key_col, "left")
+        .join(hits, key_col, "left")
+        .withColumn("n_shingles", F.coalesce("n_shingles", F.lit(0)))
+        .withColumn(
+            "n_reused",
+            F.when(F.col("n_shingles") > 0, F.coalesce("n_reused", F.lit(0))),
+        )
+        .withColumn(
+            "reuse_ratio",
+            F.round(F.col("n_reused") / F.col("n_shingles"), 6),
+        )
+    )

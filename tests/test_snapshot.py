@@ -149,3 +149,77 @@ def test_roundtrip_through_real_merge(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- text reuse
+
+
+def _reuse(spark, old_texts, new_rows, k=3):
+    """old_texts: list[str]; new_rows: list[(key, text)]."""
+    from csv_cruncher_spark.operators.snapshot import text_reuse_report
+
+    old = spark.createDataFrame(
+        [(f"o{i}", t) for i, t in enumerate(old_texts)], "url STRING, text STRING"
+    )
+    new = spark.createDataFrame(new_rows, "url STRING, text STRING")
+    return {
+        r["url"]: (r["n_shingles"], r["n_reused"], r["reuse_ratio"])
+        for r in text_reuse_report(old, new, "url", "text", k=k).collect()
+    }
+
+
+def test_reuse_identical_snapshot_is_full(spark):
+    texts = ["alpha beta gamma delta", "one two three four five"]
+    got = _reuse(spark, texts, [(f"n{i}", t) for i, t in enumerate(texts)])
+    assert got == {"n0": (2, 2, 1.0), "n1": (3, 3, 1.0)}
+
+
+def test_reuse_disjoint_text_is_zero(spark):
+    got = _reuse(spark, ["a b c d"], [("n", "x y z w")])
+    assert got == {"n": (2, 0, 0.0)}
+
+
+def test_reuse_cross_url_counts(spark):
+    # the new doc copies old text from a DIFFERENT url — reuse is
+    # corpus-level, not keyed
+    got = _reuse(spark, ["p q r s t"], [("n", "p q r s t")])
+    assert got == {"n": (3, 3, 1.0)}
+
+
+def test_reuse_partial_overlap_exact_counts(spark):
+    # new shingles of 'a b c d e': {a b c, b c d, c d e};
+    # old corpus contains only 'a b c' (as the whole-short-doc shingle)
+    got = _reuse(spark, ["a b c"], [("n", "a b c d e")])
+    assert got == {"n": (3, 1, round(1 / 3, 6))}
+
+
+def test_reuse_short_doc_single_shingle(spark):
+    # < k words → ONE whole-text shingle (the shingles() contract)
+    got = _reuse(spark, ["hi there"], [("same", "hi there"), ("diff", "bye now")])
+    assert got == {"same": (1, 1, 1.0), "diff": (1, 0, 0.0)}
+
+
+def test_reuse_null_and_empty_text_keep_rows(spark):
+    got = _reuse(spark, ["a b c d"], [("nul", None), ("emp", ""), ("ok", "a b c")])
+    assert got == {"nul": (0, None, None), "emp": (0, None, None), "ok": (1, 1, 1.0)}
+
+
+def test_reuse_duplicate_new_keys_merge(spark):
+    # two rows under one key: shingle sets union (distinct pairs)
+    got = _reuse(spark, ["a b c"], [("n", "a b c"), ("n", "x y z")])
+    assert got == {"n": (2, 1, 0.5)}
+
+
+def test_reuse_plan_no_payload_in_semi_join(spark):
+    from csv_cruncher_spark.operators.snapshot import text_reuse_report
+
+    old = spark.createDataFrame([("o", "a b c d")], "url STRING, text STRING")
+    new = spark.createDataFrame([("n", "a b c")], "url STRING, text STRING")
+    plan = (
+        text_reuse_report(old, new, "url", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
