@@ -1608,6 +1608,115 @@ def crawl_discovered_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discovered_frontier(pages).orderBy("host")
 
 
+def url_redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (operators/redirects.py
+    resolve_redirects): pointer-doubling folds a redirect edge list into
+    src → final-landing-url in O(log max-chain) self-joins. Synthetic
+    edges: u(i) → u(i−1) for i%5≠0 (chains of 1-4 hops landing on the
+    i%5==0 urls) plus a deliberate 2-cycle pair per i%97==3 (orbits
+    deterministically, comes back resolved=false). The oracle unrolls
+    the SAME 3 doubling rounds as left-join CTEs, so chain folding, hop
+    accounting, and the cycle orbit all replay bit-for-bit."""
+    from csv_cruncher_spark.operators.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    u = F.concat(F.lit("https://r.example.com/u/"), m.cast("string"))
+    u_prev = F.concat(F.lit("https://r.example.com/u/"), (m - 1).cast("string"))
+    chain = docs.filter(m % 5 != 0).select(u.alias("src"), u_prev.alias("dst"))
+    loops = docs.filter(m % 97 == 3)
+    loop_x = loops.select(
+        F.concat(u, F.lit("?x")).alias("src"), F.concat(u, F.lit("?y")).alias("dst")
+    )
+    loop_y = loops.select(
+        F.concat(u, F.lit("?y")).alias("src"), F.concat(u, F.lit("?x")).alias("dst")
+    )
+    edges = chain.unionByName(loop_x).unionByName(loop_y)
+    return resolve_redirects(edges, rounds=3).orderBy("src")
+
+
+def robots_filtered_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt-style REP screening (operators/robots.py
+    robots_filter): longest-prefix rule wins, tie → allow, no match →
+    allowed. Per-source rule sets vary deterministically (/private/
+    disallowed everywhere; /private/pub re-allowed on even-numbered
+    sources — the longest-prefix override; /a/ disallowed on sources
+    divisible by 3), frontier paths cycle through all four regimes. The
+    oracle replays the precedence as a ROW_NUMBER ordered (len DESC,
+    allow DESC, prefix DESC) — the exact tie order of the struct MAX."""
+    from csv_cruncher_spark.operators.robots import robots_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    path = (
+        F.when(m % 4 == 0, F.concat(F.lit("/a/"), m.cast("string")))
+        .when(m % 4 == 1, F.concat(F.lit("/private/"), m.cast("string")))
+        .when(m % 4 == 2, F.concat(F.lit("/private/pub"), m.cast("string")))
+        .otherwise(F.concat(F.lit("/b/"), m.cast("string")))
+    )
+    frontier = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com"), path).alias(
+            "url"
+        )
+    )
+    hosts = docs.select("source").distinct()
+    num = F.substring("source", 4, 10).cast("int")
+    host = F.concat("source", F.lit(".example.com"))
+    rules = (
+        hosts.select(
+            host.alias("host"),
+            F.lit("/private/").alias("path_prefix"),
+            F.lit(False).alias("allow"),
+        )
+        .unionByName(
+            hosts.filter(num % 2 == 0).select(
+                host.alias("host"),
+                F.lit("/private/pub").alias("path_prefix"),
+                F.lit(True).alias("allow"),
+            )
+        )
+        .unionByName(
+            hosts.filter(num % 3 == 0).select(
+                host.alias("host"),
+                F.lit("/a/").alias("path_prefix"),
+                F.lit(False).alias("allow"),
+            )
+        )
+    )
+    return (
+        robots_filter(frontier, rules)
+        .select("url", "is_allowed", "matched_prefix")
+        .orderBy("url")
+    )
+
+
+def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text profile (operators/links.py
+    anchor_text_profile): n_refs / distinct spellings / most-frequent
+    spelling (ties → lexicographic min, exact two-agg selection, never
+    max_by) for every outlink of the synthetic page corpus — absolute
+    targets shared across hosts, root-relative targets per host, an
+    empty anchor that must count toward nothing, and a fragment link
+    that must not exist at all. The oracle rebuilds the anchor votes
+    from the synthesis formula and replays the count/tie algebra."""
+    from csv_cruncher_spark.operators import links
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/a/"), m.cast("string")
+    )
+    t = F.concat(F.lit('<a href="https://t.example.org/p'), (m % 20).cast("string"))
+    html = F.concat(
+        t, F.lit('">term'), (m % 3).cast("string"), F.lit("</a>"),
+        t, F.lit('">term'), (m % 5).cast("string"), F.lit("</a>"),
+        F.lit('<a href="/shared">local'), (m % 2).cast("string"), F.lit("</a>"),
+        t, F.lit('"></a><a href="#x">nope</a>'),
+    )
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    return links.anchor_text_profile(pages).orderBy("outlink")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -2540,6 +2649,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_text_reuse": snapshot_text_reuse,
         "page_outlinks": page_outlinks,
         "crawl_discovered_frontier": crawl_discovered_frontier,
+        "url_redirect_resolution": url_redirect_resolution,
+        "robots_filtered_frontier": robots_filtered_frontier,
+        "anchor_text_profile": anchor_text_profile,
         "doc_char_entropy": doc_char_entropy,
         "url_blocklist_docs": url_blocklist_docs,
         "token_budget_docs": token_budget_docs,
@@ -3302,6 +3414,99 @@ def oracle_sql() -> dict[str, str]:
             SELECT regexp_extract(u, '^https://([^/]+)/', 1) AS host,
                    count(*)::BIGINT AS n_new_urls
             FROM fresh GROUP BY host ORDER BY host
+        """,
+        "url_redirect_resolution": """
+            WITH e AS (
+              SELECT 'https://r.example.com/u/' || doc_id AS src,
+                     'https://r.example.com/u/' || (doc_id - 1) AS dst
+              FROM documents WHERE doc_id % 5 <> 0
+              UNION ALL
+              SELECT 'https://r.example.com/u/' || doc_id || '?x',
+                     'https://r.example.com/u/' || doc_id || '?y'
+              FROM documents WHERE doc_id % 97 = 3
+              UNION ALL
+              SELECT 'https://r.example.com/u/' || doc_id || '?y',
+                     'https://r.example.com/u/' || doc_id || '?x'
+              FROM documents WHERE doc_id % 97 = 3),
+            r0 AS (SELECT src, min(dst) AS dst, 1::BIGINT AS hops
+                   FROM e GROUP BY src),
+            r1 AS (SELECT a.src, coalesce(b.dst, a.dst) AS dst,
+                          a.hops + coalesce(b.hops, 0) AS hops
+                   FROM r0 a LEFT JOIN r0 b ON b.src = a.dst),
+            r2 AS (SELECT a.src, coalesce(b.dst, a.dst) AS dst,
+                          a.hops + coalesce(b.hops, 0) AS hops
+                   FROM r1 a LEFT JOIN r1 b ON b.src = a.dst),
+            r3 AS (SELECT a.src, coalesce(b.dst, a.dst) AS dst,
+                          a.hops + coalesce(b.hops, 0) AS hops
+                   FROM r2 a LEFT JOIN r2 b ON b.src = a.dst)
+            SELECT r3.src, r3.dst AS final_url, r3.hops AS n_hops,
+                   (s.src IS NULL) AS resolved
+            FROM r3 LEFT JOIN (SELECT DISTINCT src FROM e) s
+              ON s.src = r3.dst
+            ORDER BY r3.src
+        """,
+        "robots_filtered_frontier": """
+            WITH f AS (
+              SELECT source,
+                     CASE WHEN doc_id % 4 = 0 THEN '/a/' || doc_id
+                          WHEN doc_id % 4 = 1 THEN '/private/' || doc_id
+                          WHEN doc_id % 4 = 2 THEN '/private/pub' || doc_id
+                          ELSE '/b/' || doc_id END AS path
+              FROM documents),
+            fu AS (SELECT source, path,
+                          'https://' || source || '.example.com' || path AS url
+                   FROM f),
+            hosts AS (SELECT DISTINCT source,
+                             CAST(substr(source, 4) AS INT) AS num
+                      FROM documents),
+            rules AS (
+              SELECT source || '.example.com' AS host,
+                     '/private/' AS path_prefix, FALSE AS allow FROM hosts
+              UNION ALL
+              SELECT source || '.example.com', '/private/pub', TRUE
+              FROM hosts WHERE num % 2 = 0
+              UNION ALL
+              SELECT source || '.example.com', '/a/', FALSE
+              FROM hosts WHERE num % 3 = 0),
+            cand AS (
+              SELECT fu.url, r.path_prefix, r.allow,
+                     row_number() OVER (PARTITION BY fu.url
+                       ORDER BY len(r.path_prefix) DESC, r.allow DESC,
+                                r.path_prefix DESC) AS rn
+              FROM fu JOIN rules r
+                ON r.host = fu.source || '.example.com'
+              WHERE starts_with(fu.path, r.path_prefix))
+            SELECT fu.url,
+                   coalesce(c.allow, TRUE) AS is_allowed,
+                   c.path_prefix AS matched_prefix
+            FROM fu LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+              ON c.url = fu.url
+            ORDER BY fu.url
+        """,
+        "anchor_text_profile": """
+            WITH a AS (
+              SELECT 'https://t.example.org/p' || (doc_id % 20) AS outlink,
+                     'term' || (doc_id % 3) AS anchor FROM documents
+              UNION ALL
+              SELECT 'https://t.example.org/p' || (doc_id % 20),
+                     'term' || (doc_id % 5) FROM documents
+              UNION ALL
+              SELECT 'https://' || source || '.example.com/shared',
+                     'local' || (doc_id % 2) FROM documents),
+            g AS (SELECT outlink, anchor, count(*) AS cnt
+                  FROM a GROUP BY outlink, anchor),
+            s AS (SELECT outlink, sum(cnt)::BIGINT AS n_refs,
+                         count(*)::BIGINT AS n_anchor_texts,
+                         max(cnt)::BIGINT AS top_anchor_n
+                  FROM g GROUP BY outlink),
+            t AS (SELECT g.outlink, min(g.anchor) AS top_anchor
+                  FROM g JOIN s ON s.outlink = g.outlink
+                              AND g.cnt = s.top_anchor_n
+                  GROUP BY g.outlink)
+            SELECT s.outlink, s.n_refs, s.n_anchor_texts,
+                   t.top_anchor, s.top_anchor_n
+            FROM s JOIN t ON t.outlink = s.outlink
+            ORDER BY s.outlink
         """,
         "classifier_quality_scores": clf_scores_sql,
         "classifier_weights": clf_weights_sql,

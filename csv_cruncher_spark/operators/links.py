@@ -45,6 +45,36 @@ from ..functions.urls import url_host
 # on unbalanced quotes. (?i) and the class syntax mean the same thing
 # to Java regex and RE2, so the DuckDB oracle can reuse the pattern.
 HREF_PATTERN = "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'>]*)[\"']"
+# group 1 = href, group 2 = the anchor's inner text (up to the first
+# nested tag — [^<]* keeps the match flat and regex-total)
+ANCHOR_PATTERN = (
+    "(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"'>]*)[\"'][^>]*>([^<]*)</a>"
+)
+
+
+def _page_parts(url_col: str):
+    """(scheme, host, page_dir) columns of the page url."""
+    scheme = F.lower(F.try_parse_url(F.col(url_col), F.lit("PROTOCOL")))
+    host = url_host(F.col(url_col))
+    # PATH is '' (not NULL) for a bare https://host — both mean root
+    raw_path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
+    path = F.when(
+        raw_path.isNull() | (raw_path == ""), F.lit("/")
+    ).otherwise(raw_path)
+    # page directory: path up to and including the last slash
+    return scheme, host, F.regexp_replace(path, "[^/]*$", "")
+
+
+def _resolve(h, scheme, host, page_dir):
+    """Resolve one href column against the page parts (module rules)."""
+    return (
+        F.when(h.isNull() | (h == "") | h.startswith("#"), F.lit(None))
+        .when(h.rlike("(?i)^https?://"), h)
+        .when(h.rlike("(?i)^[a-z][a-z0-9+.-]*:"), F.lit(None))  # other schemes
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), host, h))
+        .otherwise(F.concat(scheme, F.lit("://"), host, page_dir, h))
+    )
 
 
 def extract_outlinks(
@@ -67,25 +97,8 @@ def extract_outlinks(
         html = F.decode(html, "UTF-8")
     hrefs = F.regexp_extract_all(html, F.lit(HREF_PATTERN), F.lit(1))
 
-    scheme = F.lower(F.try_parse_url(F.col(url_col), F.lit("PROTOCOL")))
-    host = url_host(F.col(url_col))
-    # PATH is '' (not NULL) for a bare https://host — both mean root
-    raw_path = F.try_parse_url(F.col(url_col), F.lit("PATH"))
-    path = F.when(
-        raw_path.isNull() | (raw_path == ""), F.lit("/")
-    ).otherwise(raw_path)
-    # page directory: path up to and including the last slash
-    page_dir = F.regexp_replace(path, "[^/]*$", "")
-
-    h = F.col("__href")
-    resolved = (
-        F.when(h.isNull() | (h == "") | h.startswith("#"), F.lit(None))
-        .when(h.rlike("(?i)^https?://"), h)
-        .when(h.rlike("(?i)^[a-z][a-z0-9+.-]*:"), F.lit(None))  # other schemes
-        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
-        .when(h.startswith("/"), F.concat(scheme, F.lit("://"), host, h))
-        .otherwise(F.concat(scheme, F.lit("://"), host, page_dir, h))
-    )
+    scheme, host, page_dir = _page_parts(url_col)
+    resolved = _resolve(F.col("__href"), scheme, host, page_dir)
     if not keep_fragments:
         resolved = F.regexp_replace(resolved, "#.*$", "")
     out = (
@@ -95,6 +108,87 @@ def extract_outlinks(
         .select("url", "outlink")
     )
     return out.distinct() if distinct else out
+
+
+def extract_anchor_texts(
+    df: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """(url, outlink, anchor) triples: every resolvable ``<a href>``
+    paired with its flat inner text (up to the first nested tag),
+    whitespace-trimmed. Same resolution + fragment-strip rules as
+    :func:`extract_outlinks`; duplicates are KEPT (each anchor
+    occurrence is one vote for :func:`anchor_text_profile`)."""
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "UTF-8")
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(1)).alias("h"),
+        F.regexp_extract_all(html, F.lit(ANCHOR_PATTERN), F.lit(2)).alias("t"),
+    )
+    scheme, host, page_dir = _page_parts(url_col)
+    resolved = F.regexp_replace(
+        _resolve(F.col("__p.h"), scheme, host, page_dir), "#.*$", ""
+    )
+    return (
+        df.select(F.col(url_col).alias("url"), F.explode(pairs).alias("__p"))
+        .select(
+            "url",
+            resolved.alias("outlink"),
+            F.trim(F.col("__p.t")).alias("anchor"),
+        )
+        .filter(F.col("outlink").isNotNull())
+    )
+
+
+def anchor_text_profile(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+) -> DataFrame:
+    """Per-target anchor-text profile: for every outlink of the corpus,
+    how often it is referenced and what the web calls it — the classic
+    anchor-text relevance/quality signal (Brin & Page §2.2: anchors
+    describe the TARGET better than the target describes itself).
+
+    Returns (outlink, n_refs, n_anchor_texts, top_anchor, top_anchor_n):
+    total anchor occurrences, distinct non-empty anchor spellings, the
+    most frequent spelling (ties → lexicographically smallest — exact,
+    via max-count-then-min-anchor, never a nondeterministic max_by),
+    and its count. Empty anchors (image links) count toward nothing.
+
+    Plan shape: the anchor triples partial-aggregate to
+    (outlink, anchor, cnt) — the only frame that shuffles; winner
+    selection is one more partial agg + an equi-join back on
+    (outlink, cnt), both map-combinable, no windows over the skewed
+    popular-target key.
+    """
+    a = extract_anchor_texts(pages, url_col, html_col).filter(
+        F.col("anchor") != ""
+    )
+    g = a.groupBy("outlink", "anchor").agg(F.count(F.lit(1)).alias("cnt"))
+    s = g.groupBy("outlink").agg(
+        F.sum("cnt").alias("n_refs"),
+        F.count(F.lit(1)).alias("n_anchor_texts"),
+        F.max("cnt").alias("top_anchor_n"),
+    )
+    # renamed projection sidesteps the g-derived self-join ambiguity
+    winners = s.select(
+        F.col("outlink").alias("__o"), F.col("top_anchor_n").alias("__n")
+    )
+    top = (
+        g.join(
+            winners,
+            (F.col("outlink") == F.col("__o")) & (F.col("cnt") == F.col("__n")),
+        )
+        .select("outlink", "anchor")
+        .groupBy("outlink")
+        .agg(F.min("anchor").alias("top_anchor"))
+    )
+    return s.join(top, "outlink").select(
+        "outlink", "n_refs", "n_anchor_texts", "top_anchor", "top_anchor_n"
+    )
 
 
 def discovered_frontier(
