@@ -1717,6 +1717,101 @@ def anchor_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return links.anchor_text_profile(pages).orderBy("outlink")
 
 
+def warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC source (sources/warc.py): compose spec-shaped WARC response
+    records from the documents corpus, write them distributed
+    (write_warc), and read them back with the split-parallel lineSep
+    reader (read_warc) — url, date header, type, byte-exact
+    Content-Length, and full payload must survive the round trip. The
+    oracle never sees WARC bytes: it constructs the expected frame
+    directly from documents (strlen in DuckDB is BYTES — matching
+    octet_length), so any composer/parser drift flips the hash."""
+    import tempfile
+
+    from csv_cruncher_spark.sources.warc import read_warc, write_warc
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    sec = (m * 37) % 86400
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/a/"), m.cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit("2026-03-01T"),
+            two(F.floor(sec / 3600).cast("long")),
+            F.lit(":"),
+            two((F.floor(sec / 60) % 60).cast("long")),
+            F.lit(":"),
+            two(sec % 60),
+            F.lit("Z"),
+        ).alias("warc_date"),
+        F.concat(F.lit("<html><body>"), "text", F.lit("</body></html>")).alias(
+            "payload"
+        ),
+    )
+    out_dir = tempfile.mkdtemp(prefix="warc_entry_")
+    write_warc(pages, out_dir)
+    return (
+        read_warc(spark, out_dir)
+        .select("url", "warc_date", "warc_type", "content_length", "payload")
+        .orderBy("url")
+    )
+
+
+def sitemap_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parse + recrawl planning (sources/sitemap.py): per-page
+    sitemap XML (two <url> blocks: the page with a lastmod, an ?alt
+    companion without one) parsed by the JVM-regex extractor, then
+    joined against synthesized lake state. Exercises every status:
+    doc_id%3==2 pages are claimed-but-unstored (new), %3==1 stored-but-
+    unclaimed (unlisted), the rest stale or fresh depending on whether
+    the claimed lastmod beats the stored fetch instant ((37·id)%86400
+    vs (41·id)%86400 seconds past a fixed UTC day); ?alt urls are
+    claim-without-date (new). Epochs compare as absolute instants
+    (timestamp_seconds / explicit +00:00 offsets), outputs as int64."""
+    from csv_cruncher_spark.sources.sitemap import parse_sitemap, recrawl_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    base = 1772323200  # 2026-03-01T00:00:00Z
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/a/"), m.cast("string")
+    )
+    sec = (m * 37) % 86400
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    lastmod = F.concat(
+        F.lit("2026-03-01T"),
+        two(F.floor(sec / 3600).cast("long")),
+        F.lit(":"),
+        two((F.floor(sec / 60) % 60).cast("long")),
+        F.lit(":"),
+        two(sec % 60),
+        F.lit("+00:00"),
+    )
+    xml = F.concat(
+        F.lit("<urlset><url><loc>"), url,
+        F.lit("</loc><lastmod>"), lastmod,
+        F.lit("</lastmod></url><url><loc>"), url,
+        F.lit("?alt</loc></url></urlset>"),
+    )
+    sitemap = parse_sitemap(
+        docs.filter(m % 3 != 1).select(xml.alias("xml"))
+    )
+    state = docs.filter(m % 3 != 2).select(
+        url.alias("url"),
+        F.timestamp_seconds(F.lit(base) + (m * 41) % 86400).alias("warc_ts"),
+    )
+    plan = recrawl_plan(state, sitemap)
+    return plan.select(
+        "url",
+        "status",
+        F.unix_timestamp("fetched_ts").alias("fetched_epoch"),
+        F.unix_timestamp("lastmod_ts").alias("lastmod_epoch"),
+    ).orderBy("url")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -2652,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_redirect_resolution": url_redirect_resolution,
         "robots_filtered_frontier": robots_filtered_frontier,
         "anchor_text_profile": anchor_text_profile,
+        "warc_roundtrip": warc_roundtrip,
+        "sitemap_recrawl_plan": sitemap_recrawl_plan,
         "doc_char_entropy": doc_char_entropy,
         "url_blocklist_docs": url_blocklist_docs,
         "token_budget_docs": token_budget_docs,
@@ -3507,6 +3604,50 @@ def oracle_sql() -> dict[str, str]:
                    t.top_anchor, s.top_anchor_n
             FROM s JOIN t ON t.outlink = s.outlink
             ORDER BY s.outlink
+        """,
+        "warc_roundtrip": """
+            SELECT 'https://' || source || '.example.com/a/' || doc_id AS url,
+                   '2026-03-01T'
+                     || lpad((((doc_id * 37) % 86400) // 3600)::VARCHAR, 2, '0')
+                     || ':'
+                     || lpad(((((doc_id * 37) % 86400) // 60) % 60)::VARCHAR,
+                             2, '0')
+                     || ':'
+                     || lpad((((doc_id * 37) % 86400) % 60)::VARCHAR, 2, '0')
+                     || 'Z' AS warc_date,
+                   'response' AS warc_type,
+                   strlen('<html><body>' || text || '</body></html>')::BIGINT
+                     AS content_length,
+                   '<html><body>' || text || '</body></html>' AS payload
+            FROM documents ORDER BY url
+        """,
+        "sitemap_recrawl_plan": """
+            WITH d AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/a/' || doc_id AS url,
+                     (doc_id * 37) % 86400 AS lsec,
+                     (doc_id * 41) % 86400 AS fsec
+              FROM documents),
+            claimed AS (
+              SELECT url, 1772323200 + lsec AS lastmod_epoch
+              FROM d WHERE doc_id % 3 <> 1
+              UNION ALL
+              SELECT url || '?alt', NULL FROM d WHERE doc_id % 3 <> 1),
+            cm AS (SELECT url, max(lastmod_epoch) AS lastmod_epoch
+                   FROM claimed GROUP BY url),
+            st AS (SELECT url, 1772323200 + fsec AS fetched_epoch
+                   FROM d WHERE doc_id % 3 <> 2)
+            SELECT coalesce(st.url, cm.url) AS url,
+                   CASE WHEN st.url IS NULL THEN 'new'
+                        WHEN cm.url IS NULL THEN 'unlisted'
+                        WHEN cm.lastmod_epoch IS NOT NULL
+                             AND cm.lastmod_epoch > st.fetched_epoch
+                          THEN 'stale'
+                        ELSE 'fresh' END AS status,
+                   st.fetched_epoch::BIGINT AS fetched_epoch,
+                   cm.lastmod_epoch::BIGINT AS lastmod_epoch
+            FROM st FULL OUTER JOIN cm ON st.url = cm.url
+            ORDER BY url
         """,
         "classifier_quality_scores": clf_scores_sql,
         "classifier_weights": clf_weights_sql,
