@@ -1812,6 +1812,56 @@ def sitemap_recrawl_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def maintained_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained link graph (lake/links_view.py): a
+    pre-state of crawl pages (doc_id % 5 != 0) evolves into a post-state
+    (doc_id % 11 == 0 pages deleted, % 5 == 0 pages arrive, % 7 == 0
+    pages re-point their hub link to an alt host) — the MAINTAINED path
+    (bootstrap edges + ONE keyed-replacement fold over the diff feed,
+    only changed pages re-parse) must hash-equal the post state's edge
+    list, which the oracle constructs directly from the synthesis
+    formula. Edge death on delete, edge replacement on update, and
+    new-page edges are all on the path."""
+    from csv_cruncher_spark.lake import ivm, links_view
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/a/"), m.cast("string")
+    )
+
+    def html(alt_for_7: bool) -> F.Column:
+        hub = F.concat(
+            F.lit('<a href="https://hub.example.org/d'),
+            (m % 50).cast("string"),
+            F.lit('">h</a>'),
+        )
+        alt = F.concat(
+            F.lit('<a href="https://alt.example.org/e'),
+            (m % 13).cast("string"),
+            F.lit('">a</a>'),
+        )
+        first = F.when(m % 7 == 0, alt).otherwise(hub) if alt_for_7 else hub
+        return F.concat(
+            first,
+            F.lit('<a href="/n/'),
+            (m % 9).cast("string"),
+            F.lit('">n</a>'),
+        )
+
+    pre = docs.filter(m % 5 != 0).select(
+        url.alias("url"), html(alt_for_7=False).alias("html")
+    )
+    post = docs.filter(m % 11 != 0).select(
+        url.alias("url"), html(alt_for_7=True).alias("html")
+    )
+    changes = ivm.diff_states(pre, post, "url")
+    out = links_view.apply_links_delta(
+        links_view.compute_link_graph(pre), changes
+    )
+    return out.orderBy("src", "dst")
+
+
 def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (packing.pack_sequences): documents concatenated
     per shard in doc_id order and cut every 2048 tokens (GPT-style
@@ -2749,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_profile": anchor_text_profile,
         "warc_roundtrip": warc_roundtrip,
         "sitemap_recrawl_plan": sitemap_recrawl_plan,
+        "maintained_link_graph": maintained_link_graph,
         "doc_char_entropy": doc_char_entropy,
         "url_blocklist_docs": url_blocklist_docs,
         "token_budget_docs": token_budget_docs,
@@ -3648,6 +3699,23 @@ def oracle_sql() -> dict[str, str]:
                    cm.lastmod_epoch::BIGINT AS lastmod_epoch
             FROM st FULL OUTER JOIN cm ON st.url = cm.url
             ORDER BY url
+        """,
+        "maintained_link_graph": """
+            WITH post AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/a/' || doc_id AS url
+              FROM documents WHERE doc_id % 11 <> 0)
+            SELECT url AS src,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'https://alt.example.org/e' || (doc_id % 13)
+                        ELSE 'https://hub.example.org/d' || (doc_id % 50)
+                   END AS dst
+            FROM post
+            UNION ALL
+            SELECT url AS src,
+                   'https://' || source || '.example.com/n/' || (doc_id % 9)
+            FROM post
+            ORDER BY src, dst
         """,
         "classifier_quality_scores": clf_scores_sql,
         "classifier_weights": clf_weights_sql,

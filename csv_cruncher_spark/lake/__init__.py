@@ -1,6 +1,7 @@
-from . import catalog, ivm, salt, sketch_view, vocab_view
+from . import catalog, ivm, links_view, salt, sketch_view, vocab_view
 from .corpus_view import MaintainedCorpus
 from .ivm import MaintainedAggregate, MaintainedExtrema
+from .links_view import MaintainedLinkGraph
 from .sketch_view import MaintainedSketch
 from .table import LakeTable
 from .vocab_view import MaintainedVocabulary
@@ -10,10 +11,12 @@ __all__ = [
     "MaintainedAggregate",
     "MaintainedExtrema",
     "MaintainedCorpus",
+    "MaintainedLinkGraph",
     "MaintainedSketch",
     "MaintainedVocabulary",
     "catalog",
     "ivm",
+    "links_view",
     "salt",
     "sketch_view",
     "vocab_view",

@@ -78,6 +78,11 @@ def main() -> int:
                          "maintained (token, tf, df) vocabulary store "
                          "(lake/vocab_view.py) — only changed documents "
                          "explode, no table rescan")
+    ap.add_argument("--maintain-links", default=None, metavar="STORE",
+                    help="after replay, refresh an incrementally-"
+                         "maintained (src, dst) outlink edge store "
+                         "(lake/links_view.py) — only changed pages "
+                         "re-parse, keyed edge replacement")
     ap.add_argument("--maintain-sketch", default=None, metavar="STORE",
                     help="after replay, refresh an incrementally-"
                          "maintained HyperLogLog register store "
@@ -227,6 +232,8 @@ def main() -> int:
         corpus_epoch = mc.refresh(spark)
 
     vocab_epoch = None
+    links_epoch = None
+    links_edges = None
     sketch_epoch = None
     sketch_estimate = None
     if args.maintain_vocab:
@@ -234,6 +241,13 @@ def main() -> int:
 
         vv = MaintainedVocabulary(args.table, args.maintain_vocab)
         vocab_epoch = vv.refresh(spark)
+
+    if args.maintain_links:
+        from csv_cruncher_spark.lake.links_view import MaintainedLinkGraph
+
+        lv = MaintainedLinkGraph(args.table, args.maintain_links)
+        links_epoch = lv.refresh(spark)
+        links_edges = lv.read(spark).count()
 
     if args.maintain_sketch:
         from csv_cruncher_spark.lake.sketch_view import MaintainedSketch
@@ -299,6 +313,8 @@ def main() -> int:
                 "minmax_epoch": minmax_epoch,
                 "corpus_epoch": corpus_epoch,
                 "vocab_epoch": vocab_epoch,
+                "links_epoch": links_epoch,
+                "links_edges": links_edges,
                 "sketch_epoch": sketch_epoch,
                 "sketch_estimate": sketch_estimate,
                 "rejected_rows": sum((ckpt.get("rejected_rows") or {}).values())

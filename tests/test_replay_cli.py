@@ -341,3 +341,40 @@ def test_replay_maintain_sketch_incremental(spark, change_log, monkeypatch, caps
             for r in sk.hll_estimate(want, m=1024, group_cols=("lang",)).collect()
         }
         assert out["sketch_estimate"] == want_est
+
+
+def test_replay_maintain_links_incremental(spark, change_log, monkeypatch, capsys, tmp_path):
+    """--maintain-links keeps the (src, dst) edge store equal to a fresh
+    extract over table state across an incremental two-stage replay."""
+    import shutil
+
+    from csv_cruncher_spark.lake import links_view
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    base, paths = change_log
+    table = str(base / "lake")
+    store = str(base / "edges")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+
+    for cut in (2, len(paths)):
+        for p in paths[:cut]:
+            dst = staged / os.path.basename(p)
+            if not dst.exists():
+                shutil.copy(p, dst)
+        out = _run_replay(
+            monkeypatch,
+            capsys,
+            ["--table", table, "--batches", str(staged),
+             "--maintain-links", store],
+        )
+        t = LakeTable.load(table)
+        assert out["links_epoch"] == t.snapshot()["epoch_id"]
+        lv = links_view.MaintainedLinkGraph(table, store)
+        got = {(r["src"], r["dst"]) for r in lv.read(spark).collect()}
+        want = {
+            (r["src"], r["dst"])
+            for r in links_view.compute_link_graph(t.read(spark)).collect()
+        }
+        assert got == want
+        assert out["links_edges"] == len(got)
