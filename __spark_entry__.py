@@ -2703,6 +2703,131 @@ def url_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mirror_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-host crawl of the documents corpus: one
+    primary host per source serving every doc, a full mirror host
+    ('m.' prefix) re-serving the even docs byte-identically, and a
+    partial re-host ('p.' prefix) serving doc_id%4==0 verbatim plus its
+    own unique pages — the three host relationships a mirror report
+    must separate (full mirror, partial re-host, unrelated)."""
+    docs = _t(spark, sf_dir, "documents")
+    primary = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"), "text"
+    )
+    mirror = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("m."), "source", F.lit(".example.com")).alias("host"),
+        "text",
+    )
+    partial_shared = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit("p."), "source", F.lit(".example.com")).alias("host"),
+        "text",
+    )
+    partial_own = docs.filter(F.col("doc_id") % 4 == 1).select(
+        F.concat(F.lit("p."), "source", F.lit(".example.com")).alias("host"),
+        F.concat("text", F.lit(" [p-extra]")).alias("text"),
+    )
+    return primary.unionByName(mirror).unionByName(partial_shared).unionByName(
+        partial_own
+    )
+
+
+def host_mirror_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-pair mirror detection over a deterministic multi-host crawl
+    (operators/mirrors.py host_mirror_pairs): distinct content
+    fingerprints per host, fp equi-join with a stop-fingerprint cap,
+    exact integer containment micro-ratio. The full mirror hosts land
+    at containment 1e6; the partial re-hosts land wherever the corpus's
+    own duplicate texts put them — the oracle replays the identical
+    md5 + floor arithmetic so a drift in either the screen or the ratio
+    flips the hash."""
+    from csv_cruncher_spark.operators.mirrors import host_mirror_pairs
+
+    pages = _mirror_pages(spark, sf_dir)
+    return host_mirror_pairs(
+        pages, "host", "text", min_shared=2, min_containment_micro=500_000
+    ).orderBy("host_a", "host_b")
+
+
+def crawler_trap_report_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL-space vs content-diversity report
+    (operators/mirrors.py crawler_trap_report): a synthetic trap host
+    multiplies every fifth doc into 4 parameterized URLs over a 3-page
+    content set (the calendar/faceted-nav signature) next to the normal
+    one-URL-per-doc source hosts; ONE host aggregation flags it. The
+    normal hosts' dup ratios are whatever the corpus's own duplicate
+    texts make them — oracled, not assumed."""
+    from csv_cruncher_spark.operators.mirrors import crawler_trap_report
+
+    docs = _t(spark, sf_dir, "documents")
+    normal = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    k = F.explode(F.array([F.lit(i) for i in range(4)])).alias("k")
+    trap = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", k)
+        .select(
+            F.lit("trap.example.com").alias("host"),
+            F.concat(
+                F.lit("https://trap.example.com/list?session="),
+                F.col("doc_id").cast("string"),
+                F.lit("&page="),
+                F.col("k").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("trap page "), (F.col("doc_id") % 3).cast("string")
+            ).alias("text"),
+        )
+    )
+    return crawler_trap_report(
+        normal.unionByName(trap), "host", "url", "text",
+        min_urls=10, min_dup_ratio_micro=500_000,
+    ).orderBy("host")
+
+
+def recrawl_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cho & Garcia-Molina change-rate estimation over a deterministic
+    revisit history (operators/crawl.py change_rate_estimates): every
+    url is fetched 4 times at a per-url cadence (1-3 h), changes after
+    the first fetch decided by an md5 coin both engines can flip
+    (`substr(md5(url:k),1,1) <= '7'`). The estimator's one ln is
+    quantized ONCE to int64 micro-nats (the pmi/entropy discipline);
+    the recrawl priority (expected changes/day) is exact integer
+    arithmetic after it — full value-hash oracle on an 'approximate'
+    statistics operator."""
+    from csv_cruncher_spark.operators.crawl import change_rate_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+    )
+    k = F.explode(F.array([F.lit(i) for i in range(4)])).alias("k")
+    visits = docs.select(url.alias("url"), "doc_id", k).select(
+        "url",
+        (
+            F.lit(1_700_000_000)
+            + F.col("k") * 3600 * (1 + F.col("doc_id") % 3)
+        ).cast("long").alias("ts"),
+        F.when(F.col("k") == 0, F.lit(False)).otherwise(
+            F.substring(
+                F.md5(
+                    F.concat("url", F.lit(":"), F.col("k").cast("string"))
+                ),
+                1,
+                1,
+            )
+            <= "7"
+        ).alias("changed"),
+    )
+    return change_rate_estimates(visits, "url", "ts", "changed").orderBy("url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -2836,6 +2961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_tokens": hll_distinct_tokens,
         "crawl_schedule_slots": crawl_schedule_slots,
         "focused_crawl_schedule": focused_crawl_schedule,
+        "host_mirror_report": host_mirror_report,
+        "crawler_trap_report": crawler_trap_report_hosts,
+        "recrawl_rate_estimates": recrawl_rate_estimates,
     }
 
 
@@ -5704,5 +5832,100 @@ def oracle_sql() -> dict[str, str]:
             FROM truth t
             LEFT JOIN approx ap ON ap.qid = t.qid AND ap.vec_id = t.vec_id
             GROUP BY t.qid ORDER BY query_id
+        """,
+        "host_mirror_report": """
+            WITH pages AS (
+              SELECT source || '.example.com' AS host, text FROM documents
+              UNION ALL
+              SELECT 'm.' || source || '.example.com', text
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'p.' || source || '.example.com', text
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT 'p.' || source || '.example.com', text || ' [p-extra]'
+              FROM documents WHERE doc_id % 4 = 1),
+            hostfp AS (SELECT DISTINCT host, md5(text) AS fp
+                       FROM pages WHERE text IS NOT NULL),
+            fpok AS (SELECT fp FROM hostfp GROUP BY fp HAVING COUNT(*) <= 50),
+            live AS (SELECT h.host, h.fp FROM hostfp h JOIN fpok USING (fp)),
+            sizes AS (SELECT host, COUNT(*) AS n FROM live GROUP BY host),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+              FROM live a JOIN live b USING (fp)
+              WHERE a.host < b.host
+              GROUP BY a.host, b.host
+              HAVING COUNT(*) >= 2),
+            scored AS (
+              SELECT host_a, host_b, shared, sa.n AS n_a, sb.n AS n_b,
+                     CAST(FLOOR(shared * 1000000 / LEAST(sa.n, sb.n))
+                          AS BIGINT) AS containment_micro
+              FROM pairs
+              JOIN sizes sa ON sa.host = pairs.host_a
+              JOIN sizes sb ON sb.host = pairs.host_b)
+            SELECT host_a, host_b, shared, n_a, n_b, containment_micro
+            FROM scored WHERE containment_micro >= 500000
+            ORDER BY host_a, host_b
+        """,
+        "crawler_trap_report": """
+            WITH pages AS (
+              SELECT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/' || doc_id AS url,
+                     text
+              FROM documents
+              UNION ALL
+              SELECT 'trap.example.com',
+                     'https://trap.example.com/list?session=' || doc_id
+                       || '&page=' || k,
+                     'trap page ' || (doc_id % 3)
+              FROM documents
+              CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+              WHERE doc_id % 5 = 0),
+            agg AS (
+              SELECT host,
+                     COUNT(DISTINCT url) AS n_urls,
+                     COUNT(DISTINCT COALESCE(md5(text), '__null__'))
+                       AS n_content,
+                     COUNT(DISTINCT CASE WHEN url LIKE '%?%' THEN url END)
+                       AS n_param_urls
+              FROM pages GROUP BY host)
+            SELECT host, n_urls, n_content, n_param_urls,
+                   CAST(FLOOR((n_urls - n_content) * 1000000 / n_urls)
+                        AS BIGINT) AS dup_ratio_micro,
+                   (n_urls >= 10
+                    AND FLOOR((n_urls - n_content) * 1000000 / n_urls)
+                        >= 500000) AS is_trap
+            FROM agg ORDER BY host
+        """,
+        "recrawl_rate_estimates": """
+            WITH v AS (
+              SELECT 'https://' || source || '.example.com/' || doc_id AS url,
+                     1700000000 + k * 3600 * (1 + doc_id % 3) AS ts,
+                     CASE WHEN k = 0 THEN FALSE
+                          ELSE substr(md5('https://' || source
+                            || '.example.com/' || doc_id || ':' || k), 1, 1)
+                            <= '7'
+                     END AS changed
+              FROM documents
+              CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) ks),
+            g AS (
+              SELECT url,
+                     COUNT(*) AS n_visits,
+                     CAST(LEAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END),
+                                COUNT(*) - 1) AS BIGINT) AS n_changes,
+                     CAST(MAX(ts) - MIN(ts) AS BIGINT) AS span_s
+              FROM v GROUP BY url HAVING COUNT(*) >= 2),
+            r AS (
+              SELECT url, n_visits, n_changes, span_s,
+                     CAST(ROUND(-LN((n_visits - 1 - n_changes + 0.5)
+                                    / (n_visits - 1 + 0.5)) * 1000000)
+                          AS BIGINT) AS rhat_micro
+              FROM g)
+            SELECT url, n_visits, n_changes, span_s, rhat_micro,
+                   CASE WHEN span_s > 0
+                        THEN CAST(FLOOR(rhat_micro * 86400 * (n_visits - 1)
+                                        / span_s) AS BIGINT)
+                   END AS changes_per_day_micro
+            FROM r ORDER BY url
         """,
     }

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["crawl_schedule", "focused_crawl_plan"]
+__all__ = ["crawl_schedule", "focused_crawl_plan", "change_rate_estimates"]
 
 
 def crawl_schedule(
@@ -156,4 +156,102 @@ def focused_crawl_plan(
     )
     return crawl_schedule(
         scored, host_col, "rank_micro", id_col, per_host_budget
+    )
+
+
+def change_rate_estimates(
+    visits: DataFrame,
+    url_col: str,
+    ts_col: str,
+    changed_col: str,
+) -> DataFrame:
+    """Per-URL change-rate estimation from a revisit history — the
+    adaptive half of recrawl planning (`sitemap.recrawl_plan` handles
+    hosts that PUBLISH freshness; this estimates it for the long tail
+    that doesn't).
+
+    Input: one row per completed fetch — (url, fetch timestamp, and a
+    boolean "the content differed from the previous fetch of this url",
+    which is exactly what `snapshot.snapshot_diff` labels `changed`).
+    Assuming Poisson page changes sampled at roughly regular intervals,
+    the bias-reduced estimator of Cho & Garcia-Molina ("Estimating
+    Frequency of Change", ACM TOIT 2003, eq. for the irregular-access
+    estimator's regular special case) for the per-visit change
+    probability is
+
+        r_hat = -ln((n - X + 0.5) / (n + 0.5))
+
+    with n = revisit count (visits after the first) and X = detected
+    changes; the rate per unit time is r_hat / mean_interval. Output:
+
+      url
+      n_visits             total fetches observed
+      n_changes            changes detected (first fetch never counts)
+      span_s               max(ts) - min(ts), seconds (int64)
+      rhat_micro           round(1e6 * r_hat) — int64 micro-nats per
+                           revisit; the ln is quantized ONCE (the
+                           pmi/entropy micro discipline) so both
+                           engines agree bit-for-bit
+      changes_per_day_micro  floor(rhat_micro * 86400 * (n_visits - 1)
+                           / span_s) — the recrawl priority: expected
+                           changes per day at the observed cadence;
+                           exact int64 arithmetic after the one
+                           quantized ln
+
+    URLs with fewer than 2 visits have no interval evidence and are
+    excluded (the recrawl planner treats never-revisited URLs as
+    `stale` by age, not by rate). A zero span (all visits share one
+    timestamp) yields NULL changes_per_day_micro rather than a division
+    blow-up; rhat_micro still carries the per-visit evidence.
+
+    Scale: ONE map-combined aggregation on the url key; the ln and all
+    derived measures are projections on the aggregated frame. Per-url
+    history is bounded by the crawler's own revisit policy, so no key
+    is hot. The first fetch of a url cannot be a "change" — rows where
+    `changed_col` is true are still counted in X only up to n (X is
+    clamped to n, keeping the estimator's log argument positive even on
+    malformed histories that mark the first fetch changed).
+    """
+    g = (
+        visits.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).cast("long").alias("__ts"),
+            F.col(changed_col).cast("int").alias("__ch"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.sum("__ch").alias("__x_raw"),
+            F.min("__ts").alias("__t0"),
+            F.max("__ts").alias("__t1"),
+        )
+        .filter(F.col("n_visits") >= 2)
+    )
+    n_re = F.col("n_visits") - 1  # revisits: fetches that could detect a change
+    x = F.least(F.coalesce(F.col("__x_raw"), F.lit(0)).cast("long"), n_re)
+    rhat = F.round(
+        -F.log(
+            (n_re.cast("double") - x + 0.5) / (n_re.cast("double") + 0.5)
+        )
+        * 1_000_000
+    ).cast("bigint")
+    span = (F.col("__t1") - F.col("__t0")).cast("long")
+    out = g.select(
+        "url",
+        "n_visits",
+        x.alias("n_changes"),
+        span.alias("span_s"),
+        rhat.alias("rhat_micro"),
+    )
+    return out.withColumn(
+        "changes_per_day_micro",
+        F.when(
+            F.col("span_s") > 0,
+            F.floor(
+                F.col("rhat_micro")
+                * F.lit(86400)
+                * (F.col("n_visits") - 1)
+                / F.col("span_s")
+            ).cast("bigint"),
+        ),
     )
