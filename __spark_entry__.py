@@ -2758,34 +2758,8 @@ def crawler_trap_report_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     texts make them — oracled, not assumed."""
     from csv_cruncher_spark.operators.mirrors import crawler_trap_report
 
-    docs = _t(spark, sf_dir, "documents")
-    normal = docs.select(
-        F.concat("source", F.lit(".example.com")).alias("host"),
-        F.concat(
-            F.lit("https://"), "source", F.lit(".example.com/"),
-            F.col("doc_id").cast("string"),
-        ).alias("url"),
-        "text",
-    )
-    k = F.explode(F.array([F.lit(i) for i in range(4)])).alias("k")
-    trap = (
-        docs.filter(F.col("doc_id") % 5 == 0)
-        .select("doc_id", k)
-        .select(
-            F.lit("trap.example.com").alias("host"),
-            F.concat(
-                F.lit("https://trap.example.com/list?session="),
-                F.col("doc_id").cast("string"),
-                F.lit("&page="),
-                F.col("k").cast("string"),
-            ).alias("url"),
-            F.concat(
-                F.lit("trap page "), (F.col("doc_id") % 3).cast("string")
-            ).alias("text"),
-        )
-    )
     return crawler_trap_report(
-        normal.unionByName(trap), "host", "url", "text",
+        _trap_pages(spark, sf_dir), "host", "url", "text",
         min_urls=10, min_dup_ratio_micro=500_000,
     ).orderBy("host")
 
@@ -2826,6 +2800,161 @@ def recrawl_rate_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("changed"),
     )
     return change_rate_estimates(visits, "url", "ts", "changed").orderBy("url")
+
+
+def _trap_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawler_trap_report entry's deterministic crawl: normal
+    one-URL-per-doc source hosts plus a trap host that multiplies every
+    fifth doc into 4 parameterized URLs over a 3-page content set."""
+    docs = _t(spark, sf_dir, "documents")
+    normal = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    k = F.explode(F.array([F.lit(i) for i in range(4)])).alias("k")
+    trap = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", k)
+        .select(
+            F.lit("trap.example.com").alias("host"),
+            F.concat(
+                F.lit("https://trap.example.com/list?session="),
+                F.col("doc_id").cast("string"),
+                F.lit("&page="),
+                F.col("k").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("trap page "), (F.col("doc_id") % 3).cast("string")
+            ).alias("text"),
+        )
+    )
+    return normal.unionByName(trap)
+
+
+def trap_aware_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trap → politeness loop closed in one call
+    (operators/crawl.py trap_aware_schedule): the crawler-trap report
+    over the already-crawled pages throttles the flagged host to 1
+    fetch per slot while everyone else keeps the default budget, then
+    the skew-safe decomposed schedule dispatches the frontier. The
+    oracle replays the WHOLE composition — report, CASE budget,
+    broadcast join, plain ROW_NUMBER, per-row floor division — so a
+    drift in any stage flips the hash."""
+    from csv_cruncher_spark.operators.crawl import trap_aware_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.lit("trap.example.com")
+        ).otherwise(F.concat("source", F.lit(".example.com"))).alias("host"),
+        ((F.col("doc_id") * 37) % 91).cast("long").alias("prio"),
+    )
+    out = trap_aware_schedule(
+        frontier, "host", "prio", "url_id",
+        _trap_pages(spark, sf_dir), "host", "url", "text",
+        per_host_budget=5, trap_budget=1,
+        min_urls=10, min_dup_ratio_micro=500_000,
+    )
+    return out.select(
+        "url_id", "host", "prio", "host_budget", "rank_in_host", "slot"
+    ).orderBy("url_id")
+
+
+def canonical_url_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed canonical-URL election
+    (operators/mirrors.py canonical_url_election): every doc is served
+    under 2-3 genuinely different spellings (base, 'm.' mirror host,
+    '?utm_source=feed' tracking variant on even docs); per content
+    fingerprint the SHORTEST spelling (ties lexicographic) wins — one
+    min-struct aggregation + one fp equi-join, payload-free. The oracle
+    replays the election with a plain ROW_NUMBER over
+    (length(url), url), so ordering drift in either engine flips the
+    hash. Corpus texts that repeat across doc_ids merge groups across
+    hosts — replayed, not assumed."""
+    from csv_cruncher_spark.operators.mirrors import canonical_url_election
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+    )
+    pages = (
+        docs.select(base.alias("url"), "text")
+        .unionByName(
+            docs.select(
+                F.concat(
+                    F.lit("https://m."), "source", F.lit(".example.com/"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "text",
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 2 == 0).select(
+                F.concat(base, F.lit("?utm_source=feed")).alias("url"), "text"
+            )
+        )
+    )
+    return canonical_url_election(pages, "url", "text").orderBy(
+        "url", "canonical_url"
+    )
+
+
+def url_param_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-parameter profiling for URL canonicalization
+    (operators/urlfilter.py url_param_profile): every doc URL carries a
+    per-doc-unique 'sid' (the session-id signature: distinct ratio 1e6,
+    flagged), a low-cardinality 'lang' and a 7-value 'page' (stable
+    facets, not flagged). The Spark side PARSES the URLs with the
+    operator's JVM regexes; the oracle never parses — it constructs the
+    (host, param, value) triples independently from the synthesis
+    formula, so a parsing bug cannot hide (the page_outlinks
+    discipline)."""
+    from csv_cruncher_spark.operators.urlfilter import url_param_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/a?sid="),
+            F.col("doc_id").cast("string"),
+            F.lit("&lang="), "lang",
+            F.lit("&page="), (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    return url_param_profile(
+        urls, "host", "url", min_occurrences=5,
+        session_threshold_micro=900_000,
+    ).orderBy("host", "param")
+
+
+def mirror_host_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror CLUSTERS, not just pairs: host_mirror_pairs feeds the
+    dedup layer's pointer-halving connected components
+    (operators/dedup.py connected_components — the same O(log diameter)
+    min-label engine the document dup-groups use, here on host-string
+    vertices), so a chain primary↔mirror↔re-host collapses into one
+    cluster keyed by its lexicographically-smallest host. Singleton
+    hosts keep their own cluster via the explicit vertex frame. The
+    oracle replays reachability with a recursive CTE over the SAME
+    edge construction."""
+    from csv_cruncher_spark.operators.dedup import connected_components
+    from csv_cruncher_spark.operators.mirrors import host_mirror_pairs
+
+    pages = _mirror_pages(spark, sf_dir)
+    pairs = host_mirror_pairs(
+        pages, "host", "text", min_shared=2, min_containment_micro=500_000
+    )
+    verts = pages.filter(F.col("text").isNotNull()).select("host").distinct()
+    cc = connected_components(pairs, vertices=verts, id_a="host_a", id_b="host_b")
+    return cc.select(
+        F.col("id").alias("host"), F.col("group_id").alias("cluster_id")
+    ).orderBy("host")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2964,6 +3093,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_mirror_report": host_mirror_report,
         "crawler_trap_report": crawler_trap_report_hosts,
         "recrawl_rate_estimates": recrawl_rate_estimates,
+        "trap_aware_slots": trap_aware_slots,
+        "canonical_url_groups": canonical_url_groups,
+        "url_param_profile": url_param_profile_report,
+        "mirror_host_clusters": mirror_host_clusters,
     }
 
 
@@ -5927,5 +6060,157 @@ def oracle_sql() -> dict[str, str]:
                                         / span_s) AS BIGINT)
                    END AS changes_per_day_micro
             FROM r ORDER BY url
+        """,
+        "trap_aware_slots": """
+            WITH pages AS (
+              SELECT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/' || doc_id AS url,
+                     text
+              FROM documents
+              UNION ALL
+              SELECT 'trap.example.com',
+                     'https://trap.example.com/list?session=' || doc_id
+                       || '&page=' || k,
+                     'trap page ' || (doc_id % 3)
+              FROM documents
+              CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) ks
+              WHERE doc_id % 5 = 0),
+            agg AS (
+              SELECT host,
+                     COUNT(DISTINCT url) AS n_urls,
+                     COUNT(DISTINCT COALESCE(md5(text), '__null__'))
+                       AS n_content
+              FROM pages GROUP BY host),
+            budgets AS (
+              SELECT host,
+                     CASE WHEN n_urls >= 10
+                               AND FLOOR((n_urls - n_content) * 1000000
+                                         / n_urls) >= 500000
+                          THEN 1 ELSE 5 END AS host_budget
+              FROM agg),
+            frontier AS (
+              SELECT doc_id AS url_id,
+                     CASE WHEN doc_id % 3 = 0 THEN 'trap.example.com'
+                          ELSE source || '.example.com' END AS host,
+                     CAST((doc_id * 37) % 91 AS BIGINT) AS prio
+              FROM documents),
+            j AS (
+              SELECT f.url_id, f.host, f.prio,
+                     CAST(COALESCE(b.host_budget, 5) AS BIGINT)
+                       AS host_budget
+              FROM frontier f LEFT JOIN budgets b ON b.host = f.host),
+            r AS (
+              SELECT *,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY host
+                          ORDER BY prio DESC, url_id) AS BIGINT)
+                       AS rank_in_host
+              FROM j)
+            SELECT url_id, host, prio, host_budget, rank_in_host,
+                   CAST(FLOOR((rank_in_host - 1) / host_budget) AS BIGINT)
+                     AS slot
+            FROM r ORDER BY url_id
+        """,
+        "canonical_url_groups": """
+            WITH pages AS (
+              SELECT 'https://' || source || '.example.com/' || doc_id
+                       AS url, text
+              FROM documents
+              UNION ALL
+              SELECT 'https://m.' || source || '.example.com/' || doc_id,
+                     text
+              FROM documents
+              UNION ALL
+              SELECT 'https://' || source || '.example.com/' || doc_id
+                       || '?utm_source=feed', text
+              FROM documents WHERE doc_id % 2 = 0),
+            obs AS (SELECT DISTINCT md5(text) AS fp, url
+                    FROM pages WHERE text IS NOT NULL),
+            can AS (
+              SELECT fp, url AS canonical_url FROM (
+                SELECT fp, url,
+                       ROW_NUMBER() OVER (PARTITION BY fp
+                            ORDER BY length(url), url) AS rn
+                FROM obs) t
+              WHERE rn = 1),
+            sizes AS (SELECT fp, COUNT(*) AS n_spellings
+                      FROM obs GROUP BY fp)
+            SELECT obs.url, can.canonical_url, sizes.n_spellings
+            FROM obs JOIN can USING (fp) JOIN sizes USING (fp)
+            ORDER BY obs.url, can.canonical_url
+        """,
+        "url_param_profile": """
+            WITH kv AS (
+              SELECT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/a?sid=' || doc_id
+                       || '&lang=' || lang || '&page=' || (doc_id % 7)
+                       AS url,
+                     'sid' AS param, CAST(doc_id AS VARCHAR) AS value
+              FROM documents
+              UNION ALL
+              SELECT source || '.example.com',
+                     'https://' || source || '.example.com/a?sid=' || doc_id
+                       || '&lang=' || lang || '&page=' || (doc_id % 7),
+                     'lang', lang
+              FROM documents
+              UNION ALL
+              SELECT source || '.example.com',
+                     'https://' || source || '.example.com/a?sid=' || doc_id
+                       || '&lang=' || lang || '&page=' || (doc_id % 7),
+                     'page', CAST(doc_id % 7 AS VARCHAR)
+              FROM documents),
+            agg AS (
+              SELECT host, param,
+                     COUNT(*) AS n_occurrences,
+                     COUNT(DISTINCT value) AS n_distinct_values,
+                     COUNT(DISTINCT url) AS n_urls
+              FROM kv GROUP BY host, param)
+            SELECT host, param, n_occurrences, n_distinct_values, n_urls,
+                   CAST(FLOOR(n_distinct_values * 1000000 / n_occurrences)
+                        AS BIGINT) AS distinct_ratio_micro,
+                   (n_occurrences >= 5
+                    AND FLOOR(n_distinct_values * 1000000 / n_occurrences)
+                        >= 900000) AS is_session_like
+            FROM agg ORDER BY host, param
+        """,
+        "mirror_host_clusters": """
+            WITH RECURSIVE pages AS (
+              SELECT source || '.example.com' AS host, text FROM documents
+              UNION ALL
+              SELECT 'm.' || source || '.example.com', text
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT 'p.' || source || '.example.com', text
+              FROM documents WHERE doc_id % 4 = 0
+              UNION ALL
+              SELECT 'p.' || source || '.example.com', text || ' [p-extra]'
+              FROM documents WHERE doc_id % 4 = 1),
+            hostfp AS (SELECT DISTINCT host, md5(text) AS fp
+                       FROM pages WHERE text IS NOT NULL),
+            fpok AS (SELECT fp FROM hostfp GROUP BY fp HAVING COUNT(*) <= 50),
+            live AS (SELECT h.host, h.fp FROM hostfp h JOIN fpok USING (fp)),
+            sizes AS (SELECT host, COUNT(*) AS n FROM live GROUP BY host),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+              FROM live a JOIN live b USING (fp)
+              WHERE a.host < b.host
+              GROUP BY a.host, b.host
+              HAVING COUNT(*) >= 2),
+            edges AS (
+              SELECT host_a, host_b
+              FROM pairs
+              JOIN sizes sa ON sa.host = pairs.host_a
+              JOIN sizes sb ON sb.host = pairs.host_b
+              WHERE FLOOR(shared * 1000000 / LEAST(sa.n, sb.n)) >= 500000),
+            und AS (
+              SELECT host_a AS u, host_b AS v FROM edges
+              UNION ALL SELECT host_b, host_a FROM edges),
+            verts AS (SELECT DISTINCT host FROM pages
+                      WHERE text IS NOT NULL),
+            reach(u, lbl) AS (
+              SELECT host, host FROM verts
+              UNION
+              SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.u)
+            SELECT u AS host, MIN(lbl) AS cluster_id
+            FROM reach GROUP BY u ORDER BY host
         """,
     }

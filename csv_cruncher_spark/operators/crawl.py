@@ -40,7 +40,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["crawl_schedule", "focused_crawl_plan", "change_rate_estimates"]
+__all__ = [
+    "crawl_schedule",
+    "focused_crawl_plan",
+    "change_rate_estimates",
+    "trap_aware_schedule",
+]
 
 
 def crawl_schedule(
@@ -49,6 +54,7 @@ def crawl_schedule(
     priority_col: str,
     id_col: str,
     per_host_budget: int = 10,
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Schedule ``frontier`` rows into fetch slots.
 
@@ -59,6 +65,15 @@ def crawl_schedule(
       slot          0-based time slot: floor((rank_in_host - 1) /
                     per_host_budget); at most ``per_host_budget`` URLs
                     of a host share a slot
+
+    ``budget_col``: optional per-HOST budget column on ``frontier``
+    (every row of a host must carry the same positive value — the
+    trap-aware path, :func:`trap_aware_schedule`, derives it from a
+    host-level report so this holds by construction). When given, the
+    slot divisor is ``coalesce(budget_col, per_host_budget)`` row-wise;
+    ``per_host_budget`` stays the default for hosts the budget frame
+    didn't cover. Rank computation is unchanged — budgets shape WHEN a
+    host's queue drains, not its internal order.
 
     Equivalent to ``row_number() OVER (PARTITION BY host ORDER BY
     priority DESC, id)`` with NULLS-LAST priority order (both engines'
@@ -109,9 +124,14 @@ def crawl_schedule(
     out = frontier.join(
         ranked, frontier[id_col] == ranked["__id"]
     ).drop("__id")
+    divisor = (
+        F.coalesce(F.col(budget_col).cast("long"), F.lit(per_host_budget))
+        if budget_col is not None
+        else F.lit(per_host_budget)
+    )
     return out.withColumn(
         "slot",
-        F.floor((F.col("rank_in_host") - 1) / per_host_budget).cast("long"),
+        F.floor((F.col("rank_in_host") - 1) / divisor).cast("long"),
     )
 
 
@@ -254,4 +274,69 @@ def change_rate_estimates(
                 / F.col("span_s")
             ).cast("bigint"),
         ),
+    )
+
+
+def trap_aware_schedule(
+    frontier: DataFrame,
+    host_col: str,
+    priority_col: str,
+    id_col: str,
+    pages: DataFrame,
+    pages_host_col: str,
+    pages_url_col: str,
+    pages_text_col: str,
+    per_host_budget: int = 10,
+    trap_budget: int = 1,
+    min_urls: int = 10,
+    min_dup_ratio_micro: int = 500_000,
+) -> DataFrame:
+    """Close the trap → politeness loop in one call: run
+    ``mirrors.crawler_trap_report`` over the already-crawled ``pages``,
+    throttle every flagged host to ``trap_budget`` fetches per slot, and
+    schedule ``frontier`` with :func:`crawl_schedule` under the
+    per-host budgets (default budget for unflagged and never-seen
+    hosts). A crawler trap (one host, unbounded URL space, bounded
+    content) stops monopolizing the fetch pipeline without being
+    blocklisted outright — the ``trap_budget`` trickle keeps sampling
+    it in case it reforms.
+
+    Scale shape: the trap report is one host aggregation (host-count
+    rows, tiny); its flagged-host frame joins the frontier BROADCAST on
+    the host key, so the frontier never reshuffles for the budget —
+    then the schedule runs its usual payload-free decomposed rank.
+
+    Returns crawl_schedule's columns plus ``host_budget`` (the divisor
+    actually applied to the row). Driver entry ``trap_aware_slots``
+    oracles the whole composition: report → CASE budget → ROW_NUMBER
+    replay."""
+    from .mirrors import crawler_trap_report
+
+    if trap_budget <= 0 or per_host_budget <= 0:
+        raise ValueError(
+            f"budgets must be positive, got per_host_budget="
+            f"{per_host_budget}, trap_budget={trap_budget}"
+        )
+    report = crawler_trap_report(
+        pages, pages_host_col, pages_url_col, pages_text_col,
+        min_urls=min_urls, min_dup_ratio_micro=min_dup_ratio_micro,
+    )
+    budgets = report.select(
+        F.col("host").alias("__bhost"),
+        F.when(F.col("is_trap"), F.lit(trap_budget))
+        .otherwise(F.lit(per_host_budget))
+        .cast("long")
+        .alias("host_budget"),
+    )
+    with_budget = frontier.join(
+        F.broadcast(budgets),
+        frontier[host_col] == budgets["__bhost"],
+        "left",
+    ).drop("__bhost").withColumn(
+        "host_budget",
+        F.coalesce(F.col("host_budget"), F.lit(per_host_budget).cast("long")),
+    )
+    return crawl_schedule(
+        with_budget, host_col, priority_col, id_col,
+        per_host_budget=per_host_budget, budget_col="host_budget",
     )

@@ -48,7 +48,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["host_mirror_pairs", "crawler_trap_report"]
+__all__ = [
+    "host_mirror_pairs",
+    "crawler_trap_report",
+    "canonical_url_election",
+]
 
 MICRO = 1_000_000
 
@@ -198,4 +202,61 @@ def crawler_trap_report(
         "is_trap",
         (F.col("n_urls") >= F.lit(min_urls))
         & (F.col("dup_ratio_micro") >= F.lit(min_dup_ratio_micro)),
+    )
+
+
+def canonical_url_election(
+    pages: DataFrame,
+    url_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Elect ONE canonical URL per distinct content — the
+    content-addressed complement to `redirects.resolve_redirects` (which
+    follows what servers declare) and `functions.urls.normalize_url`
+    (which folds syntactic spellings): when the same bytes are served
+    under several genuinely different URLs (mirrors, tracking-param
+    variants, www/apex splits), downstream CDC keying should converge
+    on one spelling.
+
+    For every distinct (url, content-fingerprint) observation with
+    non-NULL text, emit:
+
+      url             the observed spelling
+      canonical_url   the elected spelling for this content: the
+                      SHORTEST url serving it, ties broken
+                      lexicographically — deterministic, engine-neutral,
+                      and the short-then-lex rule matches what humans
+                      call canonical (no query string beats query
+                      string, apex beats subdomain of equal path)
+      n_spellings     how many distinct URLs serve this content
+
+    Rows with NULL text carry no content evidence and are excluded
+    (same contract as :func:`host_mirror_pairs`). A URL serving several
+    distinct contents over the frame (it changed mid-crawl) gets one
+    row PER content — feed LWW-deduped state (`lake.merge.lww_winners`)
+    if one-row-per-url is required.
+
+    Scale: everything runs on the distinct narrow (fp, url) frame; the
+    election is ONE map-combined min-struct aggregation per fingerprint
+    and one fp equi-join back — a hot fingerprint (boilerplate error
+    page on 10^6 URLs) is a big group for a partial-aggregating MIN,
+    not a window sort, and AQE handles the join-back skew.
+    """
+    obs = (
+        pages.filter(F.col(text_col).isNotNull())
+        .select(
+            F.md5(F.col(text_col)).alias("__fp"),
+            F.col(url_col).alias("url"),
+        )
+        .distinct()
+    )
+    elected = obs.groupBy("__fp").agg(
+        F.min(F.struct(F.length("url").alias("l"), F.col("url").alias("u")))
+        .alias("__win"),
+        F.count(F.lit(1)).alias("n_spellings"),
+    ).select(
+        "__fp", F.col("__win.u").alias("canonical_url"), "n_spellings"
+    )
+    return obs.join(elected, "__fp").select(
+        "url", "canonical_url", "n_spellings"
     )

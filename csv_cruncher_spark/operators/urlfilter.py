@@ -129,3 +129,82 @@ def blocklist_filter(
     if keep == "blocked":
         return flagged.filter(F.col("blocked")).drop("blocked")
     return flagged.filter(~F.col("blocked")).drop("blocked")
+
+
+def url_param_profile(
+    df: DataFrame,
+    host_col: str,
+    url_col: str,
+    min_occurrences: int = 5,
+    session_threshold_micro: int = 900_000,
+) -> DataFrame:
+    """Per-(host, query-parameter) profile — the evidence layer for URL
+    canonicalization: a parameter whose value is distinct on (almost)
+    every occurrence is a session id / cache buster / click id, and
+    stripping it collapses a trap's URL space back onto its real
+    content (the actionable follow-up to `mirrors.crawler_trap_report`,
+    which flags the host but not the mechanism).
+
+    For every (host, parameter name) pair:
+
+      host, param
+      n_occurrences         times the parameter appears across the
+                            host's URLs (an URL repeating ?a=1&a=2
+                            counts twice — each occurrence is evidence)
+      n_distinct_values     distinct values observed
+      n_urls                distinct URLs carrying the parameter
+      distinct_ratio_micro  floor(1e6 * n_distinct_values /
+                            n_occurrences) — 1e6 means never-repeating
+      is_session_like       n_occurrences >= min_occurrences AND
+                            distinct_ratio_micro >= threshold (default
+                            0.9: near-unique values on enough evidence)
+
+    Parsing is pure JVM regex on the URL string (query = text between
+    '?' and '#', pairs split on '&', name = text before the first '=',
+    value = the rest) — byte-identical re-expressible in the oracle, no
+    URL-decoding opinions. A pair with no '=' profiles as (name, '').
+
+    Scale: the explode is bounded by the per-URL parameter count; the
+    exchange key is (host, param) — the count-distincts expand to
+    two-level map-combined aggregations, so even a platform host with
+    10^8 URLs never concentrates raw rows in one task. Only (host,
+    url-string, param) ride the shuffle — never page payloads.
+    """
+    if min_occurrences < 1:
+        raise ValueError(
+            f"min_occurrences must be >= 1, got {min_occurrences}"
+        )
+    query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    pairs = F.filter(F.split(query, "&"), lambda p: p != "")
+    kv = df.select(
+        F.col(host_col).alias("host"),
+        F.col(url_col).alias("__url"),
+        F.explode(pairs).alias("__pair"),
+    ).select(
+        "host",
+        "__url",
+        F.regexp_extract("__pair", r"^([^=]*)", 1).alias("param"),
+        F.regexp_extract("__pair", r"^[^=]*=?(.*)$", 1).alias("__value"),
+    )
+    agg = kv.groupBy("host", "param").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("__value").alias("n_distinct_values"),
+        F.countDistinct("__url").alias("n_urls"),
+    )
+    return agg.select(
+        "host",
+        "param",
+        "n_occurrences",
+        "n_distinct_values",
+        "n_urls",
+        F.floor(
+            F.col("n_distinct_values") * F.lit(1_000_000)
+            / F.col("n_occurrences")
+        )
+        .cast("bigint")
+        .alias("distinct_ratio_micro"),
+    ).withColumn(
+        "is_session_like",
+        (F.col("n_occurrences") >= F.lit(min_occurrences))
+        & (F.col("distinct_ratio_micro") >= F.lit(session_threshold_micro)),
+    )

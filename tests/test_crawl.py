@@ -141,3 +141,88 @@ def test_null_priority_and_host_rows_are_kept_and_rank_last(spark):
         for r in crawl.crawl_schedule(df, "host", "prio", "url_id", 2).collect()
     }
     assert got == {3: ("h", 1), 1: ("h", 2), 2: ("h", 3), 4: (None, 1)}
+
+
+def test_per_host_budget_column_shapes_slots(spark):
+    df = _frontier(spark).withColumn(
+        "hb",
+        F.when(F.col("host") == "host0", F.lit(2)).otherwise(F.lit(10)),
+    )
+    got = crawl.crawl_schedule(
+        df, "host", "prio", "url_id", per_host_budget=10, budget_col="hb"
+    )
+    # host0 drains 2 per slot, everyone else 10 per slot
+    per = (
+        got.groupBy("host", "slot")
+        .count()
+        .groupBy("host")
+        .agg(F.max("count").alias("mx"))
+        .collect()
+    )
+    mx = {r.host: r.mx for r in per}
+    assert mx["host0"] == 2
+    assert all(v <= 10 for h, v in mx.items() if h != "host0")
+    # rank order unchanged vs the scalar-budget schedule
+    base = crawl.crawl_schedule(df, "host", "prio", "url_id", per_host_budget=10)
+    assert sorted(
+        map(tuple, got.select("url_id", "rank_in_host").collect())
+    ) == sorted(map(tuple, base.select("url_id", "rank_in_host").collect()))
+
+
+def test_budget_column_null_falls_back_to_default(spark):
+    df = _frontier(spark, n=30, n_hosts=3).withColumn(
+        "hb", F.when(F.col("host") == "host1", F.lit(1)).otherwise(F.lit(None))
+    )
+    got = crawl.crawl_schedule(
+        df, "host", "prio", "url_id", per_host_budget=5, budget_col="hb"
+    )
+    per = {
+        (r.host, r.slot): r["count"]
+        for r in got.groupBy("host", "slot").count().collect()
+    }
+    assert all(v == 1 for (h, s), v in per.items() if h == "host1")
+    assert all(v <= 5 for (h, s), v in per.items() if h != "host1")
+
+
+def test_trap_aware_schedule_throttles_flagged_host(spark):
+    pages = []
+    for i in range(12):  # trap: 12 urls over 2 contents
+        pages.append(("trap.com", f"https://trap.com/l?p={i}", f"c{i % 2}"))
+    for i in range(12):  # ok: 12 urls, all distinct content
+        pages.append(("ok.com", f"https://ok.com/{i}", f"page {i}"))
+    pages_df = spark.createDataFrame(pages, "host string, url string, text string")
+    frontier = spark.createDataFrame(
+        [(i, "trap.com" if i % 2 == 0 else "ok.com", float(i % 7))
+         for i in range(40)],
+        "url_id long, host string, prio double",
+    )
+    got = crawl.trap_aware_schedule(
+        frontier, "host", "prio", "url_id",
+        pages_df, "host", "url", "text",
+        per_host_budget=5, trap_budget=1,
+    )
+    budgets = {r.host: r.host_budget for r in got.select("host", "host_budget").distinct().collect()}
+    assert budgets == {"trap.com": 1, "ok.com": 5}
+    per = {
+        (r.host, r.slot): r["count"]
+        for r in got.groupBy("host", "slot").count().collect()
+    }
+    assert all(v == 1 for (h, s), v in per.items() if h == "trap.com")
+    assert all(v <= 5 for (h, s), v in per.items() if h == "ok.com")
+    # unseen hosts (not in pages) get the default budget
+    frontier2 = frontier.withColumn(
+        "host", F.concat(F.lit("new-"), F.col("host"))
+    )
+    got2 = crawl.trap_aware_schedule(
+        frontier2, "host", "prio", "url_id",
+        pages_df, "host", "url", "text",
+        per_host_budget=5, trap_budget=1,
+    )
+    assert {r.host_budget for r in got2.select("host_budget").distinct().collect()} == {5}
+
+
+def test_trap_aware_schedule_rejects_bad_budgets(spark):
+    df = spark.createDataFrame([(1, "h", 1.0)], "url_id long, host string, prio double")
+    pg = spark.createDataFrame([("h", "u", "t")], "host string, url string, text string")
+    with pytest.raises(ValueError):
+        crawl.trap_aware_schedule(df, "host", "prio", "url_id", pg, "host", "url", "text", trap_budget=0)

@@ -214,3 +214,89 @@ def test_change_rate_no_changes_is_zero_rate_floor(spark):
     r = change_rate_estimates(_visits(spark, rows), "url", "ts", "changed").collect()[0]
     # x = 0: rhat = -ln((3+0.5)/(3+0.5)) = 0
     assert r.rhat_micro == 0 and r.changes_per_day_micro == 0
+
+
+# ------------------------------------------------- canonical url election
+
+
+def test_canonical_election_shortest_then_lex(spark):
+    from csv_cruncher_spark.operators.mirrors import canonical_url_election
+
+    rows = [
+        ("h", "https://a.com/page?ref=rss", "same"),
+        ("h", "https://a.com/page", "same"),
+        ("h", "https://b.com/pg", "same"),      # shorter wins
+        ("h", "https://a.com/pg", "same"),      # same length, lex smaller
+        ("h", "https://c.com/other", "other"),
+        ("h", "https://c.com/null", None),      # excluded
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, text string")
+    out = canonical_url_election(df, "url", "text").collect()
+    got = {r.url: (r.canonical_url, r.n_spellings) for r in out}
+    assert len(got) == 5
+    for u in ("https://a.com/page?ref=rss", "https://a.com/page",
+              "https://b.com/pg", "https://a.com/pg"):
+        assert got[u] == ("https://a.com/pg", 4)
+    assert got["https://c.com/other"] == ("https://c.com/other", 1)
+
+
+def test_canonical_election_url_serving_two_contents(spark):
+    from csv_cruncher_spark.operators.mirrors import canonical_url_election
+
+    rows = [
+        ("h", "https://x.com/a", "v1"),
+        ("h", "https://x.com/a", "v2"),
+        ("h", "https://y.com/long-one", "v2"),
+    ]
+    df = spark.createDataFrame(rows, "host string, url string, text string")
+    out = canonical_url_election(df, "url", "text").collect()
+    # x.com/a appears once per content it served
+    rows_x = [r for r in out if r.url == "https://x.com/a"]
+    assert len(rows_x) == 2
+    assert {r.canonical_url for r in rows_x} == {"https://x.com/a"}
+
+
+# ------------------------------------------------------ url param profile
+
+
+def test_param_profile_session_vs_stable(spark):
+    from csv_cruncher_spark.operators.urlfilter import url_param_profile
+
+    rows = []
+    for i in range(20):
+        rows.append(("h", f"https://h/p?sid={i}&lang=en"))
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = {r.param: r for r in url_param_profile(df, "host", "url").collect()}
+    sid = out["sid"]
+    assert (sid.n_occurrences, sid.n_distinct_values, sid.n_urls) == (20, 20, 20)
+    assert sid.distinct_ratio_micro == 1_000_000 and sid.is_session_like
+    lang = out["lang"]
+    assert (lang.n_occurrences, lang.n_distinct_values) == (20, 1)
+    assert lang.distinct_ratio_micro == 50_000 and not lang.is_session_like
+
+
+def test_param_profile_parsing_edges(spark):
+    from csv_cruncher_spark.operators.urlfilter import url_param_profile
+
+    rows = [
+        ("h", "https://h/p?a=1&b&c=x=y#frag?d=9"),  # b valueless, c nested =, d in fragment
+        ("h", "https://h/p"),                        # no query: no rows
+        ("h", "https://h/p?"),                       # empty query: no rows
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = {r.param: r for r in url_param_profile(df, "host", "url", min_occurrences=1).collect()}
+    assert set(out) == {"a", "b", "c"}
+    assert out["b"].n_distinct_values == 1  # the empty value
+    assert out["c"].n_occurrences == 1
+
+
+def test_param_profile_min_occurrences_gate(spark):
+    from csv_cruncher_spark.operators.urlfilter import url_param_profile
+
+    rows = [("h", "https://h/p?one=%d" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    r = url_param_profile(df, "host", "url", min_occurrences=5).collect()[0]
+    assert r.distinct_ratio_micro == 1_000_000 and not r.is_session_like
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        url_param_profile(df, "host", "url", min_occurrences=0)
