@@ -2957,6 +2957,34 @@ def mirror_host_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+def canonicalized_trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call URL canonicalization over a synthesized crawl
+    (operators/urlfilter.py canonicalize_by_profile): every doc URL
+    carries a per-doc-unique 'sid' plus stable 'lang'/'page' facets;
+    the mined profile flags 'sid' ONLY (25 occurrences per host, ratio
+    1e6 vs <=280000 for the facets) and the zero-shuffle literal
+    rewrite strips it. The oracle CONSTRUCTS the expected canonical URL
+    independently from the synthesis formula — it never profiles or
+    parses — so a wrong flag on lang/page or a byte drift in the
+    rewrite flips the hash (the page_outlinks discipline)."""
+    from csv_cruncher_spark.operators.urlfilter import canonicalize_by_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/a?sid="),
+            F.col("doc_id").cast("string"),
+            F.lit("&lang="), "lang",
+            F.lit("&page="), (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    return canonicalize_by_profile(
+        urls, "host", "url", min_occurrences=5,
+        session_threshold_micro=900_000,
+    ).select("host", "url", "canonical_url").orderBy("url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3097,6 +3125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url_groups": canonical_url_groups,
         "url_param_profile": url_param_profile_report,
         "mirror_host_clusters": mirror_host_clusters,
+        "canonicalized_trap_urls": canonicalized_trap_urls,
     }
 
 
@@ -6212,5 +6241,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT und.v, reach.lbl FROM reach JOIN und ON und.u = reach.u)
             SELECT u AS host, MIN(lbl) AS cluster_id
             FROM reach GROUP BY u ORDER BY host
+        """,
+        "canonicalized_trap_urls": """
+            SELECT source || '.example.com' AS host,
+                   'https://' || source || '.example.com/a?sid=' || doc_id
+                     || '&lang=' || lang || '&page=' || (doc_id % 7)
+                     AS url,
+                   'https://' || source || '.example.com/a?lang=' || lang
+                     || '&page=' || (doc_id % 7) AS canonical_url
+            FROM documents ORDER BY url
         """,
     }

@@ -131,6 +131,202 @@ def blocklist_filter(
     return flagged.filter(~F.col("blocked")).drop("blocked")
 
 
+# a profile-derived strip set is (host x session-param) sized — small;
+# callers with genuinely huge strip frames take the join path
+LITERAL_STRIP_LIMIT = 100_000
+
+
+def _url_parts(c: Column) -> tuple[Column, Column, Column]:
+    # prefix (scheme://host/path), raw query (between '?' and '#'),
+    # fragment including '#'. Pure JVM regex; NULL url -> NULL parts.
+    prefix = F.regexp_extract(c, r"^([^?#]*)", 1)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    frag = F.regexp_extract(c, r"(#.*)$", 1)
+    return prefix, query, frag
+
+
+def _reassemble(prefix: Column, new_query: Column, frag: Column) -> Column:
+    return F.concat(
+        prefix,
+        F.when(new_query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), new_query)
+        ),
+        frag,
+    )
+
+
+def strip_params(
+    df: DataFrame,
+    host_col: str,
+    url_col: str,
+    strip: dict | DataFrame,
+    out_col: str = "canonical_url",
+) -> DataFrame:
+    """Rewrite each URL with the host's flagged query parameters removed
+    — the ACTION half of URL canonicalization (`url_param_profile` is
+    the evidence half: it finds the session-id / cache-buster / click-id
+    parameters; this strips them, collapsing a trap's URL space back
+    onto its real content before CDC keying).
+
+    ``strip`` maps hosts to the parameter names to drop:
+
+    - **dict** ``{host: [param, ...]}`` (the profile-derived case —
+      (host × session-param) rows, small): becomes ONE map literal and
+      the rewrite is a pure projection — ZERO shuffles, every row
+      rewritten in the map task that read it. Capped at
+      LITERAL_STRIP_LIMIT total (host, param) pairs.
+    - **DataFrame** with columns ``(host, param)`` (a corpus-mined
+      frame too big to collect): the distinct narrow (host, url) frame
+      posexplodes its query pairs, anti-joins the BROADCAST strip frame
+      on (host, param-name), reassembles kept pairs in original order,
+      and the payload joins back ONCE on the near-unique (host, url)
+      key — the only payload exchange, skew-free by construction.
+
+    Semantics (identical on both paths): the query is the text between
+    '?' and '#'; pairs split on '&'; a pair's name is the text before
+    the first '='; kept pairs preserve their original order and exact
+    bytes (no URL-decoding opinions); stripping every pair drops the
+    '?' entirely; the fragment survives untouched; empty pairs ('a=1&&
+    b=2') are dropped on rewrite — the one normalization this operator
+    does own, since '&&' carries no parameter. NULL urls stay NULL; a
+    host absent from ``strip`` (or a NULL host) keeps every parameter
+    (only the empty-pair normalization applies) — the conservative
+    posture for a rewrite that feeds CDC keying.
+    """
+    pair_name = lambda p: F.regexp_extract(p, "^([^=]*)", 1)  # noqa: E731
+
+    if not isinstance(strip, DataFrame):
+        total = sum(len(v) for v in strip.values())
+        if total > LITERAL_STRIP_LIMIT:
+            raise ValueError(
+                f"literal strip set of {total} (host, param) pairs exceeds "
+                f"{LITERAL_STRIP_LIMIT}; pass a DataFrame for the join path"
+            )
+        entries: list[Column] = []
+        for h, params in sorted(strip.items()):
+            entries.append(F.lit(h))
+            entries.append(F.array(*[F.lit(p) for p in sorted(set(params))]))
+        strip_map = (
+            F.create_map(*entries) if entries
+            else F.lit(None).cast("map<string,array<string>>")
+        )
+        drop = F.coalesce(
+            F.element_at(strip_map, F.col(host_col)),
+            F.array().cast("array<string>"),
+        )
+        prefix, query, frag = _url_parts(F.col(url_col))
+        kept = F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~F.array_contains(drop, pair_name(p)),
+        )
+        return df.withColumn(
+            out_col, _reassemble(prefix, F.array_join(kept, "&"), frag)
+        )
+
+    strip_df = strip.select(
+        F.col("host").alias("__shost"), F.col("param").alias("__sparam")
+    ).distinct()
+    keys = df.select(
+        F.col(host_col).alias("__khost"), F.col(url_col).alias("__kurl")
+    ).distinct()
+    prefix, query, frag = _url_parts(F.col("__kurl"))
+    pairs = keys.select(
+        "__khost",
+        "__kurl",
+        F.posexplode_outer(
+            F.filter(F.split(query, "&"), lambda p: p != "")
+        ).alias("__pos", "__pair"),
+    )
+    kept = (
+        pairs.filter(F.col("__pair").isNotNull())
+        .join(
+            F.broadcast(strip_df),
+            (F.col("__khost") == F.col("__shost"))
+            & (pair_name(F.col("__pair")) == F.col("__sparam")),
+            "left_anti",
+        )
+        .groupBy("__khost", "__kurl")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__pair"))
+                    ),
+                    lambda s: s["__pair"],
+                ),
+                "&",
+            ).alias("__newq")
+        )
+    )
+    kept = kept.select(
+        F.col("__khost").alias("__ghost"),
+        F.col("__kurl").alias("__gurl"),
+        "__newq",
+    )
+    canon = keys.join(
+        kept,
+        F.col("__khost").eqNullSafe(F.col("__ghost"))
+        & F.col("__kurl").eqNullSafe(F.col("__gurl")),
+        "left",
+    ).select(
+        "__khost",
+        "__kurl",
+        _reassemble(prefix, F.coalesce("__newq", F.lit("")), frag).alias(
+            out_col
+        ),
+    )
+    return df.join(
+        canon,
+        (df[host_col].eqNullSafe(canon["__khost"]))
+        & (df[url_col].eqNullSafe(canon["__kurl"])),
+        "left",
+    ).drop("__khost", "__kurl")
+
+
+def canonicalize_by_profile(
+    df: DataFrame,
+    host_col: str,
+    url_col: str,
+    min_occurrences: int = 5,
+    session_threshold_micro: int = 900_000,
+    out_col: str = "canonical_url",
+    max_strip_rows: int = LITERAL_STRIP_LIMIT,
+) -> DataFrame:
+    """One-call URL canonicalization: mine the (host, param) profile
+    over ``df`` itself (:func:`url_param_profile`), collect the
+    session-like rows (bounded — raises past ``max_strip_rows`` rather
+    than silently truncating the strip set), and rewrite every URL with
+    the zero-shuffle literal path of :func:`strip_params`. The profile
+    aggregation is the only exchange in the whole call, and it carries
+    (host, url-string, param) — never payloads.
+
+    Driver entry ``canonicalized_trap_urls`` oracles the composition
+    end-to-end: a drift in the profile thresholds, the flag rule, or
+    the rewrite bytes all flip the hash.
+    """
+    flagged = (
+        url_param_profile(
+            df,
+            host_col,
+            url_col,
+            min_occurrences=min_occurrences,
+            session_threshold_micro=session_threshold_micro,
+        )
+        .filter(F.col("is_session_like"))
+        .select("host", "param")
+    )
+    rows = flagged.limit(max_strip_rows + 1).collect()
+    if len(rows) > max_strip_rows:
+        raise ValueError(
+            f"profile flagged more than {max_strip_rows} (host, param) "
+            f"pairs; raise max_strip_rows or use strip_params' join path"
+        )
+    by_host: dict[str, list[str]] = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r["param"])
+    return strip_params(df, host_col, url_col, by_host, out_col=out_col)
+
+
 def url_param_profile(
     df: DataFrame,
     host_col: str,

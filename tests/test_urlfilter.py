@@ -105,3 +105,124 @@ def test_dataframe_path_broadcasts_blocklist(spark, urls_df):
     plan = blocklist_filter(urls_df, "url", bdf, keep="flag")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------- strip
+
+
+from csv_cruncher_spark.operators.urlfilter import (  # noqa: E402
+    LITERAL_STRIP_LIMIT,
+    canonicalize_by_profile,
+    strip_params,
+    url_param_profile,
+)
+
+STRIP_ROWS = [
+    ("a.com", "https://a.com/p?sid=1&lang=en&page=2"),
+    ("a.com", "https://a.com/p?lang=en"),
+    ("a.com", "https://a.com/p?sid=9"),            # query vanishes entirely
+    ("a.com", "https://a.com/p"),                  # no query at all
+    ("a.com", "https://a.com/p?sid=3&&x&lang#f?sid=keep"),  # frag survives
+    ("b.com", "https://b.com/p?sid=7&lang=en"),    # host not in strip set
+    (None, "https://c.com/p?sid=5&&z=1"),          # NULL host: params kept
+    ("a.com", None),                               # NULL url stays NULL
+]
+STRIP = {"a.com": ["sid"]}
+EXPECT = {
+    "https://a.com/p?sid=1&lang=en&page=2": "https://a.com/p?lang=en&page=2",
+    "https://a.com/p?lang=en": "https://a.com/p?lang=en",
+    "https://a.com/p?sid=9": "https://a.com/p",
+    "https://a.com/p": "https://a.com/p",
+    # sid stripped, '&&' empty pair dropped, un-named 'x'/'lang' pairs
+    # kept, fragment (incl. its '?sid=keep' bytes) untouched
+    "https://a.com/p?sid=3&&x&lang#f?sid=keep": "https://a.com/p?x&lang#f?sid=keep",
+    "https://b.com/p?sid=7&lang=en": "https://b.com/p?sid=7&lang=en",
+    "https://c.com/p?sid=5&&z=1": "https://c.com/p?sid=5&z=1",
+    None: None,
+}
+
+
+@pytest.fixture(scope="module")
+def strip_df(spark):
+    return spark.createDataFrame(STRIP_ROWS, "host string, url string")
+
+
+def test_strip_literal_semantics(strip_df):
+    got = {
+        r.url: r.canonical_url
+        for r in strip_params(strip_df, "host", "url", STRIP).collect()
+    }
+    assert got == EXPECT
+
+
+def test_strip_join_path_agrees_with_literal(spark, strip_df):
+    sdf = spark.createDataFrame([("a.com", "sid")], "host string, param string")
+    got = {
+        r.url: r.canonical_url
+        for r in strip_params(strip_df, "host", "url", sdf).collect()
+    }
+    assert got == EXPECT
+
+
+def test_strip_literal_plan_is_pure_projection(strip_df):
+    plan = (
+        strip_params(strip_df, "host", "url", STRIP)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_strip_join_path_broadcasts_strip_frame(spark, strip_df):
+    sdf = spark.createDataFrame([("a.com", "sid")], "host string, param string")
+    plan = (
+        strip_params(strip_df, "host", "url", sdf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_strip_literal_limit_enforced(strip_df):
+    big = {"h%d.com" % i: ["a"] for i in range(LITERAL_STRIP_LIMIT + 1)}
+    with pytest.raises(ValueError, match="strip set"):
+        strip_params(strip_df, "host", "url", big)
+
+
+def test_canonicalize_by_profile_end_to_end(spark):
+    # 20 URLs on one host: 'sid' unique per URL (flagged), 'k' constant
+    # (kept); a second host below min_occurrences keeps everything
+    rows = [
+        ("h.com", "https://h.com/x?sid=%d&k=1" % i) for i in range(20)
+    ] + [("tiny.com", "https://tiny.com/x?sid=%d" % i) for i in range(3)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    out = {
+        r.url: r.canonical_url
+        for r in canonicalize_by_profile(
+            df, "host", "url", min_occurrences=5
+        ).collect()
+    }
+    for i in range(20):
+        assert out["https://h.com/x?sid=%d&k=1" % i] == "https://h.com/x?k=1"
+    for i in range(3):
+        assert out["https://tiny.com/x?sid=%d" % i] == "https://tiny.com/x?sid=%d" % i
+
+
+def test_canonicalize_by_profile_guard(spark):
+    rows = [("h%d.com" % i, "https://h%d.com/x?s=%d" % (i, j))
+            for i in range(4) for j in range(6)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    with pytest.raises(ValueError, match="flagged more than"):
+        canonicalize_by_profile(
+            df, "host", "url", min_occurrences=5, max_strip_rows=2
+        )
+
+
+def test_url_param_profile_flags_session_param(spark):
+    rows = [("h.com", "https://h.com/x?sid=%d&lang=en" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, "host string, url string")
+    prof = {r.param: r for r in url_param_profile(df, "host", "url").collect()}
+    assert prof["sid"].is_session_like
+    assert prof["sid"].distinct_ratio_micro == 1_000_000
+    assert not prof["lang"].is_session_like
+    assert prof["lang"].n_distinct_values == 1
