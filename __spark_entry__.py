@@ -2985,6 +2985,50 @@ def canonicalized_trap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "url", "canonical_url").orderBy("url")
 
 
+def adaptive_recrawl_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fetch history → prioritized politeness-bounded recrawl schedule
+    in ONE call (operators/crawl.py adaptive_recrawl_plan): the Cho &
+    Garcia-Molina rate estimate ages into expected-changes-since-last-
+    fetch (exact int64 after the one quantized ln), then the skew-safe
+    decomposed rank dispatches per-host slots. Same deterministic
+    4-visit history as recrawl_rate_estimates; the oracle replays every
+    stage — estimator, aging, ROW_NUMBER, floor division — so drift
+    anywhere in the composition flips the hash."""
+    from csv_cruncher_spark.operators.crawl import adaptive_recrawl_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+    )
+    k = F.explode(F.array([F.lit(i) for i in range(4)])).alias("k")
+    visits = docs.select(url.alias("url"), "doc_id", k).select(
+        "url",
+        (
+            F.lit(1_700_000_000)
+            + F.col("k") * 3600 * (1 + F.col("doc_id") % 3)
+        ).cast("long").alias("ts"),
+        F.when(F.col("k") == 0, F.lit(False)).otherwise(
+            F.substring(
+                F.md5(
+                    F.concat("url", F.lit(":"), F.col("k").cast("string"))
+                ),
+                1,
+                1,
+            )
+            <= "7"
+        ).alias("changed"),
+    )
+    out = adaptive_recrawl_plan(
+        visits, "url", "ts", "changed",
+        now_ts=1_700_100_000, per_host_budget=7,
+    )
+    return out.select(
+        "url", "host", "last_fetch_ts", "age_s", "changes_per_day_micro",
+        "expected_changes_micro", "rank_in_host", "slot",
+    ).orderBy("url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3126,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_param_profile": url_param_profile_report,
         "mirror_host_clusters": mirror_host_clusters,
         "canonicalized_trap_urls": canonicalized_trap_urls,
+        "adaptive_recrawl_slots": adaptive_recrawl_slots,
     }
 
 
@@ -6250,5 +6295,55 @@ def oracle_sql() -> dict[str, str]:
                    'https://' || source || '.example.com/a?lang=' || lang
                      || '&page=' || (doc_id % 7) AS canonical_url
             FROM documents ORDER BY url
+        """,
+        "adaptive_recrawl_slots": """
+            WITH v AS (
+              SELECT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/' || doc_id AS url,
+                     1700000000 + k * 3600 * (1 + doc_id % 3) AS ts,
+                     CASE WHEN k = 0 THEN FALSE
+                          ELSE substr(md5('https://' || source
+                            || '.example.com/' || doc_id || ':' || k), 1, 1)
+                            <= '7'
+                     END AS changed
+              FROM documents
+              CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) ks),
+            g AS (
+              SELECT url, host,
+                     COUNT(*) AS n_visits,
+                     CAST(LEAST(SUM(CASE WHEN changed THEN 1 ELSE 0 END),
+                                COUNT(*) - 1) AS BIGINT) AS n_changes,
+                     CAST(MAX(ts) - MIN(ts) AS BIGINT) AS span_s,
+                     CAST(MAX(ts) AS BIGINT) AS last_fetch_ts
+              FROM v GROUP BY url, host HAVING COUNT(*) >= 2),
+            r AS (
+              SELECT *,
+                     CAST(ROUND(-LN((n_visits - 1 - n_changes + 0.5)
+                                    / (n_visits - 1 + 0.5)) * 1000000)
+                          AS BIGINT) AS rhat_micro
+              FROM g),
+            e AS (
+              SELECT url, host, last_fetch_ts,
+                     CAST(1700100000 - last_fetch_ts AS BIGINT) AS age_s,
+                     CASE WHEN span_s > 0
+                          THEN CAST(FLOOR(rhat_micro * 86400 * (n_visits - 1)
+                                          / span_s) AS BIGINT)
+                     END AS changes_per_day_micro
+              FROM r),
+            p AS (
+              SELECT *,
+                     CAST(FLOOR(changes_per_day_micro * age_s / 86400)
+                          AS BIGINT) AS expected_changes_micro
+              FROM e),
+            s AS (
+              SELECT *,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY host
+                          ORDER BY expected_changes_micro DESC, url)
+                          AS BIGINT) AS rank_in_host
+              FROM p)
+            SELECT url, host, last_fetch_ts, age_s, changes_per_day_micro,
+                   expected_changes_micro, rank_in_host,
+                   CAST(FLOOR((rank_in_host - 1) / 7) AS BIGINT) AS slot
+            FROM s ORDER BY url
         """,
     }

@@ -45,6 +45,7 @@ __all__ = [
     "focused_crawl_plan",
     "change_rate_estimates",
     "trap_aware_schedule",
+    "adaptive_recrawl_plan",
 ]
 
 
@@ -339,4 +340,78 @@ def trap_aware_schedule(
     return crawl_schedule(
         with_budget, host_col, priority_col, id_col,
         per_host_budget=per_host_budget, budget_col="host_budget",
+    )
+
+
+def adaptive_recrawl_plan(
+    visits: DataFrame,
+    url_col: str,
+    ts_col: str,
+    changed_col: str,
+    now_ts: int,
+    per_host_budget: int = 10,
+) -> DataFrame:
+    """Turn a fetch history directly into a prioritized, politeness-
+    bounded recrawl schedule — the adaptive half of recrawl planning as
+    ONE call (`sitemap.recrawl_plan` covers hosts that PUBLISH
+    freshness; this covers the long tail that doesn't):
+
+    1. :func:`change_rate_estimates` mines the per-URL change rate from
+       the revisit history (Cho & Garcia-Molina, one quantized ln).
+    2. The recrawl priority is the expected number of changes since the
+       last fetch: ``expected_changes_micro = floor(
+       changes_per_day_micro * age_s / 86400)`` with ``age_s = now_ts -
+       last_fetch_ts`` — exact int64 after the estimator's one
+       quantized ln, so the whole plan stays value-hash oracled.
+    3. :func:`crawl_schedule` dispatches URLs into per-host fetch slots
+       ordered by that priority (skew-safe decomposed rank, at most
+       ``per_host_budget`` URLs of a host per slot).
+
+    ``now_ts`` is an explicit epoch-seconds instant supplied by the
+    caller (a plan is always "as of" a moment; implicit clocks break
+    replay). URLs with a single fetch — or a zero observation span —
+    carry no rate evidence: their priority is NULL and they sort LAST
+    within their host (both engines' DESC NULLS LAST default), after
+    every URL the estimator can actually rank. A ``now_ts`` earlier
+    than a fetch yields a negative age and a negative priority —
+    deliberately: the row stays schedulable and sorts below genuinely
+    stale pages.
+
+    Output: url, host (via `functions.urls.url_host`), last_fetch_ts,
+    age_s, changes_per_day_micro, expected_changes_micro, rank_in_host,
+    slot.
+
+    Scale: ONE aggregation over the history on the url key computes
+    both the estimator inputs and the last-fetch instant (no second
+    pass over the raw visits); everything after is projections plus the
+    schedule's narrow decomposed rank — page payloads never enter.
+    """
+    from ..functions.urls import url_host
+
+    est = change_rate_estimates(visits, url_col, ts_col, changed_col)
+    last = (
+        visits.select(
+            F.col(url_col).alias("url"),
+            F.col(ts_col).cast("long").alias("__ts"),
+        )
+        .groupBy("url")
+        .agg(F.max("__ts").alias("last_fetch_ts"))
+    )
+    state = (
+        last.join(est.select("url", "changes_per_day_micro"), "url", "left")
+        .withColumn(
+            "age_s",
+            (F.lit(now_ts).cast("long") - F.col("last_fetch_ts")),
+        )
+        .withColumn(
+            "expected_changes_micro",
+            F.floor(
+                F.col("changes_per_day_micro") * F.col("age_s") / F.lit(86400)
+            ).cast("bigint"),
+        )
+        .withColumn("host", url_host(F.col("url")))
+    )
+    return crawl_schedule(
+        state, "host", "expected_changes_micro", "url",
+        per_host_budget=per_host_budget,
     )

@@ -226,3 +226,50 @@ def test_trap_aware_schedule_rejects_bad_budgets(spark):
     pg = spark.createDataFrame([("h", "u", "t")], "host string, url string, text string")
     with pytest.raises(ValueError):
         crawl.trap_aware_schedule(df, "host", "prio", "url_id", pg, "host", "url", "text", trap_budget=0)
+
+
+# ------------------------------------------------- adaptive recrawl
+
+
+def test_adaptive_recrawl_plan_priorities(spark):
+    from csv_cruncher_spark.operators.crawl import adaptive_recrawl_plan
+
+    # two urls on one host, same host budget: 'hot' changed on every
+    # revisit, 'cold' never did -> hot must outrank cold
+    rows = []
+    for k in range(4):
+        rows.append(("https://h.com/hot", 1000 + k * 100, k > 0))
+        rows.append(("https://h.com/cold", 1000 + k * 100, False))
+    # single-fetch url: no rate evidence -> NULL priority, ranked last
+    rows.append(("https://h.com/once", 1300, False))
+    df = spark.createDataFrame(rows, "url string, ts long, changed boolean")
+    out = {
+        r.url: r
+        for r in adaptive_recrawl_plan(
+            df, "url", "ts", "changed", now_ts=2000, per_host_budget=2
+        ).collect()
+    }
+    assert set(out) == {"https://h.com/hot", "https://h.com/cold",
+                        "https://h.com/once"}
+    hot, cold, once = (out["https://h.com/hot"], out["https://h.com/cold"],
+                       out["https://h.com/once"])
+    assert hot.host == cold.host == "h.com"
+    assert hot.last_fetch_ts == 1300 and hot.age_s == 700
+    assert hot.expected_changes_micro > cold.expected_changes_micro
+    assert cold.expected_changes_micro == 0  # zero detected changes
+    assert once.changes_per_day_micro is None
+    assert once.expected_changes_micro is None
+    assert [hot.rank_in_host, cold.rank_in_host, once.rank_in_host] == [1, 2, 3]
+    assert [hot.slot, cold.slot, once.slot] == [0, 0, 1]  # budget 2
+
+
+def test_adaptive_recrawl_plan_now_before_fetch_is_negative(spark):
+    from csv_cruncher_spark.operators.crawl import adaptive_recrawl_plan
+
+    rows = [("https://h.com/a", 1000, False), ("https://h.com/a", 2000, True)]
+    df = spark.createDataFrame(rows, "url string, ts long, changed boolean")
+    r = adaptive_recrawl_plan(
+        df, "url", "ts", "changed", now_ts=1500, per_host_budget=1
+    ).head()
+    assert r.age_s == -500
+    assert r.expected_changes_micro < 0  # schedulable, sorts below stale
