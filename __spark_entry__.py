@@ -3029,6 +3029,37 @@ def adaptive_recrawl_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def soft_error_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection (operators/mirrors.py soft_error_report):
+    docs with doc_id%7==0 serve the host's '404 not found' template and
+    doc_id%7==1 its 'Access denied' template instead of real content
+    (7 is coprime with the corpus's 20-source doc_id stride, so every
+    host gets a 3-4-URL slice of each template among its 25 URLs) —
+    two SHORT texts each holding 12-16% of the host's URL space get
+    flagged; the long real texts (even corpus-duplicated ones) don't.
+    The oracle replays the whole report — md5 grouping, distinct-URL
+    counts, host totals, the share floor-division and the three-gate
+    flag — so any drift flips the hash."""
+    from csv_cruncher_spark.operators.mirrors import soft_error_report
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("404 not found"))
+        .when(F.col("doc_id") % 7 == 1, F.lit("Access denied"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return soft_error_report(
+        pages, "host", "url", "text",
+        min_urls=3, min_share_micro=100_000, max_text_len=64,
+    ).orderBy("host", "fp")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3171,6 +3202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mirror_host_clusters": mirror_host_clusters,
         "canonicalized_trap_urls": canonicalized_trap_urls,
         "adaptive_recrawl_slots": adaptive_recrawl_slots,
+        "soft_error_hosts": soft_error_hosts,
     }
 
 
@@ -6345,5 +6377,34 @@ def oracle_sql() -> dict[str, str]:
                    expected_changes_micro, rank_in_host,
                    CAST(FLOOR((rank_in_host - 1) / 7) AS BIGINT) AS slot
             FROM s ORDER BY url
+        """,
+        "soft_error_hosts": """
+            WITH pages AS (
+              SELECT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/' || doc_id AS url,
+                     CASE WHEN doc_id % 7 = 0 THEN '404 not found'
+                          WHEN doc_id % 7 = 1 THEN 'Access denied'
+                          ELSE text END AS text
+              FROM documents),
+            obs AS (
+              SELECT DISTINCT host, url, md5(text) AS fp,
+                     CAST(length(text) AS BIGINT) AS len
+              FROM pages WHERE text IS NOT NULL),
+            grp AS (
+              SELECT host, fp, COUNT(DISTINCT url) AS n_urls,
+                     MIN(len) AS text_len, MIN(url) AS sample_url
+              FROM obs GROUP BY host, fp),
+            tot AS (
+              SELECT host, COUNT(DISTINCT url) AS n_host_urls
+              FROM obs GROUP BY host)
+            SELECT g.host, g.fp, g.n_urls, t.n_host_urls, g.text_len,
+                   CAST(FLOOR(g.n_urls * 1000000 / t.n_host_urls) AS BIGINT)
+                     AS share_micro,
+                   g.sample_url,
+                   (g.n_urls >= 3
+                    AND FLOOR(g.n_urls * 1000000 / t.n_host_urls) >= 100000
+                    AND g.text_len <= 64) AS is_soft_error
+            FROM grp g JOIN tot t ON t.host = g.host
+            ORDER BY g.host, g.fp
         """,
     }

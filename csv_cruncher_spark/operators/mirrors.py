@@ -52,6 +52,8 @@ __all__ = [
     "host_mirror_pairs",
     "crawler_trap_report",
     "canonical_url_election",
+    "soft_error_report",
+    "soft_error_filter",
 ]
 
 MICRO = 1_000_000
@@ -260,3 +262,141 @@ def canonical_url_election(
     return obs.join(elected, "__fp").select(
         "url", "canonical_url", "n_spellings"
     )
+
+
+def soft_error_report(
+    pages: DataFrame,
+    host_col: str,
+    url_col: str,
+    text_col: str,
+    min_urls: int = 3,
+    min_share_micro: int = 150_000,
+    max_text_len: int = 256,
+) -> DataFrame:
+    """Detect soft errors — error/placeholder pages served with HTTP 200
+    (`"soft 404s"`), which status-code screening can't catch: per host,
+    find content groups where MANY URLs serve ONE short identical text
+    (the "Not found" / "Access denied" / empty-template shape). Left in
+    a corpus they poison dedup statistics and train the model on error
+    boilerplate; flagged here they feed :func:`soft_error_filter` and
+    the crawler's URL-space pruning (a URL serving the host's error
+    template is a dead frontier branch).
+
+    One row per (host, distinct content) with non-NULL text:
+
+      host, fp          md5 of the exact text (cross-engine key)
+      n_urls            distinct URLs of the host serving this text
+      n_host_urls       distinct URLs of the host in total
+      text_len          characters in the text
+      share_micro       floor(1e6 * n_urls / n_host_urls)
+      sample_url        lexicographically-smallest URL (inspection)
+      is_soft_error     n_urls >= min_urls AND share_micro >=
+                        min_share_micro AND text_len <= max_text_len —
+                        a SHORT text DOMINATING the host's URL space
+
+    The length gate is what separates an error template from a genuine
+    popular page (mirrors of a real article are long); the share gate
+    is what separates it from ordinary boilerplate fragments (those are
+    screened line-level by `boilerplate.remove_boilerplate_lines`).
+
+    Scale: two map-combined aggregations over the narrow (host, url,
+    fp, len) distinct frame — the per-(host, fp) rollup and the
+    per-host URL total (host-cardinality rows, broadcast back). A
+    platform host with 10^8 URLs is a big GROUP for a partial
+    aggregation, never a window sort; payloads reduce to md5+length in
+    the scan that read them.
+    """
+    if min_urls < 1:
+        raise ValueError(f"min_urls must be >= 1, got {min_urls}")
+    obs = (
+        pages.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(host_col).alias("host"),
+            F.col(url_col).alias("url"),
+            F.md5(F.col(text_col)).alias("fp"),
+            F.length(F.col(text_col)).cast("bigint").alias("__len"),
+        )
+        .distinct()
+    )
+    by_group = obs.groupBy("host", "fp").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.min("__len").alias("text_len"),
+        F.min("url").alias("sample_url"),
+    )
+    by_host = obs.groupBy("host").agg(
+        F.countDistinct("url").alias("n_host_urls")
+    ).withColumnRenamed("host", "__hhost")
+    return (
+        by_group.join(
+            F.broadcast(by_host),
+            F.col("host").eqNullSafe(F.col("__hhost")),
+        )
+        .drop("__hhost")
+        .select(
+            "host",
+            "fp",
+            "n_urls",
+            "n_host_urls",
+            "text_len",
+            F.floor(F.col("n_urls") * F.lit(MICRO) / F.col("n_host_urls"))
+            .cast("bigint")
+            .alias("share_micro"),
+            "sample_url",
+        )
+        .withColumn(
+            "is_soft_error",
+            (F.col("n_urls") >= F.lit(min_urls))
+            & (F.col("share_micro") >= F.lit(min_share_micro))
+            & (F.col("text_len") <= F.lit(max_text_len)),
+        )
+    )
+
+
+def soft_error_filter(
+    pages: DataFrame,
+    host_col: str,
+    url_col: str,
+    text_col: str,
+    keep: str = "allowed",
+    min_urls: int = 3,
+    min_share_micro: int = 150_000,
+    max_text_len: int = 256,
+) -> DataFrame:
+    """Screen pages whose text IS their host's soft-error template
+    (:func:`soft_error_report` decides which contents qualify).
+    keep='allowed' returns surviving pages, keep='blocked' the screened
+    ones, keep='flag' all pages plus a boolean ``soft_error`` column.
+    NULL-text pages are never flagged (no content evidence — the
+    conservative posture for a filter that feeds deletion).
+
+    Scale: the flagged frame is (host × error-template) sized — tiny —
+    and BROADCASTS to the pages; the payload never reshuffles.
+    """
+    if keep not in ("allowed", "blocked", "flag"):
+        raise ValueError(f"keep must be allowed|blocked|flag, got {keep!r}")
+    flagged = (
+        soft_error_report(
+            pages, host_col, url_col, text_col,
+            min_urls=min_urls, min_share_micro=min_share_micro,
+            max_text_len=max_text_len,
+        )
+        .filter(F.col("is_soft_error"))
+        .select(
+            F.col("host").alias("__fhost"),
+            F.col("fp").alias("__ffp"),
+            F.lit(True).alias("soft_error"),
+        )
+    )
+    out = pages.join(
+        F.broadcast(flagged),
+        (F.col(host_col) == F.col("__fhost"))
+        & (F.md5(F.col(text_col)) == F.col("__ffp")),
+        "left",
+    ).drop("__fhost", "__ffp").withColumn(
+        "soft_error", F.coalesce("soft_error", F.lit(False))
+    )
+    if keep == "flag":
+        return out
+    if keep == "blocked":
+        return out.filter(F.col("soft_error")).drop("soft_error")
+    return out.filter(~F.col("soft_error")).drop("soft_error")

@@ -300,3 +300,86 @@ def test_param_profile_min_occurrences_gate(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         url_param_profile(df, "host", "url", min_occurrences=0)
+
+
+# ------------------------------------------------------ soft errors
+
+
+from csv_cruncher_spark.operators.mirrors import (  # noqa: E402
+    soft_error_filter,
+    soft_error_report,
+)
+
+SOFT_ROWS = (
+    # h.com: 4 of 10 urls serve the same short 404 template
+    [("h.com", "https://h.com/%d" % i, "404 not found") for i in range(4)]
+    + [("h.com", "https://h.com/%d" % i, "real article %d " % i + "x" * 300)
+       for i in range(4, 10)]
+    # long.com: a LONG text dominates (mirror, not a soft error)
+    + [("long.com", "https://long.com/%d" % i, "y" * 500) for i in range(5)]
+    # small.com: short dup text but only 2 urls (< min_urls)
+    + [("small.com", "https://small.com/%d" % i, "oops") for i in range(2)]
+    + [("h.com", "https://h.com/null", None)]  # no content evidence
+)
+
+
+@pytest.fixture(scope="module")
+def soft_df(spark):
+    return spark.createDataFrame(
+        SOFT_ROWS, "host string, url string, text string"
+    )
+
+
+def test_soft_error_report_flags(soft_df):
+    rep = soft_error_report(
+        soft_df, "host", "url", "text",
+        min_urls=3, min_share_micro=150_000, max_text_len=64,
+    ).collect()
+    flagged = {(r.host, r.text_len) for r in rep if r.is_soft_error}
+    assert flagged == {("h.com", 13)}  # only the 404 template
+    r404 = next(r for r in rep if r.is_soft_error)
+    assert r404.n_urls == 4 and r404.n_host_urls == 10
+    assert r404.share_micro == 400_000
+    assert r404.sample_url == "https://h.com/0"
+    # the long dominant text fails the length gate
+    longs = [r for r in rep if r.host == "long.com"]
+    assert len(longs) == 1 and not longs[0].is_soft_error
+    # too few urls fails the count gate
+    smalls = [r for r in rep if r.host == "small.com"]
+    assert len(smalls) == 1 and not smalls[0].is_soft_error
+    # NULL text carries no evidence: h.com totals exclude the null url
+    assert all(r.n_host_urls == 10 for r in rep if r.host == "h.com")
+
+
+def test_soft_error_filter_modes(soft_df):
+    kw = dict(min_urls=3, min_share_micro=150_000, max_text_len=64)
+    blocked = soft_error_filter(
+        soft_df, "host", "url", "text", keep="blocked", **kw
+    ).collect()
+    assert {r.url for r in blocked} == {"https://h.com/%d" % i for i in range(4)}
+    allowed = soft_error_filter(
+        soft_df, "host", "url", "text", keep="allowed", **kw
+    ).collect()
+    assert len(allowed) == len(SOFT_ROWS) - 4
+    assert any(r.url == "https://h.com/null" for r in allowed)  # NULL kept
+    flag = soft_error_filter(
+        soft_df, "host", "url", "text", keep="flag", **kw
+    ).collect()
+    assert len(flag) == len(SOFT_ROWS)
+    assert sum(r.soft_error for r in flag) == 4
+
+
+def test_soft_error_filter_broadcasts(soft_df):
+    plan = (
+        soft_error_filter(soft_df, "host", "url", "text", keep="flag")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_soft_error_bad_args(soft_df):
+    with pytest.raises(ValueError, match="keep"):
+        soft_error_filter(soft_df, "host", "url", "text", keep="nope")
+    with pytest.raises(ValueError, match="min_urls"):
+        soft_error_report(soft_df, "host", "url", "text", min_urls=0)
