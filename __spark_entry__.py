@@ -3060,6 +3060,47 @@ def soft_error_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "fp")
 
 
+def fetch_retry_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retry/backoff planning over a deterministic fetch log
+    (operators/crawl.py fetch_retry_plan): every url is fetched 5 times
+    hourly, success decided by an md5 coin both engines can flip
+    (substr(md5(url:k),1,1) <= 'b', ~69% ok) — yielding a natural mix
+    of healthy / retry / dead urls. The oracle replays the trailing-
+    failure-streak formulation (count of fetches after the last
+    success) and the capped exponential backoff with exact integer
+    arithmetic, so a drift in streak counting, state classification, or
+    the 2^(streak-1) delay flips the hash."""
+    from csv_cruncher_spark.operators.crawl import fetch_retry_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+    )
+    k = F.explode(F.array([F.lit(i) for i in range(5)])).alias("k")
+    log = docs.select(url.alias("url"), k).select(
+        "url",
+        (F.lit(1_700_000_000) + F.col("k") * 3600).cast("long").alias("ts"),
+        (
+            F.substring(
+                F.md5(
+                    F.concat("url", F.lit(":"), F.col("k").cast("string"))
+                ),
+                1,
+                1,
+            )
+            <= "b"
+        ).alias("ok"),
+    )
+    return fetch_retry_plan(
+        log, "url", "ts", "ok",
+        max_attempts=3, base_delay_s=600, max_delay_s=1800,
+    ).select(
+        "url", "n_fetches", "last_ts", "last_ok", "last_success_ts",
+        "fail_streak", "state", "next_retry_ts",
+    ).orderBy("url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3203,6 +3244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalized_trap_urls": canonicalized_trap_urls,
         "adaptive_recrawl_slots": adaptive_recrawl_slots,
         "soft_error_hosts": soft_error_hosts,
+        "fetch_retry_states": fetch_retry_states,
     }
 
 
@@ -6406,5 +6448,40 @@ def oracle_sql() -> dict[str, str]:
                     AND g.text_len <= 64) AS is_soft_error
             FROM grp g JOIN tot t ON t.host = g.host
             ORDER BY g.host, g.fp
+        """,
+        "fetch_retry_states": """
+            WITH v AS (
+              SELECT 'https://' || source || '.example.com/' || doc_id AS url,
+                     CAST(1700000000 + k * 3600 AS BIGINT) AS ts,
+                     substr(md5('https://' || source || '.example.com/'
+                       || doc_id || ':' || k), 1, 1) <= 'b' AS ok
+              FROM documents
+              CROSS JOIN (SELECT UNNEST([0, 1, 2, 3, 4]) AS k) ks),
+            h AS (
+              SELECT url, COUNT(*) AS n_fetches, MAX(ts) AS last_ts,
+                     arg_max(ok, ts) AS last_ok,
+                     MAX(CASE WHEN ok THEN ts END) AS last_success_ts
+              FROM v GROUP BY url),
+            s AS (
+              SELECT v.url, COUNT(*) AS streak
+              FROM v JOIN h ON h.url = v.url
+              WHERE h.last_success_ts IS NULL OR v.ts > h.last_success_ts
+              GROUP BY v.url),
+            p AS (
+              SELECT h.url, h.n_fetches, h.last_ts, h.last_ok,
+                     h.last_success_ts,
+                     CAST(COALESCE(s.streak, 0) AS BIGINT) AS fail_streak
+              FROM h LEFT JOIN s ON s.url = h.url)
+            SELECT url, n_fetches, last_ts, last_ok, last_success_ts,
+                   fail_streak,
+                   CASE WHEN last_ok THEN 'healthy'
+                        WHEN fail_streak >= 3 THEN 'dead'
+                        ELSE 'retry' END AS state,
+                   CASE WHEN NOT last_ok AND fail_streak < 3
+                        THEN last_ts + LEAST(
+                          600 * CAST(POWER(2, fail_streak - 1) AS BIGINT),
+                          1800)
+                   END AS next_retry_ts
+            FROM p ORDER BY url
         """,
     }

@@ -46,6 +46,7 @@ __all__ = [
     "change_rate_estimates",
     "trap_aware_schedule",
     "adaptive_recrawl_plan",
+    "fetch_retry_plan",
 ]
 
 
@@ -414,4 +415,105 @@ def adaptive_recrawl_plan(
     return crawl_schedule(
         state, "host", "expected_changes_micro", "url",
         per_host_budget=per_host_budget,
+    )
+
+
+def fetch_retry_plan(
+    log: DataFrame,
+    url_col: str,
+    ts_col: str,
+    ok_col: str,
+    max_attempts: int = 5,
+    base_delay_s: int = 300,
+    max_delay_s: int = 86_400,
+) -> DataFrame:
+    """Turn a raw fetch log into a per-URL retry/backoff plan — the
+    failure-handling half of the crawl loop (the success half flows
+    into `change_rate_estimates`): URLs whose LAST fetch succeeded are
+    healthy; URLs with ``max_attempts`` or more consecutive trailing
+    failures are declared dead (pruned from the frontier); everything
+    in between gets an exponential-backoff retry instant.
+
+    Input: one row per fetch attempt — (url, epoch-seconds timestamp,
+    boolean success). Fetch timestamps must be unique per URL (a real
+    fetcher cannot hit one URL twice in the same second; a failure
+    sharing the exact instant of the last success does NOT count toward
+    the streak). Output, one row per URL:
+
+      url, n_fetches, last_ts, last_ok
+      last_success_ts   NULL when the URL never succeeded
+      fail_streak       consecutive failures since the last success
+                        (0 when the last fetch succeeded)
+      state             'healthy' | 'retry' | 'dead'
+      next_retry_ts     last_ts + min(base_delay_s * 2^(fail_streak-1),
+                        max_delay_s); NULL unless state = 'retry'.
+                        The power of two is exact int64 (max_attempts
+                        is capped at 40 so 2^(streak-1) never leaves
+                        the double-exact integer range either engine
+                        computes it in).
+
+    Scale: two map-combined aggregations over the narrow (url, ts, ok)
+    projection — the per-URL head (count / max / max_by / conditional
+    max) and the trailing-failure count, which joins the raw narrow
+    frame to the url-keyed head on the uniform url key and counts rows
+    after the last success. Payloads never enter; no windows; per-URL
+    history is bounded by the crawler's own attempt policy.
+    """
+    if not (1 <= max_attempts <= 40):
+        raise ValueError(
+            f"max_attempts must be in [1, 40], got {max_attempts}"
+        )
+    if base_delay_s < 1 or max_delay_s < base_delay_s:
+        raise ValueError(
+            f"need 1 <= base_delay_s <= max_delay_s, got "
+            f"{base_delay_s}, {max_delay_s}"
+        )
+    narrow = log.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(ok_col).cast("boolean").alias("__ok"),
+    )
+    head = narrow.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.max("__ts").alias("last_ts"),
+        F.max_by("__ok", "__ts").alias("last_ok"),
+        F.max(F.when(F.col("__ok"), F.col("__ts"))).alias("last_success_ts"),
+    )
+    streaks = (
+        narrow.join(
+            head.select(
+                F.col("url").alias("__surl"),
+                F.col("last_success_ts").alias("__ls"),
+            ),
+            F.col("url") == F.col("__surl"),
+        )
+        .filter(F.col("__ls").isNull() | (F.col("__ts") > F.col("__ls")))
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("__streak"))
+    )
+    out = (
+        head.join(streaks, "url", "left")
+        .withColumn(
+            "fail_streak",
+            F.coalesce(F.col("__streak"), F.lit(0)).cast("bigint"),
+        )
+        .drop("__streak")
+    )
+    delay = F.least(
+        (
+            F.lit(base_delay_s)
+            * F.pow(F.lit(2.0), F.col("fail_streak") - 1).cast("long")
+        ),
+        F.lit(max_delay_s).cast("long"),
+    )
+    state = (
+        F.when(F.col("last_ok"), F.lit("healthy"))
+        .when(F.col("fail_streak") >= F.lit(max_attempts), F.lit("dead"))
+        .otherwise(F.lit("retry"))
+    )
+    return out.withColumn("state", state).withColumn(
+        "next_retry_ts",
+        F.when(
+            F.col("state") == "retry", (F.col("last_ts") + delay)
+        ).cast("bigint"),
     )

@@ -273,3 +273,63 @@ def test_adaptive_recrawl_plan_now_before_fetch_is_negative(spark):
     ).head()
     assert r.age_s == -500
     assert r.expected_changes_micro < 0  # schedulable, sorts below stale
+
+
+# ---------------------------------------------------- retry/backoff
+
+
+def test_fetch_retry_plan_states(spark):
+    from csv_cruncher_spark.operators.crawl import fetch_retry_plan
+
+    rows = [
+        # healthy: last fetch ok
+        ("https://h.com/ok", 100, False), ("https://h.com/ok", 200, True),
+        # retry, streak 1: backoff = base
+        ("https://h.com/r1", 100, True), ("https://h.com/r1", 200, False),
+        # retry, streak 2: backoff = 2*base
+        ("https://h.com/r2", 100, True), ("https://h.com/r2", 200, False),
+        ("https://h.com/r2", 300, False),
+        # dead: 3 trailing failures, never succeeded
+        ("https://h.com/d", 100, False), ("https://h.com/d", 200, False),
+        ("https://h.com/d", 300, False),
+        # backoff capped at max_delay_s
+        ("https://h.com/cap", 50, True), ("https://h.com/cap", 100, False),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, ok boolean")
+    out = {
+        r.url: r
+        for r in fetch_retry_plan(
+            df, "url", "ts", "ok",
+            max_attempts=3, base_delay_s=600, max_delay_s=700,
+        ).collect()
+    }
+    ok = out["https://h.com/ok"]
+    assert ok.state == "healthy" and ok.fail_streak == 0
+    assert ok.next_retry_ts is None and ok.last_success_ts == 200
+    r1 = out["https://h.com/r1"]
+    assert r1.state == "retry" and r1.fail_streak == 1
+    assert r1.next_retry_ts == 200 + 600
+    r2 = out["https://h.com/r2"]
+    assert r2.state == "retry" and r2.fail_streak == 2
+    assert r2.next_retry_ts == 300 + 700  # 2*600 capped at 700
+    d = out["https://h.com/d"]
+    assert d.state == "dead" and d.fail_streak == 3
+    assert d.last_success_ts is None and d.next_retry_ts is None
+    cap = out["https://h.com/cap"]
+    assert cap.state == "retry" and cap.next_retry_ts == 100 + 600
+
+
+def test_fetch_retry_plan_arg_guards(spark):
+    from csv_cruncher_spark.operators.crawl import fetch_retry_plan
+
+    df = spark.createDataFrame(
+        [("u", 1, True)], "url string, ts long, ok boolean"
+    )
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_attempts"):
+        fetch_retry_plan(df, "url", "ts", "ok", max_attempts=0)
+    with _pytest.raises(ValueError, match="base_delay_s"):
+        fetch_retry_plan(df, "url", "ts", "ok", base_delay_s=0)
+    with _pytest.raises(ValueError, match="base_delay_s"):
+        fetch_retry_plan(df, "url", "ts", "ok",
+                         base_delay_s=100, max_delay_s=50)
