@@ -3101,6 +3101,62 @@ def fetch_retry_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url")
 
 
+def cdx_capture_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture index over a synthesized crawl (sources/warc.py
+    cdx_index + functions/urls.py surt_key): every doc captured once at
+    a www-spelled url with a query facet. The Spark side PARSES urls
+    into SURT form with the operator's JVM expressions; the oracle
+    never parses — it CONSTRUCTS the expected surt string directly from
+    the synthesis formula ('com,example,' || source || ')/...', www
+    stripped, labels reversed), so a parsing or reversal bug cannot
+    hide. digest/length replay as md5/strlen byte-exact."""
+    from csv_cruncher_spark.sources.warc import cdx_index
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://www."), "source", F.lit(".example.com/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="), (F.col("doc_id") % 5).cast("string"),
+        ).alias("url"),
+        (F.lit(1_700_000_000) + F.col("doc_id")).cast("long").alias("warc_ts"),
+        F.col("text").alias("payload"),
+    )
+    return cdx_index(pages).orderBy("surt", "ts")
+
+
+def host_url_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level URL-space churn between two crawl snapshots
+    (operators/snapshot.py url_churn_report): the new snapshot loses
+    doc_id%7==0 urls and gains fresh /n-prefixed urls for doc_id%3==0
+    (both strides coprime with the 20-source doc_id layout, so every
+    host mixes kept/added/removed). The Spark side is the join-free
+    tag-sum formulation; the oracle DELIBERATELY replays it as the
+    classic FULL OUTER JOIN — two different algorithms, one answer, so
+    a tagging or rollup bug cannot agree by construction."""
+    from csv_cruncher_spark.operators.snapshot import url_churn_report
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat("source", F.lit(".example.com"))
+    base = F.concat(
+        F.lit("https://"), "source", F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+    )
+    old = docs.select(host.alias("host"), base.alias("url"))
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        host.alias("host"), base.alias("url")
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            host.alias("host"),
+            F.concat(
+                F.lit("https://"), "source", F.lit(".example.com/n"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+    )
+    return url_churn_report(old, new, "host", "url").orderBy("host")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3245,6 +3301,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_recrawl_slots": adaptive_recrawl_slots,
         "soft_error_hosts": soft_error_hosts,
         "fetch_retry_states": fetch_retry_states,
+        "cdx_capture_index": cdx_capture_index,
+        "host_url_churn": host_url_churn,
     }
 
 
@@ -6483,5 +6541,51 @@ def oracle_sql() -> dict[str, str]:
                           1800)
                    END AS next_retry_ts
             FROM p ORDER BY url
+        """,
+        "cdx_capture_index": """
+            SELECT 'com,example,' || source || ')/' || doc_id
+                     || '?ref=' || (doc_id % 5) AS surt,
+                   CAST(1700000000 + doc_id AS BIGINT) AS ts,
+                   'https://www.' || source || '.example.com/' || doc_id
+                     || '?ref=' || (doc_id % 5) AS url,
+                   md5(text) AS digest,
+                   CAST(strlen(text) AS BIGINT) AS length_bytes
+            FROM documents ORDER BY surt, ts
+        """,
+        "host_url_churn": """
+            WITH old_u AS (
+              SELECT DISTINCT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/' || doc_id AS url
+              FROM documents),
+            new_u AS (
+              SELECT DISTINCT source || '.example.com' AS host,
+                     'https://' || source || '.example.com/' || doc_id AS url
+              FROM documents WHERE doc_id % 7 <> 0
+              UNION
+              SELECT DISTINCT source || '.example.com',
+                     'https://' || source || '.example.com/n' || doc_id
+              FROM documents WHERE doc_id % 3 = 0),
+            j AS (
+              SELECT COALESCE(o.host, n.host) AS host,
+                     (o.url IS NOT NULL) AS in_old,
+                     (n.url IS NOT NULL) AS in_new
+              FROM old_u o FULL OUTER JOIN new_u n
+                ON o.host = n.host AND o.url = n.url),
+            g AS (
+              SELECT host,
+                     COUNT(CASE WHEN in_old AND NOT in_new THEN 1 END)
+                       AS n_removed,
+                     COUNT(CASE WHEN in_new AND NOT in_old THEN 1 END)
+                       AS n_added,
+                     COUNT(CASE WHEN in_old AND in_new THEN 1 END) AS n_kept
+              FROM j GROUP BY host)
+            SELECT host,
+                   n_removed + n_kept AS n_old,
+                   n_added + n_kept AS n_new,
+                   n_added, n_removed, n_kept,
+                   CAST(FLOOR((n_added + n_removed) * 1000000
+                              / (n_kept + n_added + n_removed)) AS BIGINT)
+                     AS churn_micro
+            FROM g ORDER BY host
         """,
     }

@@ -98,3 +98,42 @@ def normalize_url(url: str | Column) -> Column:
     # concat is NULL if scheme or host is NULL → coalesce keeps malformed
     # URLs as their own distinct raw-spelled keys
     return F.coalesce(canonical, c)
+
+
+def surt_key(url: str | Column) -> Column:
+    """SURT-form index key (Sort-friendly URI Reordering Transform —
+    the key design of the Common Crawl / web-archive CDX index): host
+    labels reversed and comma-joined so one domain's pages sort
+    CONTIGUOUSLY, letting a range scan (or a range-partitioned shard
+    layout) answer "everything under example.com" without a full pass.
+
+        https://www.example.com/a?b=1  →  com,example)/a?b=1
+
+    Formula: host via :func:`url_host` (lowercased, non-default port
+    kept), one leading ``www.`` stripped (the archive convention — www
+    and apex interleave in the index), labels reversed around commas
+    with a kept port riding the LAST label (``com,example:8080)``),
+    then ``)`` and the raw path+query (fragment dropped, empty path →
+    ``/``; bytes otherwise untouched — SURT is a sort key, not a
+    canonicalizer; pair with `operators.urlfilter.strip_params` for
+    value folding). NULL/host-less urls → NULL key. Pure JVM
+    expressions throughout.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    host = url_host(c)
+    name = F.regexp_replace(host, ":[0-9]+$", "")
+    port_sfx = F.regexp_extract(host, "(:[0-9]+)$", 1)
+    bare = F.regexp_replace(name, "^www\\.", "")
+    rev = F.array_join(F.reverse(F.split(bare, "\\.")), ",")
+    pathquery = F.regexp_extract(
+        c, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1
+    )
+    return F.when(
+        host.isNotNull(),
+        F.concat(
+            rev,
+            port_sfx,
+            F.lit(")"),
+            F.when(pathquery == "", F.lit("/")).otherwise(pathquery),
+        ),
+    )

@@ -43,6 +43,7 @@ __all__ = [
     "snapshot_diff",
     "snapshot_to_changes",
     "text_reuse_report",
+    "url_churn_report",
 ]
 
 # a concat separator / NULL marker that cannot collide with real text:
@@ -222,4 +223,73 @@ def text_reuse_report(
             "reuse_ratio",
             F.round(F.col("n_reused") / F.col("n_shingles"), 6),
         )
+    )
+
+
+def url_churn_report(
+    old: DataFrame,
+    new: DataFrame,
+    host_col: str,
+    url_col: str,
+) -> DataFrame:
+    """Host-level URL churn between two crawl snapshots — the crawl-
+    budget companion of :func:`snapshot_diff` (which diffs CONTENT per
+    url; this diffs the URL SPACE per host): a host whose URL set turns
+    over completely every crawl is a feed/archive/trap candidate and a
+    recrawl-frequency signal, while a static URL set shifts budget to
+    content-change detection (`crawl.change_rate_estimates`).
+
+    One row per host appearing in either snapshot (NULL-url rows carry
+    no key and drop; a NULL host forms its own row):
+
+      host
+      n_old, n_new         distinct URLs in each snapshot
+      n_added              in new only
+      n_removed            in old only
+      n_kept               in both
+      churn_micro          floor(1e6 * (n_added + n_removed) /
+                           (n_kept + n_added + n_removed)) — 0 for a
+                           frozen URL space, 1e6 for full turnover
+
+    Scale shape: NO join at all — both snapshots reduce to distinct
+    narrow (host, url) frames tagged 1/2, one union, one (host, url)
+    aggregation folds the tags (1=removed, 2=added, 3=kept), and one
+    host aggregation rolls counts up. Two map-combined exchanges on
+    keys that cannot concentrate payloads; the classic full-outer-join
+    formulation (which the oracle deliberately uses) would shuffle both
+    snapshots into a join for the same answer.
+    """
+    def tagged(df: DataFrame, tag: int) -> DataFrame:
+        return (
+            df.filter(F.col(url_col).isNotNull())
+            .select(
+                F.col(host_col).alias("host"), F.col(url_col).alias("url")
+            )
+            .distinct()
+            .withColumn("__tag", F.lit(tag))
+        )
+
+    status = (
+        tagged(old, 1)
+        .unionByName(tagged(new, 2))
+        .groupBy("host", "url")
+        .agg(F.sum("__tag").alias("__s"))
+    )
+    per_host = status.groupBy("host").agg(
+        F.count(F.when(F.col("__s") == 1, 1)).alias("n_removed"),
+        F.count(F.when(F.col("__s") == 2, 1)).alias("n_added"),
+        F.count(F.when(F.col("__s") == 3, 1)).alias("n_kept"),
+    )
+    return per_host.select(
+        "host",
+        (F.col("n_removed") + F.col("n_kept")).alias("n_old"),
+        (F.col("n_added") + F.col("n_kept")).alias("n_new"),
+        "n_added",
+        "n_removed",
+        "n_kept",
+        F.floor(
+            (F.col("n_added") + F.col("n_removed"))
+            * F.lit(1_000_000)
+            / (F.col("n_kept") + F.col("n_added") + F.col("n_removed"))
+        ).cast("bigint").alias("churn_micro"),
     )

@@ -36,7 +36,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_warc", "warc_record_text", "write_warc", "warc_to_change_batch"]
+from ..functions.urls import surt_key
+
+__all__ = [
+    "read_warc",
+    "warc_record_text",
+    "write_warc",
+    "warc_to_change_batch",
+    "cdx_index",
+    "cdx_lookup",
+]
 
 RECORD_BOUNDARY = "\r\n\r\nWARC/1.0\r\n"
 
@@ -144,3 +153,57 @@ def warc_to_change_batch(warc: DataFrame, op: str = "U") -> DataFrame:
         F.encode("payload", "UTF-8").alias("html"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def cdx_index(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Build a CDX-style capture index over a page/WARC frame — the
+    web-archive lookup structure (Common Crawl publishes one per
+    crawl): one row per capture, keyed by the SURT form of the url
+    (`functions.urls.surt_key`) so a domain's captures are contiguous
+    under a range partitioning.
+
+    Output (url-less rows drop — they cannot be looked up):
+
+      surt          SURT key: com,example)/path?query
+      ts            capture instant (int64 epoch seconds)
+      url           the original url spelling
+      digest        md5 of the payload (dedup / revisit detection)
+      length_bytes  payload size in bytes (octet_length — byte-exact
+                    vs DuckDB strlen)
+
+    The frame comes back RANGE-partitioned on (surt, ts) and sorted
+    within partitions — written to parquet, a min/max-pruned range scan
+    answers a domain prefix lookup by touching only that domain's
+    shards; at 10^10 captures nothing ever concentrates (SURT spreads
+    by domain, ts splits giant domains).
+
+    Reference parity: csv-cruncher has no archive-index surface; this
+    is the query-side companion of `read_warc`/`write_warc`
+    (`/root/reference/README.md` positions the tool over dumped files —
+    the CDX is how web-scale dumps stay addressable).
+    """
+    idx = pages.filter(F.col(url_col).isNotNull()).select(
+        surt_key(F.col(url_col)).alias("surt"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(url_col).alias("url"),
+        F.md5(F.col(payload_col)).alias("digest"),
+        F.octet_length(F.col(payload_col)).cast("bigint").alias(
+            "length_bytes"
+        ),
+    )
+    return idx.repartitionByRange("surt", "ts").sortWithinPartitions(
+        "surt", "ts"
+    )
+
+
+def cdx_lookup(index: DataFrame, surt_prefix: str) -> DataFrame:
+    """All captures under a SURT prefix (a domain or a subtree):
+    ``startswith`` on the range-sort key — over a parquet-persisted
+    index this prunes to the shards whose (min, max) surt straddles the
+    prefix, the CDX range-scan contract."""
+    return index.filter(F.col("surt").startswith(surt_prefix))

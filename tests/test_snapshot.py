@@ -223,3 +223,45 @@ def test_reuse_plan_no_payload_in_semi_join(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------- URL churn
+
+
+def test_url_churn_report_counts(spark):
+    from csv_cruncher_spark.operators.snapshot import url_churn_report
+
+    old = spark.createDataFrame(
+        [("h.com", "u1"), ("h.com", "u2"), ("h.com", "u3"),
+         ("h.com", "u3"),                      # dup in-snapshot: distinct
+         ("gone.com", "g1"),
+         ("h.com", None)],                     # NULL url drops
+        "host string, url string",
+    )
+    new = spark.createDataFrame(
+        [("h.com", "u2"), ("h.com", "u3"), ("h.com", "u4"),
+         ("fresh.com", "f1")],
+        "host string, url string",
+    )
+    rep = {r.host: r for r in url_churn_report(old, new, "host", "url").collect()}
+    h = rep["h.com"]
+    assert (h.n_old, h.n_new, h.n_added, h.n_removed, h.n_kept) == (3, 3, 1, 1, 2)
+    assert h.churn_micro == 500_000  # 2 changed of 4 ever-seen
+    assert rep["gone.com"].churn_micro == 1_000_000
+    assert rep["gone.com"].n_new == 0
+    assert rep["fresh.com"].churn_micro == 1_000_000
+    assert rep["fresh.com"].n_old == 0
+    assert set(rep) == {"h.com", "gone.com", "fresh.com"}
+
+
+def test_url_churn_report_no_join_in_plan(spark):
+    from csv_cruncher_spark.operators.snapshot import url_churn_report
+
+    a = spark.createDataFrame([("h", "u")], "host string, url string")
+    b = spark.createDataFrame([("h", "u")], "host string, url string")
+    plan = (
+        url_churn_report(a, b, "host", "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan

@@ -240,3 +240,57 @@ def test_recrawl_equal_lastmod_is_fresh(spark):
         [("https://e.com/x", t(2026, 2, 1))],
     )
     assert got == {"https://e.com/x": "fresh"}
+
+
+# ------------------------------------------------------- CDX / SURT
+
+
+def test_surt_key_forms(spark):
+    from csv_cruncher_spark.functions.urls import surt_key
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("https://www.example.com/a?b=1", "com,example)/a?b=1"),
+        ("https://Example.COM/", "com,example)/"),
+        ("https://example.com", "com,example)/"),          # empty path -> /
+        ("http://a.b.example.com/x", "com,example,b,a)/x"),
+        ("https://example.com:8443/x", "com,example:8443)/x"),  # port kept
+        ("https://example.com/x#frag", "com,example)/x"),   # fragment drops
+        ("https://www.www.example.com/x", "com,example,www)/x"),  # one www
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.s for r in df.select(surt_key("url").alias("s")).collect()]
+    assert got == [e for _, e in cases]
+
+
+def test_cdx_index_roundtrip(spark, tmp_path):
+    from csv_cruncher_spark.sources.warc import cdx_index, cdx_lookup
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://www.b.com/2", 200, "payload-b2"),
+        ("https://a.com/1", 100, "payload-a1"),
+        ("https://a.com/1", 150, "payload-a1b"),  # revisit, later ts
+        (None, 300, "dropped"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts long, payload string"
+    )
+    idx = cdx_index(pages)
+    got = idx.orderBy("surt", "ts").collect()
+    assert [r.surt for r in got] == [
+        "com,a)/1", "com,a)/1", "com,b)/2"
+    ]
+    assert [r.ts for r in got] == [100, 150, 200]
+    assert got[0].length_bytes == len("payload-a1")
+    assert got[0].digest != got[1].digest  # revisit changed content
+    # domain prefix lookup over the persisted index prunes via the key
+    p = str(tmp_path / "cdx")
+    idx.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    hits = cdx_lookup(back, "com,a)").collect()
+    assert {r.url for r in hits} == {"https://a.com/1"}
+    plan = cdx_lookup(back, "com,a)")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "StartsWith" in plan, plan
