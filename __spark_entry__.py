@@ -3157,6 +3157,61 @@ def host_url_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_churn_report(old, new, "host", "url").orderBy("host")
 
 
+def host_rate_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness compliance audit (operators/crawl.py host_rate_audit):
+    a deterministic fetch log (one fetch per doc plus a 7-seconds-later
+    refetch for doc_id%3==0) graded against a 1-fetch-per-60s-window
+    cap on the fixed grid. The oracle replays the two-level window
+    aggregation and the excess arithmetic exactly."""
+    from csv_cruncher_spark.operators.crawl import host_rate_audit
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat("source", F.lit(".example.com"))
+    log = docs.select(
+        host.alias("host"),
+        (F.lit(1_700_000_000) + F.col("doc_id")).cast("long").alias("ts"),
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            host.alias("host"),
+            (F.lit(1_700_000_000) + F.col("doc_id") + 7).cast("long")
+            .alias("ts"),
+        )
+    )
+    return host_rate_audit(
+        log, "host", "ts", window_s=60, max_per_window=1
+    ).orderBy("host")
+
+
+def crawl_plan_etas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan → timeline composition (operators/crawl.py crawl_schedule +
+    schedule_eta): the skew-safe decomposed rank dispatches the
+    frontier into slots, then each host's robots Crawl-delay (30s for
+    hosts whose source label ends in '1', default 5s) converts slots
+    into fetch instants via one broadcast join + projection. Oracle
+    replays ROW_NUMBER, the CASE delay, and the eta arithmetic."""
+    from csv_cruncher_spark.operators.crawl import crawl_schedule, schedule_eta
+
+    docs = _t(spark, sf_dir, "documents")
+    frontier = docs.select(
+        F.col("doc_id").alias("url_id"),
+        F.concat("source", F.lit(".example.com")).alias("host"),
+        ((F.col("doc_id") * 37) % 91).cast("long").alias("prio"),
+    )
+    sched = crawl_schedule(frontier, "host", "prio", "url_id",
+                           per_host_budget=4)
+    delays = (
+        frontier.select("host").distinct()
+        .filter(F.col("host").endswith("1.example.com"))
+        .withColumn("delay_s", F.lit(30).cast("long"))
+    )
+    out = schedule_eta(sched, "host", delays=delays,
+                       default_delay_s=5, t0=1_700_000_000)
+    return out.select(
+        "url_id", "host", "prio", "rank_in_host", "slot", "delay_s",
+        "eta_ts",
+    ).orderBy("url_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3303,6 +3358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_retry_states": fetch_retry_states,
         "cdx_capture_index": cdx_capture_index,
         "host_url_churn": host_url_churn,
+        "host_rate_violations": host_rate_violations,
+        "crawl_plan_etas": crawl_plan_etas,
     }
 
 
@@ -6587,5 +6644,46 @@ def oracle_sql() -> dict[str, str]:
                               / (n_kept + n_added + n_removed)) AS BIGINT)
                      AS churn_micro
             FROM g ORDER BY host
+        """,
+        "host_rate_violations": """
+            WITH v AS (
+              SELECT source || '.example.com' AS host,
+                     1700000000 + doc_id AS ts
+              FROM documents
+              UNION ALL
+              SELECT source || '.example.com', 1700000000 + doc_id + 7
+              FROM documents WHERE doc_id % 3 = 0),
+            w AS (
+              SELECT host, CAST(FLOOR(ts / 60) AS BIGINT) AS wdw,
+                     COUNT(*) AS n
+              FROM v GROUP BY host, wdw)
+            SELECT host,
+                   CAST(SUM(n) AS BIGINT) AS n_fetches,
+                   COUNT(*) AS n_windows,
+                   CAST(MAX(n) AS BIGINT) AS max_per_window,
+                   CAST(SUM(GREATEST(n - 1, 0)) AS BIGINT) AS n_violations,
+                   CAST(FLOOR(SUM(GREATEST(n - 1, 0)) * 1000000 / SUM(n))
+                        AS BIGINT) AS violation_share_micro
+            FROM w GROUP BY host ORDER BY host
+        """,
+        "crawl_plan_etas": """
+            WITH f AS (
+              SELECT doc_id AS url_id, source || '.example.com' AS host,
+                     CAST((doc_id * 37) % 91 AS BIGINT) AS prio
+              FROM documents),
+            r AS (
+              SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY host
+                     ORDER BY prio DESC, url_id) AS BIGINT) AS rank_in_host
+              FROM f),
+            s AS (
+              SELECT *, CAST(FLOOR((rank_in_host - 1) / 4) AS BIGINT) AS slot
+              FROM r)
+            SELECT url_id, host, prio, rank_in_host, slot,
+                   CAST(CASE WHEN host LIKE '%1.example.com' THEN 30
+                        ELSE 5 END AS BIGINT) AS delay_s,
+                   CAST(1700000000 + slot *
+                        (CASE WHEN host LIKE '%1.example.com' THEN 30
+                         ELSE 5 END) AS BIGINT) AS eta_ts
+            FROM s ORDER BY url_id
         """,
     }

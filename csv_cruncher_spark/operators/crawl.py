@@ -47,6 +47,8 @@ __all__ = [
     "trap_aware_schedule",
     "adaptive_recrawl_plan",
     "fetch_retry_plan",
+    "host_rate_audit",
+    "schedule_eta",
 ]
 
 
@@ -516,4 +518,117 @@ def fetch_retry_plan(
         F.when(
             F.col("state") == "retry", (F.col("last_ts") + delay)
         ).cast("bigint"),
+    )
+
+
+def host_rate_audit(
+    log: DataFrame,
+    host_col: str,
+    ts_col: str,
+    window_s: int = 60,
+    max_per_window: int = 10,
+) -> DataFrame:
+    """Audit a fetch log against a per-host rate cap — the compliance
+    check for the politeness contract :func:`crawl_schedule` plans
+    (plans drift when fetchers retry, hosts redirect, or several
+    crawlers share a frontier; this measures what actually happened).
+
+    The rate is measured on a fixed grid: fetch instants bucket into
+    ``floor(ts / window_s)`` windows, and a window holding more than
+    ``max_per_window`` fetches contributes its excess to the host's
+    violation count. The grid formulation (rather than a sliding
+    window) is deliberate: it is ONE aggregation, exactly replayable in
+    any engine, and a crawler that respects the grid cap can exceed an
+    ideal sliding cap only by the boundary factor 2x — the standard
+    fixed-window rate-limiter contract.
+
+    One row per host:
+
+      host
+      n_fetches         total fetches observed
+      n_windows         distinct grid windows touched
+      max_per_window    the busiest window's fetch count
+      n_violations      sum over windows of max(0, count - cap)
+      violation_share_micro  floor(1e6 * n_violations / n_fetches)
+
+    Scale: two map-combined aggregations — (host, window) then (host);
+    a platform host is a big GROUP, never a sorted window; NULL ts rows
+    carry no instant and drop.
+    """
+    if window_s < 1 or max_per_window < 1:
+        raise ValueError(
+            f"need window_s >= 1 and max_per_window >= 1, got "
+            f"{window_s}, {max_per_window}"
+        )
+    per_window = (
+        log.filter(F.col(ts_col).isNotNull())
+        .select(
+            F.col(host_col).alias("host"),
+            F.floor(F.col(ts_col).cast("long") / F.lit(window_s)).alias(
+                "__w"
+            ),
+        )
+        .groupBy("host", "__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return per_window.groupBy("host").agg(
+        F.sum("__n").cast("bigint").alias("n_fetches"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.max("__n").cast("bigint").alias("max_per_window"),
+        F.sum(
+            F.greatest(F.col("__n") - F.lit(max_per_window), F.lit(0))
+        ).cast("bigint").alias("n_violations"),
+    ).withColumn(
+        "violation_share_micro",
+        F.floor(
+            F.col("n_violations") * F.lit(1_000_000) / F.col("n_fetches")
+        ).cast("bigint"),
+    )
+
+
+def schedule_eta(
+    schedule: DataFrame,
+    host_col: str,
+    slot_col: str = "slot",
+    delays: DataFrame | None = None,
+    default_delay_s: int = 1,
+    t0: int = 0,
+) -> DataFrame:
+    """Materialize a :func:`crawl_schedule` plan into fetch INSTANTS:
+    ``eta_ts = t0 + slot * delay_s`` where ``delay_s`` is the host's
+    crawl delay (robots.txt Crawl-delay, or an operator policy). A slot
+    is "the k-th politeness window of this host"; multiplying by the
+    host's own delay turns the unitless plan into a dispatchable
+    timeline without re-ranking anything.
+
+    ``delays``: optional (host, delay_s) frame — hosts absent from it
+    (or a NULL delay) use ``default_delay_s``. ``t0`` is the explicit
+    epoch-seconds start instant (plans are "as of" a moment; implicit
+    clocks break replay).
+
+    Scale: the delay frame is host-cardinality — it BROADCASTS; the
+    schedule never reshuffles. Pure projection otherwise.
+    """
+    if default_delay_s < 1:
+        raise ValueError(
+            f"default_delay_s must be >= 1, got {default_delay_s}"
+        )
+    if delays is not None:
+        d = delays.select(
+            F.col("host").alias("__dhost"),
+            F.col("delay_s").cast("long").alias("__delay"),
+        )
+        out = schedule.join(
+            F.broadcast(d),
+            F.col(host_col).eqNullSafe(F.col("__dhost")),
+            "left",
+        ).drop("__dhost")
+    else:
+        out = schedule.withColumn("__delay", F.lit(None).cast("long"))
+    return out.withColumn(
+        "delay_s", F.coalesce(F.col("__delay"), F.lit(default_delay_s))
+    ).drop("__delay").withColumn(
+        "eta_ts",
+        (F.lit(t0).cast("long") + F.col(slot_col) * F.col("delay_s"))
+        .cast("bigint"),
     )

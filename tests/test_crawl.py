@@ -333,3 +333,59 @@ def test_fetch_retry_plan_arg_guards(spark):
     with _pytest.raises(ValueError, match="base_delay_s"):
         fetch_retry_plan(df, "url", "ts", "ok",
                          base_delay_s=100, max_delay_s=50)
+
+
+# ------------------------------------------------- politeness audit
+
+
+def test_host_rate_audit_counts(spark):
+    from csv_cruncher_spark.operators.crawl import host_rate_audit
+
+    rows = (
+        # h.com: window 0 has 3 fetches (1 over cap), window 1 has 1
+        [("h.com", t) for t in (0, 10, 59, 60)]
+        # calm.com: 2 fetches in 2 windows, no violations
+        + [("calm.com", 5), ("calm.com", 65)]
+        + [("h.com", None)]  # no instant -> drops
+    )
+    df = spark.createDataFrame(rows, "host string, ts long")
+    rep = {
+        r.host: r
+        for r in host_rate_audit(
+            df, "host", "ts", window_s=60, max_per_window=2
+        ).collect()
+    }
+    h = rep["h.com"]
+    assert (h.n_fetches, h.n_windows, h.max_per_window) == (4, 2, 3)
+    assert h.n_violations == 1
+    assert h.violation_share_micro == 250_000
+    c = rep["calm.com"]
+    assert (c.n_violations, c.max_per_window) == (0, 1)
+    assert set(rep) == {"h.com", "calm.com"}
+
+
+def test_schedule_eta_instants(spark):
+    from csv_cruncher_spark.operators.crawl import crawl_schedule, schedule_eta
+
+    frontier = spark.createDataFrame(
+        [("slow.com", i, 10 - i) for i in range(4)]
+        + [("fast.com", 10 + i, i) for i in range(3)],
+        "host string, url_id long, prio long",
+    )
+    sched = crawl_schedule(frontier, "host", "prio", "url_id",
+                           per_host_budget=2)
+    delays = spark.createDataFrame([("slow.com", 30)],
+                                   "host string, delay_s long")
+    out = schedule_eta(sched, "host", delays=delays,
+                       default_delay_s=5, t0=1000)
+    got = {r.url_id: (r.delay_s, r.eta_ts) for r in out.collect()}
+    # slow.com: slots 0,0,1,1 at 30s delay
+    assert got[0] == (30, 1000)          # best prio, slot 0
+    assert got[2][1] in (1000, 1030)
+    slow_etas = sorted(got[i][1] for i in range(4))
+    assert slow_etas == [1000, 1000, 1030, 1030]
+    # fast.com absent from delays -> default 5s
+    fast_etas = sorted(got[10 + i][1] for i in range(3))
+    assert fast_etas == [1000, 1000, 1005]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
