@@ -3212,6 +3212,34 @@ def crawl_plan_etas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url_id")
 
 
+def host_entropy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level content-quality rollup for crawl budgeting: the
+    per-doc integer-micro character entropy (textstats.char_entropy,
+    already oracled doc-level in doc_char_entropy) aggregated per host
+    — n_docs, total chars, mean/min/max entropy and the count of
+    low-entropy (< 2.0 nats) repeated-glyph suspects. Because each
+    doc's entropy_micro is bit-identical across engines, the host
+    rollup stays exact int64 end-to-end; the oracle re-derives the doc
+    entropies from scratch and replays the rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    ent = textstats.char_entropy(docs, "doc_id", "text")
+    joined = docs.select(
+        "doc_id", F.concat("source", F.lit(".example.com")).alias("host")
+    ).join(ent, "doc_id")
+    return joined.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.floor(
+            F.sum("entropy_micro") / F.count("entropy_micro")
+        ).cast("bigint").alias("mean_entropy_micro"),
+        F.min("entropy_micro").alias("min_entropy_micro"),
+        F.max("entropy_micro").alias("max_entropy_micro"),
+        F.count(F.when(F.col("entropy_micro") < 2_000_000, 1)).alias(
+            "n_low_entropy"
+        ),
+    ).orderBy("host")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3360,6 +3388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_url_churn": host_url_churn,
         "host_rate_violations": host_rate_violations,
         "crawl_plan_etas": crawl_plan_etas,
+        "host_entropy_rollup": host_entropy_rollup,
     }
 
 
@@ -6685,5 +6714,39 @@ def oracle_sql() -> dict[str, str]:
                         (CASE WHEN host LIKE '%1.example.com' THEN 30
                          ELSE 5 END) AS BIGINT) AS eta_ts
             FROM s ORDER BY url_id
+        """,
+        "host_entropy_rollup": """
+            WITH chars AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, length(text) + 1),
+                                           i -> text[i])) AS ch
+              FROM documents
+              WHERE text IS NOT NULL AND length(text) >= 1),
+            pc AS (
+              SELECT doc_id, ch, count(*)::BIGINT AS c
+              FROM chars GROUP BY doc_id, ch),
+            pd AS (
+              SELECT doc_id,
+                     sum(c)::BIGINT AS n_chars,
+                     sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000, 0)
+                              AS BIGINT))::BIGINT AS s_micro
+              FROM pc GROUP BY doc_id),
+            ent AS (
+              SELECT d.doc_id, d.source,
+                     coalesce(p.n_chars, 0) AS n_chars,
+                     CAST(round(ln(CAST(p.n_chars AS DOUBLE)) * 1000000
+                                - CAST(p.s_micro AS DOUBLE) / p.n_chars, 0)
+                          AS BIGINT) AS entropy_micro
+              FROM documents d LEFT JOIN pd p USING (doc_id))
+            SELECT source || '.example.com' AS host,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   CAST(FLOOR(SUM(entropy_micro) / COUNT(entropy_micro))
+                        AS BIGINT) AS mean_entropy_micro,
+                   MIN(entropy_micro) AS min_entropy_micro,
+                   MAX(entropy_micro) AS max_entropy_micro,
+                   COUNT(CASE WHEN entropy_micro < 2000000 THEN 1 END)
+                     AS n_low_entropy
+            FROM ent GROUP BY host ORDER BY host
         """,
     }
