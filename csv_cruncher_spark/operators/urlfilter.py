@@ -139,8 +139,12 @@ LITERAL_STRIP_LIMIT = 100_000
 def _url_parts(c: Column) -> tuple[Column, Column, Column]:
     # prefix (scheme://host/path), raw query (between '?' and '#'),
     # fragment including '#'. Pure JVM regex; NULL url -> NULL parts.
+    # The query pattern is ANCHORED so the '?' must precede any '#' —
+    # an unanchored \? would match a '?' INSIDE the fragment
+    # ('https://h/p#f?a=1' has no query) and duplicate fragment bytes
+    # into the rewritten query (hypothesis-caught).
     prefix = F.regexp_extract(c, r"^([^?#]*)", 1)
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    query = F.regexp_extract(c, r"^[^#?]*\?([^#]*)", 1)
     frag = F.regexp_extract(c, r"(#.*)$", 1)
     return prefix, query, frag
 
@@ -370,7 +374,9 @@ def url_param_profile(
         raise ValueError(
             f"min_occurrences must be >= 1, got {min_occurrences}"
         )
-    query = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    # anchored: the '?' must precede any '#' (same contract as
+    # strip_params' _url_parts — a '?' inside the fragment is not a query)
+    query = F.regexp_extract(F.col(url_col), r"^[^#?]*\?([^#]*)", 1)
     pairs = F.filter(F.split(query, "&"), lambda p: p != "")
     kv = df.select(
         F.col(host_col).alias("host"),

@@ -226,3 +226,22 @@ def test_url_param_profile_flags_session_param(spark):
     assert prof["sid"].distinct_ratio_micro == 1_000_000
     assert not prof["lang"].is_session_like
     assert prof["lang"].n_distinct_values == 1
+
+
+def test_strip_fragment_question_mark_is_not_a_query(spark):
+    # regression (hypothesis-caught): a '?' INSIDE the fragment must not
+    # be parsed as a query — the rewrite used to duplicate '#f?a=1'
+    # bytes into a fabricated '?a=1' query
+    df = spark.createDataFrame(
+        [("h1.com", "https://h1.com/p#f?a=1"),
+         ("h1.com", "https://h1.com/p#f?sid=1")],
+        "host string, url string",
+    )
+    got = {
+        r.url: r.canonical_url
+        for r in strip_params(df, "host", "url", {"h1.com": ["sid", "a"]}).collect()
+    }
+    assert got["https://h1.com/p#f?a=1"] == "https://h1.com/p#f?a=1"
+    assert got["https://h1.com/p#f?sid=1"] == "https://h1.com/p#f?sid=1"
+    prof = url_param_profile(df, "host", "url", min_occurrences=1).collect()
+    assert prof == []  # no query at all -> nothing to profile
