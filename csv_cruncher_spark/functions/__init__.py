@@ -8,7 +8,7 @@ from .json_funcs import (
 from .infer import CandidateType, infer_and_cast, infer_column_types
 from .scalars import starts_with
 from .sql_registry import register_sql_functions
-from .urls import normalize_url, url_domain, url_host, url_path
+from .urls import normalize_url, surt_key, url_domain, url_host, url_path
 
 __all__ = [
     "json_subtree",
@@ -22,6 +22,7 @@ __all__ = [
     "starts_with",
     "register_sql_functions",
     "normalize_url",
+    "surt_key",
     "url_host",
     "url_path",
     "url_domain",
