@@ -2497,6 +2497,30 @@ def hub_authority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_depth_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier BFS crawl depth (operators/graph.py bfs_depth): hop
+    distance of every page from the seed set (doc_id % 41 == 0) over
+    the deterministic md5 pseudo link graph, capped at 3 rounds — the
+    depth-budget signal depth-limited crawlers (Heritrix max-hops)
+    schedule by, NULL for pages beyond the horizon. Each round joins
+    ONLY the previous frontier against the edge list (O(frontier
+    out-edges), never O(E)); all values are exact integers, so the
+    DuckDB oracle unrolls the same candidate/new/reached rounds
+    bit-for-bit, NOT-EXISTS replaying the left-anti joins."""
+    from csv_cruncher_spark.operators import graph
+
+    docs = _t(spark, sf_dir, "documents")
+    seeds = docs.select(F.col("doc_id").alias("seed")).where(
+        F.col("doc_id") % 41 == 0
+    )
+    depths = graph.bfs_depth(
+        docs, "doc_id", out_degree=3, max_rounds=3, seeds=seeds
+    )
+    return depths.select(F.col("node").alias("doc_id"), "depth").orderBy(
+        F.asc_nulls_last("depth"), F.col("doc_id")
+    )
+
+
 def containment_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment pairs |A∩B| / min(|A|,|B|) over distinct
     3-shingles (operators/dedup.py ngram_containment_pairs) — catches
@@ -3285,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_near_dups": ngram_jaccard_near_dups,
         "containment_near_dups": containment_near_dups,
         "crawl_frontier_rank": crawl_frontier_rank,
+        "crawl_depth_frontier": crawl_depth_frontier,
         "hub_authority_rank": hub_authority_rank,
         "doc_novelty_scores": doc_novelty_scores,
         "pmi_collocations_top": pmi_collocations_top,
@@ -3974,8 +3999,38 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 50
     """
 
+    # BFS-depth oracle (graph.bfs_depth): unroll the frontier rounds as
+    # CTEs — candidates = edges ⋈ previous frontier, new = candidates
+    # NOT EXISTS reached, reached = union — bit-exact integer depths
+    bfs_rounds = []
+    for k in (1, 2, 3):
+        prev_f = "r0" if k == 1 else f"n{k - 1}"
+        bfs_rounds.append(f"""
+            c{k} AS (SELECT DISTINCT e.dst AS node
+                     FROM edges e JOIN {prev_f} ON e.src = {prev_f}.node),
+            n{k} AS (SELECT c{k}.node, {k} AS depth FROM c{k}
+                     WHERE NOT EXISTS (SELECT 1 FROM r{k - 1}
+                                       WHERE r{k - 1}.node = c{k}.node)),
+            r{k} AS (SELECT * FROM r{k - 1} UNION ALL SELECT * FROM n{k})""")
+    bfs_sql = f"""
+            WITH nodes AS (SELECT doc_id::BIGINT AS node FROM documents),
+            nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+            edges AS (
+              SELECT node AS src,
+                     (('0x' || substr(md5(node::VARCHAR || ':lnk:' || j::VARCHAR), 1, 12))::BIGINT
+                       % (SELECT n FROM nn)) AS dst
+              FROM nodes, (SELECT unnest([0, 1, 2]) AS j) slots
+            ),
+            r0 AS (SELECT node, 0 AS depth FROM nodes WHERE node % 41 = 0),
+            {", ".join(bfs_rounds)}
+            SELECT n.node AS doc_id, r.depth
+            FROM nodes n LEFT JOIN r3 r ON r.node = n.node
+            ORDER BY depth ASC NULLS LAST, doc_id
+    """
+
     return {
         "hub_authority_rank": hits_sql,
+        "crawl_depth_frontier": bfs_sql,
         "doc_char_entropy": """
             WITH chars AS (
               SELECT doc_id,

@@ -234,6 +234,78 @@ def hits_micro(
     return out
 
 
+def bfs_depth(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    out_degree: int = 3,
+    max_rounds: int = 3,
+    edges: DataFrame | None = None,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """Frontier BFS from a seed set: the hop distance every depth-limited
+    crawler budgets by (``max_depth`` in Heritrix/Nutch terms). PageRank
+    says WHICH pages matter and HITS separates hub from authority, but a
+    crawl schedule also needs HOW FAR a page sits from the seeds —
+    depth-capped crawling is the standard trap containment (infinite
+    calendars and session-id mazes live at high depth).
+
+    Returns (node, depth) for EVERY node: depth 0 on seeds, k for nodes
+    first reached in round k ≤ ``max_rounds``, NULL beyond the horizon
+    (unreached-within-budget — the honest answer, not a sentinel).
+
+    Algorithm is the textbook frontier BFS, not fixed-point relaxation:
+    round k joins ONLY the round-(k-1) frontier against the edge list,
+    so per-round cost is O(edges out of the frontier), not O(E) — the
+    scalable shape when the reachable set is a small slice of a 10^10
+    node graph. Each round is one equi-join (edges ⋈ frontier on src),
+    one DISTINCT partial-agg, one LEFT ANTI equi-join against the
+    reached set; no windows, no cartesian shapes; every arithmetic value
+    is an exact integer, so a DuckDB oracle unrolls the same rounds
+    bit-for-bit (the ``pagerank_micro`` discipline). New frontiers are
+    persisted (each feeds both the reached-union and the next round);
+    ``max_rounds`` is small and fixed, keeping lineage short.
+
+    ``seeds`` is a one-column frame of node ids (required — a crawl
+    without seeds has no depth). ``edges`` defaults to
+    :func:`derive_link_graph`, same contract as :func:`pagerank_micro`.
+    """
+    if seeds is None:
+        raise ValueError("bfs_depth requires a seed frame")
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    nodes = docs.select(F.col(id_col).cast("long").alias("node"))
+    e = edges if edges is not None else derive_link_graph(docs, id_col, out_degree)
+    seed_col = seeds.columns[0]
+    reached = (
+        seeds.select(F.col(seed_col).cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).alias("depth"))
+    )
+    frontier = reached.select("node")
+    pins = [e]
+    for k in range(1, max_rounds + 1):
+        candidates = (
+            e.alias("e")
+            .join(frontier.alias("f"), F.col("e.src") == F.col("f.node"))
+            .select(F.col("e.dst").alias("node"))
+            .distinct()
+        )
+        new = candidates.join(reached.select("node"), "node", "left_anti").select(
+            "node", F.lit(k).alias("depth")
+        )
+        pins.append(new)
+        reached = reached.union(new)
+        frontier = new.select("node")
+    out = (
+        nodes.alias("n")
+        .join(reached.alias("r"), F.col("n.node") == F.col("r.node"), "left")
+        .select(F.col("n.node").alias("node"), F.col("r.depth").alias("depth"))
+    )
+    for p in pins:
+        out = _pin(p, out)
+    return out
+
+
 def _half_step(
     nodes: DataFrame, e: DataFrame, scores: DataFrame, src_side: str
 ) -> tuple[DataFrame, DataFrame]:

@@ -241,3 +241,64 @@ def test_hits_rejects_zero_iterations(spark):
 
     with pytest.raises(ValueError, match="iterations"):
         graph.hits_micro(_docs(spark, 5), "doc_id", iterations=0)
+
+
+def test_bfs_depth_hand_computed_chain(spark):
+    # explicit edges: 0->1->2->3->4 chain plus a shortcut 0->3; seed {0}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3)], ["src", "dst"]
+    )
+    docs = _docs(spark, 6)
+    seeds = spark.createDataFrame([(0,)], ["seed"])
+    got = {
+        r.node: r.depth
+        for r in graph.bfs_depth(
+            docs, "doc_id", edges=edges, seeds=seeds, max_rounds=3
+        ).collect()
+    }
+    # shortcut wins: 3 is at depth 1, not 3; 4 at depth 2; 5 unreachable
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2, 5: None}
+
+
+def test_bfs_depth_horizon_and_seed_distinct(spark):
+    # 0->1->2->3 with max_rounds=2: node 3 beyond horizon -> NULL;
+    # duplicated seed rows collapse (depth stays 0, no double-count)
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    docs = _docs(spark, 4)
+    seeds = spark.createDataFrame([(0,), (0,)], ["seed"])
+    got = {
+        r.node: r.depth
+        for r in graph.bfs_depth(
+            docs, "doc_id", edges=edges, seeds=seeds, max_rounds=2
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: None}
+
+
+def test_bfs_depth_cycle_terminates_at_first_visit(spark):
+    # 2-cycle 0<->1: revisits are anti-joined away, depths stay minimal
+    edges = spark.createDataFrame([(0, 1), (1, 0)], ["src", "dst"])
+    docs = _docs(spark, 2)
+    seeds = spark.createDataFrame([(0,)], ["seed"])
+    got = {
+        r.node: r.depth
+        for r in graph.bfs_depth(
+            docs, "doc_id", edges=edges, seeds=seeds, max_rounds=3
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1}
+
+
+def test_bfs_depth_requires_seeds_and_plan_is_join_only(spark):
+    docs = _docs(spark, 10)
+    try:
+        graph.bfs_depth(docs, "doc_id")
+        raise AssertionError("expected ValueError without seeds")
+    except ValueError:
+        pass
+    seeds = spark.createDataFrame([(0,)], ["seed"])
+    out = graph.bfs_depth(docs, "doc_id", seeds=seeds, max_rounds=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    dedup.release(out)
