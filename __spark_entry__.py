@@ -1577,6 +1577,26 @@ def page_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_outlinks(pages).orderBy("url", "outlink")
 
 
+def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-graph contraction (operators/links.py contract_host_graph):
+    the url-level outlink edges collapsed to (src_host, dst_host) with
+    n_links / n_src_pages / n_dst_urls weights — the ~10^7-node graph
+    crawl schedulers and mirror/spam analytics actually run on when the
+    url graph has 10^10 nodes. Intra-host (navigation) edges dropped.
+    The oracle constructs the url edges from the page-synthesis formula
+    (never parsing html), extracts hosts by regex, and replays the
+    same cross-host group-count."""
+    from csv_cruncher_spark.operators.links import (
+        contract_host_graph,
+        extract_outlinks,
+    )
+
+    pages = _synthetic_pages(spark, sf_dir)
+    return contract_host_graph(extract_outlinks(pages)).orderBy(
+        "src_host", "dst_host"
+    )
+
+
 def crawl_discovered_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier discovery (operators/links.py discovered_frontier):
     outlinks of the corpus that the corpus does not already contain,
@@ -3355,6 +3375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_cdc_batch": snapshot_cdc_batch,
         "snapshot_text_reuse": snapshot_text_reuse,
         "page_outlinks": page_outlinks,
+        "host_link_graph": host_link_graph,
         "crawl_discovered_frontier": crawl_discovered_frontier,
         "url_redirect_resolution": url_redirect_resolution,
         "robots_filtered_frontier": robots_filtered_frontier,
@@ -4150,6 +4171,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT url, 'https://dup.example.com/z' FROM pages
               WHERE doc_id % 4 = 0
             ) ORDER BY url, outlink
+        """,
+        "host_link_graph": """
+            WITH pages AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/a/' || doc_id AS url
+              FROM documents),
+            links AS (
+              SELECT url, 'https://hub.example.org/d' || (doc_id % 50)
+                       AS outlink FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/idx/'
+                       || (doc_id % 17) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/a/p'
+                       || (doc_id % 5) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://cdn.example.net/lib.js' FROM pages
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT url, 'https://dup.example.com/z' FROM pages
+              WHERE doc_id % 4 = 0),
+            e AS (
+              SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS src_host,
+                     regexp_extract(outlink, '^https://([^/]+)/', 1) AS dst_host,
+                     url, outlink
+              FROM links)
+            SELECT src_host, dst_host, count(*)::BIGINT AS n_links,
+                   count(DISTINCT url)::BIGINT AS n_src_pages,
+                   count(DISTINCT outlink)::BIGINT AS n_dst_urls
+            FROM e WHERE src_host <> dst_host
+            GROUP BY src_host, dst_host
+            ORDER BY src_host, dst_host
         """,
         "crawl_discovered_frontier": """
             WITH pages AS (

@@ -144,3 +144,49 @@ def test_plan_is_python_free(spark):
     df = _page(spark, PAGE, '<a href="x.html">x</a>')
     plan = extract_outlinks(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_contract_host_graph_weights_and_self_edges(spark):
+    from csv_cruncher_spark.operators.links import contract_host_graph
+
+    edges = spark.createDataFrame(
+        [
+            # a.com -> b.com: 3 links from 2 pages onto 2 urls
+            ("https://a.com/p1", "https://b.com/x"),
+            ("https://a.com/p1", "https://b.com/y"),
+            ("https://a.com/p2", "https://b.com/x"),
+            # intra-host navigation, dropped by default
+            ("https://a.com/p1", "https://a.com/p2"),
+            # port-variant of the same host merges (url_host strips :443)
+            ("https://a.com:443/p3", "https://b.com/x"),
+        ],
+        ["url", "outlink"],
+    )
+    got = {
+        (r.src_host, r.dst_host): (r.n_links, r.n_src_pages, r.n_dst_urls)
+        for r in contract_host_graph(edges).collect()
+    }
+    # 4 edges from 3 distinct source urls (p1 twice, p2, the :443 p3)
+    # onto 2 distinct targets
+    assert got == {("a.com", "b.com"): (4, 3, 2)}
+    with_self = {
+        (r.src_host, r.dst_host): r.n_links
+        for r in contract_host_graph(edges, include_self=True).collect()
+    }
+    assert with_self[("a.com", "a.com")] == 1
+
+
+def test_contract_host_graph_single_shuffle_plan(spark):
+    from csv_cruncher_spark.operators.links import contract_host_graph
+
+    edges = spark.createDataFrame(
+        [("https://a.com/p", "https://b.com/x")], ["url", "outlink"]
+    )
+    plan = (
+        contract_host_graph(edges)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
