@@ -1597,6 +1597,32 @@ def host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def host_crawl_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl ranking: the url outlink edges contracted to the
+    weighted host graph (operators/links.py contract_host_graph), then
+    weighted variable-degree PageRank (operators/graph.py
+    pagerank_weighted) over it — the production composition for
+    prioritizing WHICH HOSTS to crawl when the url graph is 10^10 nodes
+    (host nodes are string-keyed; nothing is cast to ids). All
+    arithmetic int64 ((rank * w) div out_w contributions), so the
+    DuckDB oracle unrolls the same 3 damped iterations bit-for-bit on
+    edges it constructs from the page-synthesis formula."""
+    from csv_cruncher_spark.operators.graph import pagerank_weighted
+    from csv_cruncher_spark.operators.links import (
+        contract_host_graph,
+        extract_outlinks,
+    )
+
+    pages = _synthetic_pages(spark, sf_dir)
+    hg = contract_host_graph(extract_outlinks(pages))
+    ranks = pagerank_weighted(
+        hg, "src_host", "dst_host", weight_col="n_links", iterations=3
+    )
+    return ranks.select(F.col("node").alias("host"), "rank_micro").orderBy(
+        F.col("rank_micro").desc(), F.col("host")
+    )
+
+
 def crawl_discovered_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier discovery (operators/links.py discovered_frontier):
     outlinks of the corpus that the corpus does not already contain,
@@ -3376,6 +3402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_text_reuse": snapshot_text_reuse,
         "page_outlinks": page_outlinks,
         "host_link_graph": host_link_graph,
+        "host_crawl_rank": host_crawl_rank,
         "crawl_discovered_frontier": crawl_discovered_frontier,
         "url_redirect_resolution": url_redirect_resolution,
         "robots_filtered_frontier": robots_filtered_frontier,
@@ -4049,9 +4076,66 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY depth ASC NULLS LAST, doc_id
     """
 
+    # weighted host-PageRank oracle (graph.pagerank_weighted over
+    # links.contract_host_graph): edges constructed from the page
+    # synthesis, contracted cross-host with count weights, 3 damped
+    # iterations unrolled with the (rank * w) div out_w contribution
+    hpr_iters = []
+    for k in (1, 2, 3):
+        hpr_iters.append(f"""
+            c{k} AS (SELECT e.dst_host AS d,
+                            sum((r.v * e.w) // dg.out_w)::BIGINT AS s
+                     FROM hedges e
+                     JOIN deg dg ON dg.src_host = e.src_host
+                     JOIN r{k - 1} r ON r.node = e.src_host
+                     GROUP BY e.dst_host),
+            r{k} AS (SELECT n.node,
+                            (150000 + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS v
+                     FROM hnodes n LEFT JOIN c{k} c ON c.d = n.node)""")
+    host_rank_sql = f"""
+            WITH pages AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/a/' || doc_id AS url
+              FROM documents),
+            links AS (
+              SELECT url, 'https://hub.example.org/d' || (doc_id % 50)
+                       AS outlink FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/idx/'
+                       || (doc_id % 17) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/a/p'
+                       || (doc_id % 5) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://cdn.example.net/lib.js' FROM pages
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT url, 'https://dup.example.com/z' FROM pages
+              WHERE doc_id % 4 = 0),
+            e0 AS (
+              SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS src_host,
+                     regexp_extract(outlink, '^https://([^/]+)/', 1) AS dst_host
+              FROM links),
+            hedges AS (
+              SELECT src_host, dst_host, count(*)::BIGINT AS w
+              FROM e0 WHERE src_host <> dst_host
+              GROUP BY src_host, dst_host),
+            hnodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src_host AS node FROM hedges
+                UNION ALL SELECT dst_host FROM hedges)),
+            deg AS (SELECT src_host, sum(w)::BIGINT AS out_w
+                    FROM hedges GROUP BY src_host),
+            r0 AS (SELECT node, 1000000::BIGINT AS v FROM hnodes),
+            {", ".join(hpr_iters)}
+            SELECT node AS host, v AS rank_micro FROM r3
+            ORDER BY rank_micro DESC, host
+    """
+
     return {
         "hub_authority_rank": hits_sql,
         "crawl_depth_frontier": bfs_sql,
+        "host_crawl_rank": host_rank_sql,
         "doc_char_entropy": """
             WITH chars AS (
               SELECT doc_id,

@@ -336,3 +336,88 @@ def _half_step(
         .alias("v"),
     )
     return norm, full
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str | None = None,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Weighted, variable-degree PageRank over an ARBITRARY-keyed edge
+    list — the production kernel for real link graphs, where
+    :func:`pagerank_micro`'s fixed-out-degree contract only fits the
+    synthetic test harness. Node keys can be any joinable type (host
+    strings, urls, int ids); nothing is cast.
+
+    One iteration::
+
+        out(u)   = SUM_{u->*} w               (precomputed once)
+        rank'(v) = (100 - damping_pct) * 10_000
+                 + (damping_pct * SUM_{u->v} (rank(u) * w(u,v)) div out(u)) div 100
+
+    all int64 (order-independent, bit-reproducible — a DuckDB oracle
+    unrolls the same iterations). ``weight_col=None`` treats every edge
+    as weight 1 (plain variable-degree PageRank). Parallel edges are
+    legal (their weights add through the same arithmetic).
+
+    int64 headroom: per-edge ``rank(u) * w`` must stay under 2^63 —
+    rank is bounded by total mass (n_nodes * 10^6), so the contract is
+    ``n_nodes * 10^6 * max_weight < 9.2e18`` (10^10 nodes with
+    unweighted edges: 10^16, fine; weighted graphs at that node count
+    need weights ≤ ~900 — pre-bucket heavier weights or run the host
+    graph, whose node count is 10^3 smaller). Dangling nodes (no
+    out-edges) keep the teleport base and their mass is NOT
+    redistributed — same bounded-loss contract as ``pagerank_micro``.
+
+    ``nodes`` defaults to the distinct union of both edge endpoints;
+    pass the full node frame to also rank isolated nodes.
+
+    Plan per iteration: ONE equi-join (edges+degree ⋈ ranks on src) +
+    partial-agg SUM by dst + LEFT join back to nodes — identical shape
+    to ``pagerank_micro``; the degree join happens ONCE up front and
+    the weighted edge frame is persisted across iterations.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
+    )
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(deg, "src")  # (src, dst, w, out_w)
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).union(
+            e.select(F.col("dst").alias("node"))
+        ).distinct()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    base = (100 - damping_pct) * 10_000
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    for _ in range(iterations):
+        contribs = (
+            ew.alias("e")
+            .join(ranks.alias("r"), F.col("e.src") == F.col("r.node"))
+            .select(
+                F.col("e.dst").alias("dst"),
+                F.expr("(r.rank_micro * e.w) div e.out_w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(contribs.alias("c"), F.col("n.node") == F.col("c.dst"), "left")
+            .select(
+                F.col("n.node").alias("node"),
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(c.s, 0L)) div 100")
+                )
+                .cast("long")
+                .alias("rank_micro"),
+            )
+        )
+    return _pin(ew, ranks.select("node", "rank_micro"))

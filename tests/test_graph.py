@@ -302,3 +302,65 @@ def test_bfs_depth_requires_seeds_and_plan_is_join_only(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     dedup.release(out)
+
+
+def test_pagerank_weighted_hand_computed(spark):
+    # a->b w3, a->c w1, b->c w1; out_w(a)=4, out_w(b)=1; c dangling
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1), ("b", "c", 1)], ["src", "dst", "w"]
+    )
+    got = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_weighted(
+            edges, weight_col="w", iterations=2
+        ).collect()
+    }
+    # iter1: b = 150000 + 85*((1e6*3)//4)//100 = 787500
+    #        c = 150000 + 85*((1e6*1)//4 + (1e6*1)//1)//100 = 1212500
+    # iter2: b = 150000 + 85*((150000*3)//4)//100 = 245625
+    #        c = 150000 + 85*((150000*1)//4 + 787500)//100 = 851250
+    assert got == {"a": 150000, "b": 245625, "c": 851250}
+
+
+def test_pagerank_weighted_unit_weights_match_fixed_degree_kernel(spark):
+    # on a fixed out-degree graph, weight-1 variable-degree PageRank must
+    # equal pagerank_micro exactly (parallel edges included: both kernels
+    # see one row per slot)
+    docs = _docs(spark, 30)
+    e = graph.derive_link_graph(docs, "doc_id", out_degree=3)
+    a = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_micro(docs, "doc_id", edges=e).collect()
+    }
+    b = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_weighted(
+            e, nodes=docs.select(F.col("doc_id").cast("long")), iterations=3
+        ).collect()
+    }
+    assert a == b
+
+
+def test_pagerank_weighted_isolated_and_string_keys(spark):
+    edges = spark.createDataFrame([("x.com", "y.com", 5)], ["src", "dst", "w"])
+    nodes = spark.createDataFrame(
+        [("x.com",), ("y.com",), ("lonely.org",)], ["host"]
+    )
+    got = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_weighted(
+            edges, weight_col="w", iterations=3, nodes=nodes
+        ).collect()
+    }
+    # isolated node holds the teleport base; sole target decays toward it
+    assert got["lonely.org"] == 150000
+    assert got["x.com"] == 150000
+    assert got["y.com"] > 150000
+    plan = (
+        graph.pagerank_weighted(edges, weight_col="w", iterations=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
