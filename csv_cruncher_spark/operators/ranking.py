@@ -26,6 +26,7 @@ __all__ = [
     "cap_per_group",
     "token_budget_filter",
     "quantile_buckets",
+    "global_rank",
 ]
 
 
@@ -305,3 +306,60 @@ def quantile_buckets(
             F.col("__score") >= F.element_at("__thrs", i + 1), F.lit(labels[i + 1])
         ).otherwise(label)
     return out.withColumn(bucket_col, label).drop("__score", "__thrs")
+
+
+def global_rank(
+    df: DataFrame,
+    order: str | Column,
+    key_col: str,
+    rank_col: str = "rank",
+    descending: bool = True,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed GLOBAL 1-based rank by (order, key) — the total-order
+    rank a plain ``row_number() OVER (ORDER BY ...)`` gives, computed
+    WITHOUT the single-task global sort that window spells at scale.
+
+    Mechanics (the canonical zipWithIndex decomposition, DataFrame-only):
+    range-repartition on the full sort key (partition 0 holds the first
+    range of the order), per-partition ``row_number`` over the SAME key,
+    then add per-partition row-count prefix offsets. The offset frame
+    has one row per partition — its cumulative window and the broadcast
+    join-back are O(partitions), never O(rows). Range boundaries come
+    from sampling, but (order, key) is a TOTAL order (``key_col`` must
+    be unique), so every boundary placement yields the identical rank
+    column — determinism does not depend on the sampler.
+
+    ``order`` must be a projectable value expression (direction goes in
+    ``descending``); ties in ``order`` break by ``key_col`` ASCENDING.
+    NULL order values sort LAST in both directions (they rank after
+    every real value, matching the engines' DESC NULLS LAST / the
+    oracle discipline). Rows ride the exchange with whatever columns
+    ``df`` carries — project narrow BEFORE calling (same contract as
+    ``cap_per_group``'s window frame).
+    """
+    _reject_sortorder(order)
+    ord_c = F.col(order) if isinstance(order, str) else order
+    o1 = ord_c.desc_nulls_last() if descending else ord_c.asc_nulls_last()
+    n = partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    r = df.repartitionByRange(n, o1, F.col(key_col).asc()).withColumn(
+        "__gr_pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__gr_pid").orderBy(o1, F.col(key_col).asc())
+    r = r.withColumn("__gr_local", F.row_number().over(w_local))
+    counts = r.groupBy("__gr_pid").agg(F.count(F.lit(1)).alias("__gr_n"))
+    # one row per partition: the cumulative window below is O(partitions)
+    w_off = (
+        Window.orderBy(F.col("__gr_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.withColumn(
+        "__gr_off", F.coalesce(F.sum("__gr_n").over(w_off), F.lit(0))
+    ).select("__gr_pid", "__gr_off")
+    out = r.join(F.broadcast(offs), "__gr_pid").withColumn(
+        rank_col,
+        (F.col("__gr_off") + F.col("__gr_local")).cast("long"),
+    )
+    return out.drop("__gr_pid", "__gr_local", "__gr_off")

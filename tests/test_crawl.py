@@ -389,3 +389,66 @@ def test_schedule_eta_instants(spark):
     assert fast_etas == [1000, 1000, 1005]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ------------------------------------------------------ apportion_budget --
+
+
+def test_apportion_budget_hand_computed(spark):
+    from csv_cruncher_spark.operators.crawl import apportion_budget
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 3), ("c", 1)], ["host", "w"]
+    )
+    got = {
+        r.host: r.quota for r in apportion_budget(df, "host", "w", 10).collect()
+    }
+    # R=9: base = [5,3,1] (sum 9), remainders = [5,3,1], L=1 -> 'a' +1
+    assert got == {"a": 6, "b": 3, "c": 1}
+
+
+def test_apportion_budget_sums_exactly_and_is_monotone(spark):
+    import random
+
+    from csv_cruncher_spark.operators.crawl import apportion_budget
+
+    rng = random.Random(7)
+    rows = [(f"h{i:03d}", rng.randrange(1, 1000)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["host", "w"])
+    for budget in (1, 17, 1000, 99_991):
+        out = {
+            r.host: r.quota
+            for r in apportion_budget(df, "host", "w", budget).collect()
+        }
+        assert sum(out.values()) == budget
+    # monotone: a strictly heavier host never gets a smaller quota
+    out = apportion_budget(df, "host", "w", 1000).collect()
+    by_w = sorted(out, key=lambda r: (r.w, r.host))
+    for lo, hi in zip(by_w, by_w[1:]):
+        if hi.w > lo.w:
+            assert hi.quota >= lo.quota
+
+
+def test_apportion_budget_degenerate_and_clamps(spark):
+    from csv_cruncher_spark.operators.crawl import apportion_budget
+
+    # all-zero / NULL / negative weights: unallocatable -> all quotas 0
+    df = spark.createDataFrame(
+        [("a", 0), ("b", None), ("c", -4)], "host string, w int"
+    )
+    got = {
+        r.host: r.quota for r in apportion_budget(df, "host", "w", 50).collect()
+    }
+    assert got == {"a": 0, "b": 0, "c": 0}
+    # negative weight clamps to 0 but a positive sibling takes it all
+    df2 = spark.createDataFrame([("a", -9), ("b", 2)], ["host", "w"])
+    got2 = {
+        r.host: r.quota
+        for r in apportion_budget(df2, "host", "w", 7).collect()
+    }
+    assert got2 == {"a": 0, "b": 7}
+    try:
+        apportion_budget(df2, "host", "w", -1)
+        raise AssertionError("expected ValueError for negative budget")
+    except ValueError:
+        pass

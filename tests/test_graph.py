@@ -364,3 +364,21 @@ def test_pagerank_weighted_isolated_and_string_keys(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pagerank_weighted_drops_nonpositive_weights(spark):
+    # zero/NULL-weight edges carry no mass AND don't poison out_w:
+    # a->b w0 is dropped, so a's whole unit of rank flows to c via w2
+    edges = spark.createDataFrame(
+        [("a", "b", 0), ("a", "c", 2), ("z", "b", None)],
+        "src string, dst string, w int",
+    )
+    got = {
+        r.node: r.rank_micro
+        for r in graph.pagerank_weighted(
+            edges, weight_col="w", iterations=1
+        ).collect()
+    }
+    # b gets only teleport base; c gets a's full contribution
+    assert got["b"] == 150000
+    assert got["c"] == 150000 + (85 * 1_000_000) // 100

@@ -326,3 +326,47 @@ def test_quantile_buckets_plan_no_window_no_sort(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Sort " not in plan and "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+# ---------------------------------------------------------- global_rank --
+
+
+def test_global_rank_matches_python_sort_across_partitions(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = [(f"k{i:03d}", rng.randrange(20)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["key", "score"]).repartition(11)
+    from csv_cruncher_spark.operators.ranking import global_rank
+
+    got = {
+        r.key: r.rank
+        for r in global_rank(
+            df, "score", "key", descending=True, partitions=7
+        ).collect()
+    }
+    want = {
+        k: i + 1
+        for i, (k, _) in enumerate(
+            sorted(rows, key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    assert got == want
+
+
+def test_global_rank_ascending_and_null_order_last(spark):
+    from csv_cruncher_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(
+        [("a", 5), ("b", None), ("c", 1)], "key string, score int"
+    )
+    got = {
+        r.key: r.rank
+        for r in global_rank(df, "score", "key", descending=False).collect()
+    }
+    assert got == {"c": 1, "a": 2, "b": 3}
+    got_d = {
+        r.key: r.rank
+        for r in global_rank(df, "score", "key", descending=True).collect()
+    }
+    assert got_d == {"a": 1, "c": 2, "b": 3}
