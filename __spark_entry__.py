@@ -3335,6 +3335,78 @@ def host_entropy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+def scd2_url_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 page history (operators/scd.py scd2_history): the
+    CDC change stream materialized as versioned ``[valid_from,
+    valid_to)`` intervals instead of LWW current state. The synthesized
+    log exercises every path — duplicate (url, ts) writers (LWW by
+    row_idx), byte-identical re-fetches (collapsed into the open
+    interval), edits, deletes (mid-timeline gaps), and re-inserts after
+    delete. The oracle replays the whole kernel (LWW dedup → null-safe
+    collapse grouping → interval lead → delete filter) in window SQL,
+    so a wrong winner, a split interval, or a surviving tombstone all
+    flip the hash."""
+    from csv_cruncher_spark.operators import scd
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit(".example.com/"),
+            d.cast("string"),
+        ).alias("url"),
+        d.alias("d"),
+        "text",
+        "lang",
+    )
+    t0 = F.lit(1_700_000_000).cast("long")
+
+    def ev(df, dt, op, text_col, lang_col, idx_off):
+        return df.select(
+            "url",
+            (t0 + F.col("d") + dt).alias("ts"),
+            F.lit(op).alias("op"),
+            text_col.cast("string").alias("text"),
+            lang_col.cast("string").alias("lang"),
+            (F.col("d") * 10 + idx_off).cast("long").alias("row_idx"),
+        )
+
+    dup_text = F.concat(F.lit("DUP:"), "text")
+    log = (
+        ev(base, 0, "I", F.col("text"), F.col("lang"), 0)
+        .unionByName(ev(base.filter(d % 7 == 0), 0, "U", dup_text, F.col("lang"), 1))
+        .unionByName(
+            ev(
+                base.filter(d % 4 == 1),
+                500,
+                "U",
+                F.when(F.col("d") % 7 == 0, dup_text).otherwise(F.col("text")),
+                F.col("lang"),
+                2,
+            )
+        )
+        .unionByName(
+            ev(base.filter(d % 3 == 0), 1000, "U", F.concat(F.lit("EDIT:"), "text"), F.col("lang"), 3)
+        )
+        .unionByName(ev(base.filter(d % 5 == 0), 2000, "D", F.lit(None), F.lit(None), 4))
+        .unionByName(
+            ev(base.filter(d % 15 == 0), 3000, "I", F.concat(F.lit("NEW:"), "text"), F.col("lang"), 5)
+        )
+    )
+    h = scd.scd2_history(
+        log,
+        "url",
+        "ts",
+        ["text", "lang"],
+        op_col="op",
+        tiebreak_col="row_idx",
+        collapse_unchanged=True,
+    )
+    return h.select(
+        "url", "valid_from", "valid_to", "is_current", "text", "lang"
+    ).orderBy("url", "valid_from")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3488,6 +3560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_rate_violations": host_rate_violations,
         "crawl_plan_etas": crawl_plan_etas,
         "host_entropy_rollup": host_entropy_rollup,
+        "scd2_url_history": scd2_url_history,
     }
 
 
@@ -7002,5 +7075,63 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(CASE WHEN entropy_micro < 2000000 THEN 1 END)
                      AS n_low_entropy
             FROM ent GROUP BY host ORDER BY host
+        """,
+        "scd2_url_history": """
+            WITH base AS (
+              SELECT 'https://' || source || '.example.com/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id AS d, text, lang
+              FROM documents
+            ), log AS (
+              SELECT url, 1700000000 + d AS ts, 'I' AS op, text, lang,
+                     d*10 AS row_idx FROM base
+              UNION ALL
+              SELECT url, 1700000000 + d, 'U', 'DUP:' || text, lang,
+                     d*10 + 1 FROM base WHERE d % 7 = 0
+              UNION ALL
+              SELECT url, 1700000000 + d + 500, 'U',
+                     CASE WHEN d % 7 = 0 THEN 'DUP:' || text ELSE text END,
+                     lang, d*10 + 2 FROM base WHERE d % 4 = 1
+              UNION ALL
+              SELECT url, 1700000000 + d + 1000, 'U', 'EDIT:' || text, lang,
+                     d*10 + 3 FROM base WHERE d % 3 = 0
+              UNION ALL
+              SELECT url, 1700000000 + d + 2000, 'D', NULL, NULL,
+                     d*10 + 4 FROM base WHERE d % 5 = 0
+              UNION ALL
+              SELECT url, 1700000000 + d + 3000, 'I', 'NEW:' || text, lang,
+                     d*10 + 5 FROM base WHERE d % 15 = 0
+            ), lww AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY url, ts
+                                             ORDER BY row_idx DESC) AS rn
+                FROM log) WHERE rn = 1
+            ), opened AS (
+              SELECT *, CASE WHEN op = 'D'
+                              OR lag(op) OVER w IS NULL
+                              OR lag(op) OVER w = 'D'
+                              OR NOT (text IS NOT DISTINCT FROM lag(text) OVER w
+                                      AND lang IS NOT DISTINCT FROM lag(lang) OVER w)
+                         THEN 1 ELSE 0 END AS opener
+              FROM lww WINDOW w AS (PARTITION BY url ORDER BY ts)
+            ), grouped AS (
+              SELECT *, SUM(opener) OVER (PARTITION BY url ORDER BY ts
+                                          ROWS UNBOUNDED PRECEDING) AS grp
+              FROM opened
+            ), survivors AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY url, grp
+                                             ORDER BY ts) AS grn
+                FROM grouped) WHERE grn = 1
+            ), hist AS (
+              SELECT url, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY url ORDER BY ts) AS valid_to,
+                     op, text, lang
+              FROM survivors
+            )
+            SELECT url, valid_from, valid_to,
+                   valid_to IS NULL AS is_current, text, lang
+            FROM hist WHERE op <> 'D'
+            ORDER BY url, valid_from
         """,
     }
