@@ -3407,6 +3407,31 @@ def scd2_url_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("url", "valid_from")
 
 
+def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative row-quality expectations (cdc/expectations.py): the
+    per-rule audit the CDC pipeline records per batch, run standalone
+    over the documents corpus. Each rule is a JVM boolean expression; a
+    NULL predicate result counts as a violation (the ternary-logic trap
+    a naive NOT(cond) filter falls into); the whole rule set costs one
+    scan + one partial-combined aggregation. The oracle mirrors the
+    exact IS-NOT-TRUE violation semantics per rule."""
+    from csv_cruncher_spark.cdc.expectations import (
+        Expectation,
+        expectations_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        Expectation("lang_latin", "lang IN ('en','de','es','fr')", action="drop"),
+        Expectation("text_min_120", "length(text) >= 120", action="dlq"),
+        Expectation("chars_consistent", "n_chars = length(text)", action="warn"),
+        Expectation(
+            "source_low", "CAST(substr(source, 4) AS INT) < 10", action="warn"
+        ),
+    ]
+    return expectations_report(docs, rules)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3561,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_plan_etas": crawl_plan_etas,
         "host_entropy_rollup": host_entropy_rollup,
         "scd2_url_history": scd2_url_history,
+        "expectations_audit": expectations_audit,
     }
 
 
@@ -7133,5 +7159,26 @@ def oracle_sql() -> dict[str, str]:
                    valid_to IS NULL AS is_current, text, lang
             FROM hist WHERE op <> 'D'
             ORDER BY url, valid_from
+        """,
+        "expectations_audit": """
+            WITH t AS (
+              SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(CASE WHEN (lang IN ('en','de','es','fr'))
+                                   IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                     CAST(sum(CASE WHEN (length(text) >= 120)
+                                   IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                     CAST(sum(CASE WHEN (n_chars = length(text))
+                                   IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                     CAST(sum(CASE WHEN (CAST(substr(source, 4) AS INT) < 10)
+                                   IS NOT TRUE THEN 1 ELSE 0 END) AS BIGINT) AS v4
+              FROM documents)
+            SELECT 'lang_latin' AS rule, 'drop' AS "action", n AS n_rows,
+                   v1 AS n_violations, n - v1 AS n_passed FROM t
+            UNION ALL
+            SELECT 'text_min_120', 'dlq', n, v2, n - v2 FROM t
+            UNION ALL
+            SELECT 'chars_consistent', 'warn', n, v3, n - v3 FROM t
+            UNION ALL
+            SELECT 'source_low', 'warn', n, v4, n - v4 FROM t
         """,
     }

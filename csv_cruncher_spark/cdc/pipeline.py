@@ -178,6 +178,7 @@ class CdcPipeline:
         keep_snapshots: int | None = None,
         catalog=None,
         on_malformed: str = "drop",
+        expectations=None,
     ):
         """``mode='mor'`` (default): O(batch) delta appends with read-time
         LWW resolution, auto-compacted every ``compact_every`` stacked
@@ -196,7 +197,15 @@ class CdcPipeline:
         timestamps become null versions; ``'dlq'`` quarantines keyless /
         unknown-op / bad-timestamp rows to ``<table>/dlq/<batch_id>``
         parquet with a ``__reject`` reason instead of applying them, and
-        records per-batch rejected counts in the checkpoint."""
+        records per-batch rejected counts in the checkpoint.
+        ``expectations``: optional list of
+        :class:`~csv_cruncher_spark.cdc.expectations.Expectation` row
+        predicates evaluated on every parsed batch in one pass —
+        ``warn`` counts, ``drop`` removes, ``dlq`` quarantines (to
+        ``<table>/dlq/<batch_id>.expect``), ``fail`` aborts the batch
+        before staging (table and checkpoint untouched; the batch
+        retries on the next run). Per-rule violation counts land in the
+        checkpoint under ``expectation_violations[batch_id]``."""
         from ..lake.merge import BROADCAST_WINNER_LIMIT
 
         if mode not in ("mor", "cow"):
@@ -214,6 +223,13 @@ class CdcPipeline:
         self.keep_snapshots = keep_snapshots
         self.catalog = catalog
         self.on_malformed = on_malformed
+        self.expectations = list(expectations or [])
+        if self.expectations:
+            from .expectations import Expectation
+
+            for e in self.expectations:
+                if not isinstance(e, Expectation):
+                    raise TypeError(f"expected Expectation, got {type(e)!r}")
         self.broadcast_winner_limit = (
             BROADCAST_WINNER_LIMIT if broadcast_winner_limit is None else broadcast_winner_limit
         )
@@ -324,6 +340,48 @@ class CdcPipeline:
             )
         else:
             df = read_change_batch(spark, path)
+
+        expect_counts: dict[str, int] | None = None
+        expect_dropped = expect_quarantined = 0
+        ev = None
+        if self.expectations:
+            from .expectations import (
+                ExpectationFailed,
+                evaluate,
+                route,
+                violation_counts,
+            )
+
+            # one evaluated+persisted frame serves the count aggregation,
+            # the routing filters, and the apply below — the batch source
+            # is scanned once
+            ev = evaluate(df, self.expectations).persist()
+            expect_counts, _n = violation_counts(ev, self.expectations)
+            fail_counts = {
+                r.name: expect_counts[r.name]
+                for r in self.expectations
+                if r.action == "fail" and expect_counts[r.name]
+            }
+            if fail_counts:
+                ev.unpersist()
+                if parsed is not None:
+                    parsed.unpersist()
+                # nothing staged, nothing committed: the batch simply
+                # has not happened yet; a re-run retries it
+                raise ExpectationFailed(batch_id, fail_counts)
+            passed, dropped, quarantined = route(ev, self.expectations)
+            expect_dropped = dropped.count()
+            expect_quarantined = quarantined.count()
+            if expect_quarantined:
+                quarantined.withColumn(
+                    "__reject",
+                    F.concat(
+                        F.lit("expect:"), F.array_join(F.col("__viol"), ",")
+                    ),
+                ).write.mode("overwrite").parquet(
+                    os.path.join(self.table_path, "dlq", batch_id + ".expect")
+                )
+            df = passed
         meta = batch_meta(path)
 
         # --- schema evolution in lockstep with the stream ---
@@ -400,12 +458,22 @@ class CdcPipeline:
             slot["files"] += 1
         if parsed is not None:
             parsed.unpersist()
+        if ev is not None:
+            ev.unpersist()
         ckpt["epoch_id"] = new_snap["epoch_id"]
         ckpt["batches_applied"] = ckpt["batches_applied"] + [batch_id]
         if self.on_malformed == "dlq":
             rej = dict(ckpt.get("rejected_rows", {}))
             rej[batch_id] = rejected
             ckpt["rejected_rows"] = rej
+        if expect_counts is not None:
+            exp = dict(ckpt.get("expectation_violations", {}))
+            exp[batch_id] = {
+                "rules": expect_counts,
+                "dropped": expect_dropped,
+                "quarantined": expect_quarantined,
+            }
+            ckpt["expectation_violations"] = exp
         ckpt["per_partition"] = per_part
         ckpt["lineage"] = new_snap["lineage"]
         ckpt["schema_version"] = new_snap["schema_version"]

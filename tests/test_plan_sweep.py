@@ -37,6 +37,8 @@ BNLJ_WHITELIST = {
     "source_skew_report": "1-row grand-total attach (salt.skew_audit)",
     "hub_authority_rank": "1-row MAX normalization attach per HITS "
                           "half-step (graph.hits_micro)",
+    "crawl_budget_quota": "two 1-row attaches: Σweight and the leftover "
+                          "count L (crawl.apportion_budget)",
     # bounded benchmark/query side broadcast against the corpus
     "embedding_decontam_report": "broadcast benchmark vectors (bounded set)",
     "ivf_recall_at_k": "exact ground truth: broadcast query set x corpus "
