@@ -3432,6 +3432,27 @@ def expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectations_report(docs, rules)
 
 
+def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton-curve clustering vs lexicographic layout (lake/zorder.py):
+    quantifies multi-dimensional file skipping for a box predicate on
+    the MINOR lex dimension — the case where a key-major sort prunes
+    nothing but z-order's per-bucket bounding boxes stay tight in every
+    interleaved dimension. Buckets are a pure function of the row
+    (code >> shift, never a sampled range split) and the interleave is
+    integer shift arithmetic, so the DuckDB oracle replays both layouts
+    bit-for-bit from the same formula generator (z_value_sql)."""
+    from csv_cruncher_spark.lake import zorder
+
+    docs = _t(spark, sf_dir, "documents")
+    pts = docs.select(
+        (F.col("doc_id") % 256).alias("x"),
+        ((F.col("doc_id") * 37 + 11) % 256).alias("y"),
+    )
+    return zorder.pruning_report(
+        pts, ["x", "y"], {"y": (0, 31)}, bits=8, bucket_bits=6
+    ).orderBy("layout")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3587,11 +3608,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_entropy_rollup": host_entropy_rollup,
         "scd2_url_history": scd2_url_history,
         "expectations_audit": expectations_audit,
+        "zorder_pruning_report": zorder_pruning_report,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from csv_cruncher_spark.lake import zorder as _zorder
     from csv_cruncher_spark.operators import sketch as _sketch
+
+    z_expr = _zorder.z_value_sql(["x", "y"], bits=8)
 
     stop_list = ", ".join(f"'{w}'" for w in textstats.STOPWORDS)
     lang_score = {
@@ -7180,5 +7205,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'chars_consistent', 'warn', n, v3, n - v3 FROM t
             UNION ALL
             SELECT 'source_low', 'warn', n, v4, n - v4 FROM t
+        """,
+        "zorder_pruning_report": f"""
+            WITH pts AS (
+              SELECT doc_id % 256 AS x, (doc_id * 37 + 11) % 256 AS y
+              FROM documents
+            ), coded AS (
+              SELECT x, y, {z_expr} AS zc,
+                     ((x & 255) << 8) | (y & 255) AS lexc
+              FROM pts
+            ), zb AS (
+              SELECT zc >> 10 AS b, count(*) AS nr,
+                     min(y) AS mny, max(y) AS mxy
+              FROM coded GROUP BY 1
+            ), lb AS (
+              SELECT lexc >> 10 AS b, count(*) AS nr,
+                     min(y) AS mny, max(y) AS mxy
+              FROM coded GROUP BY 1
+            )
+            SELECT 'lex' AS layout, CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(sum(CASE WHEN mxy >= 0 AND mny <= 31 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS buckets_touched,
+                   CAST(sum(CASE WHEN mxy >= 0 AND mny <= 31 THEN nr ELSE 0 END)
+                        AS BIGINT) AS rows_touched,
+                   CAST(sum(nr) AS BIGINT) AS rows_total
+            FROM lb
+            UNION ALL
+            SELECT 'zorder', CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN mxy >= 0 AND mny <= 31 THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   CAST(sum(CASE WHEN mxy >= 0 AND mny <= 31 THEN nr ELSE 0 END)
+                        AS BIGINT),
+                   CAST(sum(nr) AS BIGINT)
+            FROM zb
+            ORDER BY layout
         """,
     }

@@ -1,4 +1,4 @@
-from . import catalog, ivm, links_view, salt, sketch_view, vocab_view
+from . import catalog, ivm, links_view, salt, sketch_view, vocab_view, zorder
 from .corpus_view import MaintainedCorpus
 from .ivm import MaintainedAggregate, MaintainedExtrema
 from .links_view import MaintainedLinkGraph
@@ -20,4 +20,5 @@ __all__ = [
     "salt",
     "sketch_view",
     "vocab_view",
+    "zorder",
 ]
