@@ -1,7 +1,8 @@
-from . import catalog, ivm, links_view, salt, sketch_view, vocab_view, zorder
+from . import catalog, ivm, links_view, salt, scd_view, sketch_view, vocab_view, zorder
 from .corpus_view import MaintainedCorpus
 from .ivm import MaintainedAggregate, MaintainedExtrema
 from .links_view import MaintainedLinkGraph
+from .scd_view import MaintainedScd2
 from .sketch_view import MaintainedSketch
 from .table import LakeTable
 from .vocab_view import MaintainedVocabulary
@@ -12,12 +13,14 @@ __all__ = [
     "MaintainedExtrema",
     "MaintainedCorpus",
     "MaintainedLinkGraph",
+    "MaintainedScd2",
     "MaintainedSketch",
     "MaintainedVocabulary",
     "catalog",
     "ivm",
     "links_view",
     "salt",
+    "scd_view",
     "sketch_view",
     "vocab_view",
     "zorder",

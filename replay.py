@@ -83,6 +83,12 @@ def main() -> int:
                          "maintained (src, dst) outlink edge store "
                          "(lake/links_view.py) — only changed pages "
                          "re-parse, keyed edge replacement")
+    ap.add_argument("--maintain-scd2", default=None, metavar="STORE",
+                    help="maintain a durable SCD Type 2 history of the "
+                         "SAME change batches (lake.MaintainedScd2): "
+                         "versioned [valid_from, valid_to) intervals per "
+                         "url; idempotent per batch; the is_current "
+                         "slice mirrors the LWW table")
     ap.add_argument("--maintain-sketch", default=None, metavar="STORE",
                     help="after replay, refresh an incrementally-"
                          "maintained HyperLogLog register store "
@@ -236,6 +242,8 @@ def main() -> int:
     links_edges = None
     sketch_epoch = None
     sketch_estimate = None
+    scd2_versions = None
+    scd2_current = None
     if args.maintain_vocab:
         from csv_cruncher_spark.lake.vocab_view import MaintainedVocabulary
 
@@ -248,6 +256,15 @@ def main() -> int:
         lv = MaintainedLinkGraph(args.table, args.maintain_links)
         links_epoch = lv.refresh(spark)
         links_edges = lv.read(spark).count()
+
+    if args.maintain_scd2:
+        from csv_cruncher_spark.lake.scd_view import MaintainedScd2
+
+        sv2 = MaintainedScd2(args.maintain_scd2)
+        sv2.run(spark, args.batches)
+        h = sv2.read(spark)
+        scd2_versions = h.count()
+        scd2_current = h.filter("is_current").count()
 
     if args.maintain_sketch:
         from csv_cruncher_spark.lake.sketch_view import MaintainedSketch
@@ -317,6 +334,8 @@ def main() -> int:
                 "links_edges": links_edges,
                 "sketch_epoch": sketch_epoch,
                 "sketch_estimate": sketch_estimate,
+                "scd2_versions": scd2_versions,
+                "scd2_current": scd2_current,
                 "rejected_rows": sum((ckpt.get("rejected_rows") or {}).values())
                 if args.on_malformed == "dlq" else None,
                 "corpus_rows": corpus_rows,

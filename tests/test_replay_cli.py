@@ -378,3 +378,32 @@ def test_replay_maintain_links_incremental(spark, change_log, monkeypatch, capsy
         }
         assert got == want
         assert out["links_edges"] == len(got)
+
+
+def test_replay_maintain_scd2(spark, change_log, monkeypatch, capsys, tmp_path):
+    from csv_cruncher_spark.lake.scd_view import MaintainedScd2
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    tp, paths = change_log
+    table = str(tp / "lake")
+    store = str(tp / "scd2")
+    bdir = os.path.dirname(paths[0])
+
+    res = _run_replay(
+        monkeypatch, capsys,
+        ["--table", table, "--batches", bdir, "--buckets", "4",
+         "--maintain-scd2", store],
+    )
+    assert res["scd2_versions"] >= res["scd2_current"] > 0
+    mv = MaintainedScd2(store)
+    cur = {r.url for r in mv.current(spark).select("url").collect()}
+    tbl = {r.url for r in LakeTable.load(table).read(spark).select("url").collect()}
+    assert cur == tbl
+    # second invocation re-delivers every batch: a pure no-op
+    res2 = _run_replay(
+        monkeypatch, capsys,
+        ["--table", table, "--batches", bdir, "--buckets", "4",
+         "--maintain-scd2", store],
+    )
+    assert res2["scd2_versions"] == res["scd2_versions"]
+    assert res2["applied_batches"] == 0
