@@ -968,7 +968,12 @@ class LakeTable:
     # ---------- write / commit ----------
 
     def write_bucket_data(
-        self, df: DataFrame, schema_version: int, kind: str = "base", epoch: int | None = None
+        self,
+        df: DataFrame,
+        schema_version: int,
+        kind: str = "base",
+        epoch: int | None = None,
+        cluster_expr=None,
     ) -> list[dict]:
         """Write a DataFrame that carries a ``bucket`` column to new parquet
         files partitioned by bucket; returns file entries (uncommitted).
@@ -980,7 +985,14 @@ class LakeTable:
         row-group min/max statistics are tight on the key: keyed reads'
         pushed ``In`` filters then skip whole row groups instead of
         scanning the full bucket, and the read-time fold's per-key groups
-        arrive clustered."""
+        arrive clustered.
+
+        ``cluster_expr``: optional Column replacing the key as the
+        within-partition sort (e.g. ``zorder.z_value([...])``) — same
+        cost, different locality: row-group stats become tight on the
+        clustered dimensions instead of the key. Keyed point reads then
+        lose their row-group skipping in those files, so cluster only
+        tables/slices read mainly by analytical box predicates."""
         rel_dir = os.path.join("data", f"w-{uuid.uuid4().hex[:12]}")
         out_dir = os.path.join(self.path, rel_dir)
         snap = self.snapshot()
@@ -990,7 +1002,11 @@ class LakeTable:
             min(n_buckets, max(1, df.sparkSession.sparkContext.defaultParallelism)),
             "bucket",
         )
-        if key_col in df.columns:
+        if cluster_expr is not None:
+            part = part.withColumn("__cluster", cluster_expr).sortWithinPartitions(
+                "bucket", "__cluster"
+            ).drop("__cluster")
+        elif key_col in df.columns:
             part = part.sortWithinPartitions("bucket", key_col)
         part.write.partitionBy("bucket").parquet(out_dir)
         entries: list[dict] = []
@@ -1048,7 +1064,13 @@ class LakeTable:
                 out[f["bucket"]] = out.get(f["bucket"], 0) + int(f.get("bytes", 0))
         return out
 
-    def compact(self, spark: SparkSession, buckets: list[int] | None = None) -> dict:
+    def compact(
+        self,
+        spark: SparkSession,
+        buckets: list[int] | None = None,
+        zorder_by: list[str] | None = None,
+        zorder_bits: int = 16,
+    ) -> dict:
         """Fold deltas into fresh base files (merge-on-read →
         copy-on-write amortization). Bucket-pruned: only buckets that
         actually carry deltas are resolved and rewritten — at production
@@ -1057,6 +1079,14 @@ class LakeTable:
         replay the readers use, written bucket-partitioned, and committed
         atomically replacing exactly those buckets — a crash
         mid-compaction leaves the old snapshot intact.
+
+        ``zorder_by``: cluster the rewritten files on the Morton
+        interleave of these (integer-normalized) columns instead of the
+        key (``OPTIMIZE ZORDER BY``): analytical box scans on those
+        dimensions then skip row groups via parquet min/max stats. The
+        view is unchanged — only file layout moves; keyed point reads
+        lose their key clustering in the rewritten buckets (documented
+        trade in :meth:`write_bucket_data`).
         """
         snap = self.snapshot()
         delta_buckets = sorted(
@@ -1069,7 +1099,14 @@ class LakeTable:
         resolved = self.read(spark, snap=snap, buckets=delta_buckets).withColumn(
             "bucket", bucket_expr(snap["key_col"], snap["n_buckets"])
         )
-        new_files = self.write_bucket_data(resolved, snap["schema_version"], kind="base")
+        cluster = None
+        if zorder_by:
+            from .zorder import z_value
+
+            cluster = z_value(zorder_by, bits=zorder_bits)
+        new_files = self.write_bucket_data(
+            resolved, snap["schema_version"], kind="base", cluster_expr=cluster
+        )
         metrics = dict(snap.get("metrics", {}))
         metrics["last_compaction_snapshot"] = snap["snapshot_id"]
         metrics["last_compaction_buckets"] = len(delta_buckets)

@@ -47,19 +47,21 @@ def _check(cols: list[str], bits: int) -> None:
         )
 
 
-def z_value(cols: list[str], bits: int = 16) -> Column:
-    """Morton interleave of the low ``bits`` bits of each column
-    (callers normalize dimensions to [0, 2^bits) first — e.g.
-    ``F.hash(host) & mask``, or epoch-seconds right-shifted to the
-    wanted granularity). Bit b of column i lands at position
-    ``b*len(cols) + i``. NULL in any dimension → NULL z (callers route
-    NULLs to a dedicated bucket or filter them first)."""
+def z_value(cols: list, bits: int = 16) -> Column:
+    """Morton interleave of the low ``bits`` bits of each dimension —
+    column names or Column expressions (callers normalize dimensions to
+    [0, 2^bits) first — e.g. ``F.abs(F.hash(host)) % (1 << bits)``, or
+    epoch-seconds right-shifted to the wanted granularity). Bit b of
+    dimension i lands at position ``b*len(cols) + i``. NULL in any
+    dimension → NULL z (callers route NULLs to a dedicated bucket or
+    filter them first)."""
     _check(cols, bits)
     n = len(cols)
+    dims = [F.col(c) if isinstance(c, str) else c for c in cols]
     z = F.lit(0).cast("long")
     for b in range(bits):
-        for i, c in enumerate(cols):
-            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+        for i, c in enumerate(dims):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
     return z
 

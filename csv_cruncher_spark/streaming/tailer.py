@@ -39,9 +39,11 @@ class ChangeLogTailer:
         include: str | None = None,
         exclude: str | None = None,
         on_malformed: str = "drop",
+        expectations=None,
     ):
         self.pipeline = CdcPipeline(
-            table_path, n_buckets=n_buckets, on_malformed=on_malformed
+            table_path, n_buckets=n_buckets, on_malformed=on_malformed,
+            expectations=expectations,
         )
         self.batch_dir = batch_dir
         self.include = include

@@ -204,6 +204,21 @@ def test_pipeline_no_rules_checkpoint_unchanged(spark, tmp_path):
     assert "expectation_violations" not in ckpt
 
 
+def test_tailer_enforces_expectations(spark, tmp_path):
+    from csv_cruncher_spark.streaming.tailer import ChangeLogTailer
+
+    bdir = str(tmp_path / "batches")
+    _write_batch(bdir, 0, [_row(url="https://x.example/a"),
+                           _row(url="http://x.example/b")])
+    rules = [Expectation("https_only", "url LIKE 'https://%'", action="drop")]
+    tailer = ChangeLogTailer(str(tmp_path / "lake"), bdir, n_buckets=2,
+                             expectations=rules)
+    assert tailer.poll_once(spark) == ["batch-00000.csv"]
+    urls = {r.url for r in LakeTable.load(str(tmp_path / "lake"))
+            .read(spark).select("url").collect()}
+    assert urls == {"https://x.example/a"}
+
+
 def test_pipeline_rejects_non_expectation():
     with pytest.raises(TypeError):
         CdcPipeline("/tmp/x", expectations=["url IS NOT NULL"])

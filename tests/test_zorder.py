@@ -109,3 +109,54 @@ def test_pruning_report_validation(spark):
         zorder.pruning_report(df, ["x", "y"], {"q": (0, 1)})
     with pytest.raises(ValueError, match="bucket_bits"):
         zorder.pruning_report(df, ["x", "y"], {"x": (0, 1)}, bits=4, bucket_bits=9)
+
+
+def test_compact_zorder_by_preserves_view_and_clusters_files(spark, tmp_path):
+    """OPTIMIZE ZORDER on the lake: compact(zorder_by=...) must not
+    change the resolved view, and the rewritten base files must be
+    physically ordered by the Morton code of the requested dimensions."""
+    import base64
+    import csv as _csv
+    import os
+
+    from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    bdir = str(tmp_path / "batches")
+    os.makedirs(bdir)
+    with open(os.path.join(bdir, "batch-00000.csv"), "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["op", "url", "warc_ts", "html", "lang"])
+        w.writeheader()
+        for i in range(200):
+            w.writerow({
+                "op": "I", "url": f"https://d{i % 7}.example/p{i}",
+                "warc_ts": f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}",
+                "html": base64.b64encode(f"<html><body>doc {i}</body></html>".encode()).decode(),
+                "lang": "en",
+            })
+    tpath = str(tmp_path / "lake")
+    CdcPipeline(tpath, n_buckets=2).run(spark, bdir)
+    t = LakeTable.load(tpath)
+    before = sorted(
+        (r.url, str(r.warc_ts)) for r in t.read(spark).select("url", "warc_ts").collect()
+    )
+    dims = [
+        F.unix_timestamp("warc_ts") % 256,
+        F.abs(F.hash("url")) % 256,
+    ]
+    snap = t.compact(spark, zorder_by=dims, zorder_bits=8)
+    after = sorted(
+        (r.url, str(r.warc_ts)) for r in t.read(spark).select("url", "warc_ts").collect()
+    )
+    assert after == before
+    base_files = [f for f in snap["files"] if f["kind"] == "base"]
+    assert base_files
+    for entry in base_files:
+        one = spark.read.parquet(os.path.join(tpath, entry["path"]))
+        zs = [
+            r.z
+            for r in one.select(
+                zorder.z_value(dims, bits=8).alias("z")
+            ).collect()
+        ]
+        assert zs == sorted(zs), f"file {entry['path']} not z-ordered"
