@@ -3453,6 +3453,73 @@ def zorder_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("layout")
 
 
+def partial_update_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse change events (cdc/patch.py): Debezium/TOAST placeholders
+    resolve from the nearest earlier in-batch row (NULL-vs-unchanged
+    kept distinct via the struct-wrapped carry), never across a delete
+    (a D row's NULL payload IS the carried value), and fall back to the
+    current-state row only when no in-batch predecessor exists. The
+    oracle replays the exact carry with last_value(IGNORE NULLS) over
+    struct-wrapped candidates plus the state left join — a carry that
+    leaks across deletes, loses a set-to-NULL, or prefers state over
+    carry all flip the hash."""
+    from csv_cruncher_spark.cdc.patch import resolve_partial_updates
+
+    PH = "__elided__"
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    base = docs.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example.com/"),
+                 d.cast("string")).alias("url"),
+        d.alias("d"),
+        "text",
+        "lang",
+    )
+    state = base.filter(d % 2 == 0).select(
+        "url", F.concat(F.lit("STATE:"), "text").alias("text"), "lang"
+    )
+
+    def ev(df, dt, op, text_col, lang_col, idx):
+        return df.select(
+            "url",
+            (F.lit(1000) + F.col("d") * 10 + dt).alias("ts"),
+            F.lit(op).alias("op"),
+            text_col.cast("string").alias("text"),
+            lang_col.cast("string").alias("lang"),
+            (F.col("d") * 10 + idx).cast("long").alias("row_idx"),
+        )
+
+    batch = (
+        ev(
+            base, 0, "U",
+            F.when(F.col("d") % 3 == 0, F.lit(PH)).otherwise(
+                F.concat(F.lit("NEW:"), "text")
+            ),
+            F.when(F.col("d") % 5 == 0, F.lit(PH)).otherwise(F.col("lang")),
+            0,
+        )
+        .unionByName(
+            ev(base.filter(d % 4 == 0), 1, "U", F.lit(PH), F.lit("xx"), 1)
+        )
+        .unionByName(
+            ev(base.filter(d % 6 == 0), 2, "D", F.lit(None), F.lit(None), 2)
+        )
+        .unionByName(
+            ev(base.filter(d % 12 == 0), 3, "I", F.lit(PH), F.lit("re"), 3)
+        )
+    )
+    out = resolve_partial_updates(
+        batch,
+        PH,
+        key_col="url",
+        ts_col="ts",
+        tiebreak_col="row_idx",
+        payload_cols=["text", "lang"],
+        fallback_state=state,
+    )
+    return out.select("url", "ts", "op", "text", "lang").orderBy("url", "ts")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3609,6 +3676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_url_history": scd2_url_history,
         "expectations_audit": expectations_audit,
         "zorder_pruning_report": zorder_pruning_report,
+        "partial_update_resolution": partial_update_resolution,
     }
 
 
@@ -7239,5 +7307,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(nr) AS BIGINT)
             FROM zb
             ORDER BY layout
+        """,
+        "partial_update_resolution": """
+            WITH base AS (
+              SELECT 'https://' || source || '.example.com/'
+                       || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id AS d, text, lang
+              FROM documents
+            ), state AS (
+              SELECT url, 'STATE:' || text AS text, lang
+              FROM base WHERE d % 2 = 0
+            ), batch AS (
+              SELECT url, 1000 + d*10 + 0 AS ts, 'U' AS op,
+                     CASE WHEN d % 3 = 0 THEN '__elided__'
+                          ELSE 'NEW:' || text END AS text,
+                     CASE WHEN d % 5 = 0 THEN '__elided__'
+                          ELSE lang END AS lang,
+                     d*10 + 0 AS row_idx
+              FROM base
+              UNION ALL
+              SELECT url, 1000 + d*10 + 1, 'U', '__elided__', 'xx',
+                     d*10 + 1 FROM base WHERE d % 4 = 0
+              UNION ALL
+              SELECT url, 1000 + d*10 + 2, 'D', NULL, NULL,
+                     d*10 + 2 FROM base WHERE d % 6 = 0
+              UNION ALL
+              SELECT url, 1000 + d*10 + 3, 'I', '__elided__', 're',
+                     d*10 + 3 FROM base WHERE d % 12 = 0
+            ), carried AS (
+              SELECT url, ts, op, row_idx,
+                     last_value(
+                       CASE WHEN text IS NULL OR text <> '__elided__'
+                            THEN {'v': text} END IGNORE NULLS) OVER w AS ct,
+                     last_value(
+                       CASE WHEN lang IS NULL OR lang <> '__elided__'
+                            THEN {'v': lang} END IGNORE NULLS) OVER w AS cl
+              FROM batch
+              WINDOW w AS (PARTITION BY url ORDER BY ts, row_idx
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT c.url, c.ts, c.op,
+                   CASE WHEN c.ct IS NULL THEN s.text ELSE c.ct.v END AS text,
+                   CASE WHEN c.cl IS NULL THEN s.lang ELSE c.cl.v END AS lang
+            FROM carried c LEFT JOIN state s ON c.url = s.url
+            ORDER BY c.url, c.ts
         """,
     }

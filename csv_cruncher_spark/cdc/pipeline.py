@@ -179,6 +179,7 @@ class CdcPipeline:
         catalog=None,
         on_malformed: str = "drop",
         expectations=None,
+        partial_updates: str | None = None,
     ):
         """``mode='mor'`` (default): O(batch) delta appends with read-time
         LWW resolution, auto-compacted every ``compact_every`` stacked
@@ -205,7 +206,14 @@ class CdcPipeline:
         ``<table>/dlq/<batch_id>.expect``), ``fail`` aborts the batch
         before staging (table and checkpoint untouched; the batch
         retries on the next run). Per-rule violation counts land in the
-        checkpoint under ``expectation_violations[batch_id]``."""
+        checkpoint under ``expectation_violations[batch_id]``.
+        ``partial_updates``: a placeholder string (e.g.
+        ``cdc.patch.DEBEZIUM_PLACEHOLDER``) marking elided unchanged
+        columns in sparse change events (Postgres TOAST / Debezium);
+        placeholders resolve from earlier in-batch rows first, then
+        from the table's current row via a bucket-pruned point lookup
+        (O(batch), never a table scan) — see ``cdc/patch.py``. Binary
+        columns carry the placeholder as their decoded bytes."""
         from ..lake.merge import BROADCAST_WINNER_LIMIT
 
         if mode not in ("mor", "cow"):
@@ -223,6 +231,7 @@ class CdcPipeline:
         self.keep_snapshots = keep_snapshots
         self.catalog = catalog
         self.on_malformed = on_malformed
+        self.partial_updates = partial_updates
         self.expectations = list(expectations or [])
         if self.expectations:
             from .expectations import Expectation
@@ -382,6 +391,12 @@ class CdcPipeline:
                     os.path.join(self.table_path, "dlq", batch_id + ".expect")
                 )
             df = passed
+        if self.partial_updates:
+            from .patch import resolve_against_table
+
+            df = resolve_against_table(
+                spark, df, table, placeholder=self.partial_updates
+            )
         meta = batch_meta(path)
 
         # --- schema evolution in lockstep with the stream ---
