@@ -3520,6 +3520,72 @@ def partial_update_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "ts", "op", "text", "lang").orderBy("url", "ts")
 
 
+def events_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal join against the SCD2 history — the query the history
+    exists FOR: each event resolves to the page version whose
+    ``[valid_from, valid_to)`` interval covers the event time. Composed
+    from the engine's own primitives: ``scd2_history`` builds the
+    intervals, ``asof_join`` (one union-and-carry shuffle, never a range
+    cross join) finds the latest version at-or-before each event, and
+    the half-open gap filter nulls matches whose interval closed before
+    the event (a deleted page mid-gap). Oracle: DuckDB's native ASOF
+    JOIN + the same gap CASE — wrong interval arithmetic on either side
+    flips the hash."""
+    from csv_cruncher_spark.operators.joins import asof_join
+    from csv_cruncher_spark.operators.scd import scd2_history
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    log = (
+        docs.select(
+            F.concat(F.lit("k"), d.cast("string")).alias("key"),
+            (d * 100).alias("ts"),
+            F.lit("I").alias("op"),
+            F.substring("text", 1, 40).alias("content"),
+        )
+        .unionByName(
+            docs.select(
+                F.concat(F.lit("k"), d.cast("string")).alias("key"),
+                (d * 100 + 30).alias("ts"),
+                F.lit("U").alias("op"),
+                F.concat(F.lit("EDIT:"), F.substring("text", 1, 40)).alias("content"),
+            )
+        )
+        .unionByName(
+            docs.filter(d % 4 == 0).select(
+                F.concat(F.lit("k"), d.cast("string")).alias("key"),
+                (d * 100 + 60).alias("ts"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("content"),
+            )
+        )
+    )
+    hist = scd2_history(log, "key", "ts", ["content"], op_col="op")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(F.lit("k"), (F.col("event_id") % 500).cast("string")).alias("key"),
+        ((F.col("event_id") % 500) * 100 + F.col("event_id") % 100).alias("lookup_ts"),
+    )
+    joined = asof_join(
+        ev,
+        hist.select("key", "valid_from", "valid_to", "content"),
+        on="key",
+        left_time="lookup_ts",
+        right_time="valid_from",
+        direction="backward",
+    )
+    in_interval = F.col("r_valid_to").isNull() | (
+        F.col("lookup_ts") < F.col("r_valid_to")
+    )
+    return joined.select(
+        "event_id",
+        "key",
+        "lookup_ts",
+        F.when(in_interval, F.col("r_valid_from")).alias("version_from"),
+        F.when(in_interval, F.col("r_content")).alias("content"),
+    ).orderBy("event_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3677,6 +3743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_audit": expectations_audit,
         "zorder_pruning_report": zorder_pruning_report,
         "partial_update_resolution": partial_update_resolution,
+        "events_versioned_join": events_versioned_join,
     }
 
 
@@ -7351,5 +7418,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c.cl IS NULL THEN s.lang ELSE c.cl.v END AS lang
             FROM carried c LEFT JOIN state s ON c.url = s.url
             ORDER BY c.url, c.ts
+        """,
+        "events_versioned_join": """
+            WITH log AS (
+              SELECT 'k' || CAST(doc_id AS VARCHAR) AS key,
+                     doc_id * 100 AS ts, 'I' AS op,
+                     substr(text, 1, 40) AS content
+              FROM documents
+              UNION ALL
+              SELECT 'k' || CAST(doc_id AS VARCHAR), doc_id * 100 + 30, 'U',
+                     'EDIT:' || substr(text, 1, 40)
+              FROM documents
+              UNION ALL
+              SELECT 'k' || CAST(doc_id AS VARCHAR), doc_id * 100 + 60, 'D',
+                     NULL
+              FROM documents WHERE doc_id % 4 = 0
+            ), hist AS (
+              SELECT key, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY key ORDER BY ts) AS valid_to,
+                     op, content
+              FROM log
+            ), h AS (
+              SELECT key, valid_from, valid_to, content
+              FROM hist WHERE op <> 'D'
+            ), ev AS (
+              SELECT event_id,
+                     'k' || CAST(event_id % 500 AS VARCHAR) AS key,
+                     (event_id % 500) * 100 + event_id % 100 AS lookup_ts
+              FROM events
+            )
+            SELECT e.event_id, e.key, e.lookup_ts,
+                   CASE WHEN h.valid_to IS NULL OR e.lookup_ts < h.valid_to
+                        THEN h.valid_from END AS version_from,
+                   CASE WHEN h.valid_to IS NULL OR e.lookup_ts < h.valid_to
+                        THEN h.content END AS content
+            FROM ev e ASOF LEFT JOIN h
+              ON e.key = h.key AND e.lookup_ts >= h.valid_from
+            ORDER BY e.event_id
         """,
     }

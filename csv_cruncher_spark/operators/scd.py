@@ -255,3 +255,42 @@ def asof_lookup(history: DataFrame, ts, ts_type: str = "long") -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (t < F.col("valid_to")))
     ).drop("is_current")
+
+
+def prune_history(
+    history: DataFrame,
+    key_col: str,
+    older_than,
+    keep_current: bool = True,
+    keep_last: int = 1,
+) -> DataFrame:
+    """Retention policy on a Type-2 history: drop versions whose
+    interval ENDED before ``older_than`` (their ``valid_to`` — the
+    moment they stopped being true — is older than the horizon),
+    keeping (a) every open/current version regardless of age when
+    ``keep_current`` (default), and (b) the ``keep_last`` most recent
+    CLOSED versions of each key even when expired, so a point-in-time
+    query just behind the horizon still resolves (the Delta/Iceberg
+    "keep N snapshots past retention" discipline at row granularity).
+
+    A GDPR-style full purge of a key is a plain filter
+    (``history.filter(col(key) != ...)``) and needs no helper; this
+    function is the storage-bound time policy.
+
+    Plan: one window (row_number over closed versions per key, ordered
+    valid_to DESC — group size = versions-per-key, bounded) + one
+    filter; no joins. The pruned frame remains a valid history for
+    ``asof_lookup`` at any t ≥ the horizon (tested)."""
+    w = Window.partitionBy(key_col).orderBy(F.col("valid_to").desc())
+    closed_rank = F.when(
+        F.col("valid_to").isNotNull(), F.row_number().over(w)
+    )
+    out = history.withColumn("__cr", closed_rank)
+    keep = (
+        F.col("valid_to").isNull()
+        if keep_current
+        else F.lit(False)
+    )
+    keep = keep | (F.col("valid_to") >= F.lit(older_than))
+    keep = keep | (F.col("__cr") <= F.lit(int(keep_last)))
+    return out.filter(keep).drop("__cr")

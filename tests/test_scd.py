@@ -175,3 +175,29 @@ def test_single_exchange_single_sort(spark, base_log):
     # (key) — hashpartitioning(url, ts) then hashpartitioning(url); no
     # third exchange may appear
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_prune_history_retention(spark, base_log):
+    h = scd.scd2_history(base_log, "url", "ts", PAY, op_col="op", tiebreak_col="row_idx")
+    # horizon 25: b's v1 [10,15) expired (valid_to 15 < 25); a's v1
+    # [10,20) expired but it is a's ONLY closed version -> kept by
+    # keep_last=1; b's v2 [30,40) is b's most recent closed -> kept.
+    pruned = scd.prune_history(h, "url", older_than=25)
+    kept = {(r.url, r.valid_from) for r in pruned.collect()}
+    assert ("b", 10) not in kept
+    assert kept == {("a", 10), ("a", 20), ("b", 30), ("c", 5), ("d", 7)}
+    # with keep_last=0 every expired closed version goes
+    pruned0 = scd.prune_history(h, "url", older_than=25, keep_last=0)
+    kept0 = {(r.url, r.valid_from) for r in pruned0.collect()}
+    assert kept0 == {("a", 20), ("b", 30), ("c", 5), ("d", 7)}
+    # asof correctness preserved at any t >= horizon
+    for t in (25, 30, 35, 45):
+        want = sorted((r.url, r.text) for r in scd.asof_lookup(h, t).collect())
+        got = sorted((r.url, r.text) for r in scd.asof_lookup(pruned0, t).collect())
+        assert got == want, t
+
+
+def test_prune_history_single_window_no_join(spark, base_log):
+    h = scd.scd2_history(base_log, "url", "ts", PAY, op_col="op", tiebreak_col="row_idx")
+    plan = scd.prune_history(h, "url", older_than=25)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
