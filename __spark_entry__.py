@@ -3586,6 +3586,24 @@ def events_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
+def winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing local fingerprints (Schleimer et al. 2003 / MOSS) as a
+    partial-overlap miner (operators/textstats.py
+    winnowing_near_dups): char-8-gram md5 rolling hashes, min per
+    4-window, distinct per doc — guaranteed to catch any shared
+    normalized substring ≥ 11 chars — then the inverted-index pair join
+    with a 64-doc posting cap (the stop-shingle discipline). The whole
+    construction (normalization, slicing, hashing, window minima,
+    posting lists, pair counts) replays in DuckDB list comprehensions,
+    so a drifting normalization, hash, or window rule flips the hash."""
+    from csv_cruncher_spark.operators.textstats import winnowing_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_near_dups(
+        docs, "doc_id", "text", k=8, window=4, min_shared=2, max_fp_docs=64
+    ).orderBy("id_a", "id_b")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3744,6 +3762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruning_report": zorder_pruning_report,
         "partial_update_resolution": partial_update_resolution,
         "events_versioned_join": events_versioned_join,
+        "winnowing_dups": winnowing_dups,
     }
 
 
@@ -7455,5 +7474,42 @@ def oracle_sql() -> dict[str, str]:
             FROM ev e ASOF LEFT JOIN h
               ON e.key = h.key AND e.lookup_ts >= h.valid_from
             ORDER BY e.event_id
+        """,
+        "winnowing_dups": """
+            WITH docs AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(n) - 8 + 2),
+                                    i -> substr(n, i::INT, 8)) AS grams
+              FROM docs WHERE length(n) >= 8
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(grams,
+                       x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs
+              FROM g
+            ), m AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM h WHERE len(hs) >= 4
+            ), fp AS (
+              SELECT doc_id, unnest(fps) AS fp FROM m
+            ), posting AS (
+              SELECT fp, count(*) AS dfreq, list(doc_id) AS ids
+              FROM fp GROUP BY fp
+            ), b AS (
+              SELECT fp, unnest(ids) AS id_a, ids
+              FROM posting WHERE dfreq <= 64
+            ), p AS (
+              SELECT id_a, unnest(ids) AS id_b FROM b
+            )
+            SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_shared
+            FROM p WHERE id_a < id_b
+            GROUP BY id_a, id_b HAVING count(*) >= 2
+            ORDER BY id_a, id_b
         """,
     }

@@ -1290,3 +1290,122 @@ def char_entropy(
         )
         .orderBy(id_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing local fingerprints (Schleimer, Wilkerson, Aiken 2003 — the
+# MOSS algorithm): char-k-gram rolling hashes, minimum per sliding
+# window of w hashes. Guarantee: any substring match of length
+# >= k + w - 1 between two documents shares at least one selected
+# fingerprint, and no match shorter than k is ever detected — the
+# local-fingerprint complement to whole-doc `normalized_fingerprint`
+# and to the shingle/MinHash pipeline (which samples globally and can
+# miss short verbatim reuse inside otherwise-different pages).
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Per-document winnowing fingerprint set: (id, fp) rows, one per
+    DISTINCT selected hash (positions dropped — cross-doc matching
+    needs the value set only, which also makes the tie rule moot: equal
+    minima select equal values).
+
+    Plan: normalization, k-gram slicing and hashing are ONE array
+    projection (JVM expressions, no UDF); the hashes then posexplode to
+    narrow (id, pos, h) rows and the per-window minimum is a per-doc
+    row_number-free sliding window (frame = [pos, pos+w-1]) followed by
+    a distinct fold — one doc-keyed exchange whose group size is the
+    doc's gram count, bounded by document length, never corpus-shaped.
+
+    The windows-minimum deliberately runs over ROWS, not nested array
+    lambdas: a transform(sequence(...), j -> array_min(slice(H, j, w)))
+    formulation re-evaluates the ENTIRE hash-array expression per
+    window element once the optimizer collapses projections —
+    O(len^2) md5 calls per document; measured as a wall-clock hang at
+    500 docs before this restructure.
+
+    Docs shorter than k + window - 1 normalized chars emit no rows
+    (nothing to guarantee).
+    """
+    if k < 2 or window < 1:
+        raise ValueError(f"need k >= 2, window >= 1, got k={k} w={window}")
+    from pyspark.sql.window import Window as W
+
+    c = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " ")
+    )
+    out = df.select(F.col(id_col), norm.alias("__n"))
+    # sequence(1, 0) DESCENDS in Spark (the ROUND5 bigram trap), so the
+    # transform is CASE-guarded on having at least one gram
+    grams = F.expr(
+        f"case when length(__n) >= {k} then "
+        f"transform(sequence(1, length(__n) - {k - 1}), "
+        f"i -> substring(__n, i, {k})) else array() end"
+    )
+    hashes = F.expr(
+        "transform(__grams, g -> "
+        "cast(conv(substring(md5(g), 1, 12), 16, 10) as bigint))"
+    )
+    rows = (
+        out.withColumn("__grams", grams)
+        .withColumn("__h", hashes)
+        .select(
+            F.col(id_col),
+            F.size("__h").alias("__ng"),
+            F.posexplode("__h").alias("__pos", "__hash"),
+        )
+    )
+    wspec = (
+        W.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    )
+    sel = (
+        rows.withColumn("__wmin", F.min("__hash").over(wspec))
+        # only full windows select a fingerprint (pos is 0-based)
+        .filter(F.col("__pos") <= F.col("__ng") - window)
+        .select(F.col(id_col), F.col("__wmin").alias("fp"))
+    )
+    return sel.distinct()
+
+
+def winnowing_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """Partial-overlap candidate pairs by shared winnowing fingerprints:
+    (id_a, id_b, n_shared) with id_a < id_b and n_shared >= min_shared.
+
+    The pair join is the inverted-index shape every dedup miner here
+    uses: fingerprints whose posting list exceeds ``max_fp_docs`` are
+    dropped BEFORE the self-join (boilerplate n-grams — a fingerprint
+    shared by thousands of docs pairs quadratically and identifies
+    nothing), so the join is bounded per key; the drop is an explicit
+    audit choice, the same stop-shingle discipline as
+    ``dedup.ngram_jaccard_pairs``."""
+    fps = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
+    posting = fps.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("__df"),
+        F.collect_list(F.col(id_col)).alias("__ids"),
+    )
+    bounded = posting.filter(F.col("__df") <= max_fp_docs)
+    pairs = bounded.select(
+        F.explode("__ids").alias("id_a"), F.col("__ids"), F.col("fp")
+    ).select(
+        "id_a", F.explode("__ids").alias("id_b"), "fp"
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
