@@ -154,13 +154,17 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     )
     # adjacent pairs via a JVM transform over the token array (indexes
-    # are 0-based in Spark's transform lambda)
+    # are 0-based in Spark's transform lambda). The array is bound once
+    # per row as a lambda variable — element_at({toks}, ...) inline
+    # would re-split the document for EVERY bigram (the O(tokens²)
+    # shingles() trap, same fix)
     bi = df.select(
         F.col(id_col),
         F.explode(
             F.expr(
-                f"transform(slice({toks}, 1, size({toks}) - 1),"
-                f" (x, i) -> concat(x, ' ', element_at({toks}, i + 2)))"
+                f"transform(array({toks}), a -> "
+                f"transform(slice(a, 1, size(a) - 1),"
+                f" (x, i) -> concat(x, ' ', element_at(a, i + 2))))[0]"
             )
         ).alias("gram"),
     )
