@@ -196,3 +196,27 @@ def test_knn_join_probe_is_equi_join_not_cartesian(spark):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_shingles_binds_token_array_once(spark):
+    """Regression pin for the O(tokens²) shingle trap: the split() call
+    must appear exactly once in the projected expression (bound as a
+    lambda variable), not inside the per-index lambda where it would
+    re-evaluate per shingle (measured 26× wall at 64× doc length)."""
+    from pyspark.sql import functions as F
+
+    from csv_cruncher_spark.operators.dedup import shingles
+    from csv_cruncher_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([("a b c d e",)], "text string")
+    expr_str = str(shingles("text", 3)._jc)
+    assert expr_str.count("split(") == 1
+    # and the bigram site of repetition_stats
+    rs = repetition_stats(
+        spark.createDataFrame([(1, "a b c")], "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    plan = rs._jdf.queryExecution().analyzed().toString()
+    gen = [l for l in plan.splitlines() if "Generate" in l and "transform" in l]
+    for line in gen:
+        assert line.count("split(") <= 1, line
