@@ -1347,11 +1347,16 @@ def winnowing_fingerprints(
     )
     out = df.select(F.col(id_col), norm.alias("__n"))
     # sequence(1, 0) DESCENDS in Spark (the ROUND5 bigram trap), so the
-    # transform is CASE-guarded on having at least one gram
+    # transform is CASE-guarded on having at least one gram. The string
+    # is split to a char ARRAY bound once per row (the shingles() lambda
+    # binding): substring(__n, i, k) seeks code points from the string
+    # start — O(i) per call, O(len²) per document, measured 18× wall at
+    # 16× doc length — while slice() on the bound array is O(k).
     grams = F.expr(
         f"case when length(__n) >= {k} then "
-        f"transform(sequence(1, length(__n) - {k - 1}), "
-        f"i -> substring(__n, i, {k})) else array() end"
+        f"transform(array(split(__n, '')), a -> "
+        f"transform(sequence(1, size(a) - {k - 1}), "
+        f"i -> concat_ws('', slice(a, i, {k}))))[0] else array() end"
     )
     hashes = F.expr(
         "transform(__grams, g -> "
