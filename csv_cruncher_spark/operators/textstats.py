@@ -1258,14 +1258,16 @@ def char_entropy(
     """
     chars = df.select(
         F.col(id_col),
-        # guard: sequence(1, 0) DESCENDS ([1, 0]) rather than producing
-        # an empty array — empty text must yield zero char rows
+        # split-to-chars, guarded: split('', '') yields [''] (one empty
+        # element) and empty text must yield ZERO char rows. split is
+        # one O(len) pass — the earlier transform(sequence(...),
+        # i -> substring(text, i, 1)) formulation seeks code points from
+        # the string start per index (O(len²) per document, the
+        # long-document trap BASELINE.md measures).
         F.explode(
             F.expr(
-                f"transform(if(length({text_col}) >= 1, "
-                f"sequence(1, length({text_col})), "
-                f"cast(array() as array<int>)), "
-                f"i -> substring({text_col}, i, 1))"
+                f"if(length({text_col}) >= 1, split({text_col}, ''), "
+                f"cast(array() as array<string>))"
             )
         ).alias("ch"),
     )
