@@ -1183,14 +1183,16 @@ def pmi_collocations(
     # guard: sequence(1, 0) DESCENDS ([1, 0]) rather than producing an
     # empty array, and element_at(_, 0) throws under ANSI — single-token
     # and empty docs must yield an empty pair list explicitly
+    # token array bound once per row (the shingles() lambda binding) —
+    # element_at(split(...), i) inline re-splits the document per bigram
     bi = df.select(
         F.explode(
             F.expr(
-                f"transform(if(size(split({text_col}, ' ')) >= 2, "
-                f"sequence(1, size(split({text_col}, ' ')) - 1), "
+                f"transform(array(split({text_col}, ' ')), a -> "
+                f"transform(if(size(a) >= 2, sequence(1, size(a) - 1), "
                 f"cast(array() as array<int>)), "
-                f"i -> struct(element_at(split({text_col}, ' '), i) AS w1, "
-                f"element_at(split({text_col}, ' '), i + 1) AS w2))"
+                f"i -> struct(element_at(a, i) AS w1, "
+                f"element_at(a, i + 1) AS w2)))[0]"
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
