@@ -202,6 +202,7 @@ def scd2_apply(
     op_col: str | None = None,
     tiebreak_col: str | None = None,
     collapse_unchanged: bool = False,
+    broadcast_keys_limit: int | None = None,
 ) -> DataFrame:
     """Apply one new change batch to an existing Type-2 history,
     touching ONLY the batch's keys.
@@ -217,10 +218,23 @@ def scd2_apply(
     version) are handled exactly: the rebuild re-sorts the key's full
     version list, splicing the late row into the middle of the
     timeline rather than corrupting the head.
+
+    ``broadcast_keys_limit``: the batch key set is broadcast for the
+    anti/semi joins only below this count (the merge path's
+    ``BROADCAST_WINNER_LIMIT`` discipline) — a bulk-load batch above it
+    falls back to ordinary shuffle joins, trading one history exchange
+    for not materializing a giant broadcast on every executor. The
+    check costs one count on the (already tiny) distinct-key frame.
     """
+    from ..lake.merge import BROADCAST_WINNER_LIMIT
+
+    if broadcast_keys_limit is None:
+        broadcast_keys_limit = BROADCAST_WINNER_LIMIT
     keys = batch.select(key_col).distinct()
-    untouched = history.join(F.broadcast(keys), on=key_col, how="left_anti")
-    touched_hist = history.join(F.broadcast(keys), on=key_col, how="left_semi")
+    if keys.count() <= broadcast_keys_limit:
+        keys = F.broadcast(keys)
+    untouched = history.join(keys, on=key_col, how="left_anti")
+    touched_hist = history.join(keys, on=key_col, how="left_semi")
     op = op_col or "op"
     replay = history_to_changes(
         touched_hist, key_col, payload_cols, op_col=op, ts_col=ts_col

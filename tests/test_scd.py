@@ -201,3 +201,17 @@ def test_prune_history_single_window_no_join(spark, base_log):
     h = scd.scd2_history(base_log, "url", "ts", PAY, op_col="op", tiebreak_col="row_idx")
     plan = scd.prune_history(h, "url", older_than=25)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_apply_shuffle_fallback_above_broadcast_limit(spark, base_log):
+    """A bulk-load batch above the key-broadcast limit must still apply
+    exactly (shuffle joins), identical to the broadcast path."""
+    batch = _log(spark, [("a", 30, "U", "a-v3", "en", 100),
+                         ("zz", 1, "I", "z", "en", 101)])
+    h1 = scd.scd2_history(base_log, "url", "ts", PAY, op_col="op", tiebreak_col="row_idx")
+    via_bcast = scd.scd2_apply(h1, batch, "url", "ts", PAY, op_col="op", tiebreak_col="row_idx")
+    via_shuffle = scd.scd2_apply(
+        h1, batch, "url", "ts", PAY, op_col="op", tiebreak_col="row_idx",
+        broadcast_keys_limit=0,
+    )
+    assert _hist_rows(via_bcast) == _hist_rows(via_shuffle)
