@@ -129,8 +129,13 @@ def resolve_partial_updates(
                 if c in fallback_state.columns
             ],
         )
+        # no forced broadcast: the state frame is batch-key-sized in the
+        # point-lookup path (AQE broadcasts it on its own) but can carry
+        # full html payloads for bulk batches in the semi-join fallback,
+        # where a forced broadcast would materialize gigabytes per
+        # executor
         resolved = resolved.join(
-            F.broadcast(state),
+            state,
             resolved[key_col] == F.col("__fb_key"),
             "left",
         ).drop("__fb_key")
@@ -162,15 +167,18 @@ def resolve_against_table(
     key_col: str = "url",
     ts_col: str = "warc_ts",
     tiebreak_col: str = "row_idx",
+    collect_keys_limit: int = 100_000,
 ) -> DataFrame:
     """Pipeline form: resolve a batch's placeholders with the lake
     table as fallback state, reading ONLY the keys that still need a
     value after the in-batch carry (bucket-pruned ``read_keys`` point
     lookup — O(unresolved keys), never a table scan).
 
-    The unresolved-key set is collected to the driver (it is bounded by
-    the batch's key count — the same order of driver state the
-    checkpoint manifest already carries per batch)."""
+    The unresolved-key set is collected to the driver only up to
+    ``collect_keys_limit`` (the change feed's bounded-collect
+    discipline); a bulk batch above it resolves through a distributed
+    semi-join against the full table read instead — correct at any
+    size, trading the bucket pruning for no driver state."""
     typed_cols = [
         c
         for c in batch.columns
@@ -189,13 +197,16 @@ def resolve_against_table(
         any_ph = any_ph | cond
     # keys whose EARLIEST event carries a placeholder can need state;
     # a coarse but cheap superset: any key with a placeholder row
-    need = [
-        r[0]
-        for r in batch.filter(any_ph).select(key_col).distinct().collect()
-    ]
-    if not need:
+    need_df = batch.filter(any_ph).select(key_col).distinct()
+    head = need_df.limit(collect_keys_limit + 1).collect()
+    if not head:
         return batch
-    state = table.read_keys(spark, need)
+    if len(head) <= collect_keys_limit:
+        state = table.read_keys(spark, [r[0] for r in head])
+    else:
+        state = table.read(spark).join(
+            need_df, on=key_col, how="left_semi"
+        )
     return resolve_partial_updates(
         batch,
         placeholder,
