@@ -3604,6 +3604,31 @@ def winnowing_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def winnowing_screened_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-overlap ADMISSION screen (textstats.winnowing_screen):
+    incoming batch docs (doc_id % 4 == 0) probed against the stored
+    winnowing fingerprint frame of the already-ingested corpus (the
+    other 3/4) — detects any shared normalized substring ≥ 11 chars at
+    O(batch) probe cost, corpus text never touched. Completes the
+    admission family (exact / MinHash-LSH / exact-Jaccard / Bloom) with
+    the quote-and-template-reuse dimension. Oracle replays the whole
+    construction (char grams → window minima → capped posting join →
+    pair counts) in DuckDB list comprehensions."""
+    from csv_cruncher_spark.operators.textstats import (
+        winnowing_fingerprints,
+        winnowing_screen,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    fps = winnowing_fingerprints(corpus, "doc_id", "text", k=8, window=4)
+    return winnowing_screen(
+        batch, fps, "doc_id", "text", k=8, window=4, min_shared=2,
+        max_fp_docs=64,
+    ).orderBy("batch_id", "corpus_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q1_pricing_summary(spark, "/root/testdata/sf0.001")
@@ -3763,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partial_update_resolution": partial_update_resolution,
         "events_versioned_join": events_versioned_join,
         "winnowing_dups": winnowing_dups,
+        "winnowing_screened_docs": winnowing_screened_docs,
     }
 
 
@@ -7511,5 +7537,44 @@ def oracle_sql() -> dict[str, str]:
             FROM p WHERE id_a < id_b
             GROUP BY id_a, id_b HAVING count(*) >= 2
             ORDER BY id_a, id_b
+        """,
+        "winnowing_screened_docs": """
+            WITH docs AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text),
+                          '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS n
+              FROM documents
+            ), g AS (
+              SELECT doc_id,
+                     list_transform(range(1, length(n) - 8 + 2),
+                                    i -> substr(n, i::INT, 8)) AS grams
+              FROM docs WHERE length(n) >= 8
+            ), h AS (
+              SELECT doc_id,
+                     list_transform(grams,
+                       x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs
+              FROM g
+            ), m AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                       j -> list_min(hs[j:j+3]))) AS fps
+              FROM h WHERE len(hs) >= 4
+            ), fp AS (
+              SELECT doc_id, unnest(fps) AS fp FROM m
+            ), corpus AS (
+              SELECT doc_id, fp FROM fp WHERE doc_id % 4 <> 0
+            ), hot AS (
+              SELECT fp FROM corpus GROUP BY fp HAVING count(*) > 64
+            ), store AS (
+              SELECT doc_id, fp FROM corpus
+              WHERE fp NOT IN (SELECT fp FROM hot)
+            ), probe AS (
+              SELECT doc_id, fp FROM fp WHERE doc_id % 4 = 0
+            )
+            SELECT p.doc_id AS batch_id, s.doc_id AS corpus_id,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM probe p JOIN store s USING (fp)
+            GROUP BY batch_id, corpus_id HAVING count(*) >= 2
+            ORDER BY batch_id, corpus_id
         """,
     }

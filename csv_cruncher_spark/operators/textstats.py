@@ -1422,3 +1422,49 @@ def winnowing_near_dups(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnowing_screen(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_docs: int = 64,
+) -> DataFrame:
+    """Batch-vs-corpus partial-overlap screen: which incoming documents
+    share winnowing fingerprints with ALREADY-INGESTED content — the
+    quote/template-reuse admission gate the whole-doc and MinHash
+    screens can't express (they compare documents globally; this
+    detects any shared normalized substring ≥ k + window - 1 chars).
+
+    ``corpus_fps`` is a stored (id, fp) frame from
+    :func:`winnowing_fingerprints` — parquet-persistable and
+    incrementally appendable like the Bloom/CMS stores; the corpus text
+    is never touched at probe time. Plan: O(batch) fingerprinting, ONE
+    fp equi-join against the store (corpus postings above
+    ``max_fp_docs`` dropped first — boilerplate fingerprints pair
+    quadratically and identify nothing), one pair aggregation. Returns
+    (batch id, corpus id, n_shared) with n_shared >= min_shared; the
+    admission decision is a semi/anti join on the batch id.
+    """
+    probe = winnowing_fingerprints(batch, id_col, text_col, k=k, window=window)
+    hot = (
+        corpus_fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_fp_docs)
+        .select("fp")
+    )
+    store = corpus_fps.join(hot, "fp", "left_anti")
+    pairs = probe.select(
+        F.col(id_col).alias("batch_id"), "fp"
+    ).join(
+        store.select(F.col(id_col).alias("corpus_id"), "fp"), "fp"
+    )
+    return (
+        pairs.groupBy("batch_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(int(min_shared)))
+    )

@@ -127,3 +127,24 @@ def test_fingerprint_plan_is_doc_keyed_and_python_free(spark, docs):
 def test_validation():
     with pytest.raises(ValueError):
         winnowing_fingerprints(None, "id", "t", k=1)
+
+
+def test_screen_flags_partial_reuse_against_stored_corpus(spark):
+    shared = "unique shared fragment of text long enough to guarantee"
+    corpus = spark.createDataFrame(
+        [("c1", f"corpus document one with {shared} inside it"),
+         ("c2", "corpus document two, entirely original")],
+        "doc_id string, text string",
+    )
+    fps = winnowing_fingerprints(corpus, "doc_id", "text")
+    batch = spark.createDataFrame(
+        [("b1", f"incoming page quoting {shared} verbatim"),
+         ("b2", "incoming page with fresh content only")],
+        "doc_id string, text string",
+    )
+    from csv_cruncher_spark.operators.textstats import winnowing_screen
+
+    hits = winnowing_screen(batch, fps, "doc_id", "text", min_shared=2).collect()
+    assert {(r.batch_id, r.corpus_id) for r in hits} == {("b1", "c1")}
+    # the store is (id, fp) only — probing never touches corpus text
+    assert set(fps.columns) == {"doc_id", "fp"}
