@@ -59,6 +59,19 @@ def main() -> int:
                          "MaintainedExtrema; groups from --agg-group): "
                          "insertions fold incrementally, extremum "
                          "retractions rescan ONLY the endangered groups")
+    ap.add_argument("--expect", action="append", default=[],
+                    metavar="NAME:ACTION[:OPS]:CONDITION",
+                    help="row-quality expectation (repeatable): name, "
+                         "action (warn|drop|dlq|fail), optional op scope "
+                         "(e.g. IU), and a SQL boolean the row must "
+                         "satisfy — e.g. "
+                         "\"https_only:drop:url LIKE 'https://%%'\" or "
+                         "\"lang_known:dlq:IU:lang IN ('en','de')\"")
+    ap.add_argument("--partial-updates", default=None, metavar="PLACEHOLDER",
+                    help="resolve Debezium/TOAST-style elided columns "
+                         "carrying this placeholder (cdc/patch.py): "
+                         "in-batch carry first, then a bucket-pruned "
+                         "point lookup of the table's current rows")
     ap.add_argument("--on-malformed", choices=["drop", "dlq"], default="drop",
                     help="dlq: quarantine keyless/unknown-op/bad-timestamp "
                          "rows to <table>/dlq/<batch> instead of lenient "
@@ -140,6 +153,26 @@ def main() -> int:
     else:
         from csv_cruncher_spark.cdc.pipeline import CdcPipeline
 
+        expectations = None
+        if args.expect:
+            from csv_cruncher_spark.cdc.expectations import Expectation
+
+            expectations = []
+            for spec in args.expect:
+                parts = spec.split(":", 2)
+                if len(parts) != 3:
+                    raise SystemExit(
+                        f"--expect needs NAME:ACTION[:OPS]:CONDITION, got {spec!r}"
+                    )
+                name, action, rest = parts
+                ops_part, sep, cond = rest.partition(":")
+                if sep and ops_part and set(ops_part) <= {"I", "U", "D"}:
+                    applies = tuple(ops_part)
+                else:
+                    applies, cond = ("I", "U", "D"), rest
+                expectations.append(
+                    Expectation(name, cond, action=action, applies_to=applies)
+                )
         pipe = CdcPipeline(
             args.table,
             n_buckets=args.buckets,
@@ -147,6 +180,8 @@ def main() -> int:
             compact_every=args.compact_every,
             compact_delta_bytes=args.compact_delta_bytes,
             on_malformed=args.on_malformed,
+            expectations=expectations,
+            partial_updates=args.partial_updates,
         )
         before = set(pipe.load_checkpoint()["batches_applied"])
         ckpt = pipe.run(
@@ -336,6 +371,7 @@ def main() -> int:
                 "sketch_estimate": sketch_estimate,
                 "scd2_versions": scd2_versions,
                 "scd2_current": scd2_current,
+                "expectation_violations": ckpt.get("expectation_violations"),
                 "rejected_rows": sum((ckpt.get("rejected_rows") or {}).values())
                 if args.on_malformed == "dlq" else None,
                 "corpus_rows": corpus_rows,

@@ -407,3 +407,26 @@ def test_replay_maintain_scd2(spark, change_log, monkeypatch, capsys, tmp_path):
     )
     assert res2["scd2_versions"] == res["scd2_versions"]
     assert res2["applied_batches"] == 0
+
+
+def test_replay_expectations_flag(spark, change_log, monkeypatch, capsys):
+    tp, paths = change_log
+    bdir = os.path.dirname(paths[0])
+    res = _run_replay(
+        monkeypatch, capsys,
+        ["--table", str(tp / "lake"), "--batches", bdir, "--buckets", "4",
+         "--expect", "https_only:drop:url LIKE 'https://%'",
+         "--expect", "lang_known:dlq:IU:lang IN ('en','de','cs','fr','es')"],
+    )
+    ev = res["expectation_violations"]
+    assert ev and all(
+        set(v["rules"]) == {"https_only", "lang_known"} for v in ev.values()
+    )
+    # payload rule scoped to IU: deletes applied, so no quarantined deletes
+    from csv_cruncher_spark.lake.table import LakeTable
+
+    langs = {
+        r.lang
+        for r in LakeTable.load(str(tp / "lake")).read(spark).select("lang").collect()
+    }
+    assert langs <= {"en", "de", "cs", "fr", "es"}
