@@ -495,7 +495,8 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=2)
     ap.add_argument("--buckets", type=int, default=32)
     ap.add_argument("--warmup", type=int, default=1)
-    ap.add_argument("--timed-reps", type=int, default=1)
+    ap.add_argument("--timed-reps", type=int, default=2,
+                    help="best-of-N timed CDC replays (fresh lake each): damps the ambient swing the round-4/5 driver runs showed (154-437k ev/s same code); each rep logs load1 at start+end")
     ap.add_argument("--batch-dir", default=None, help="reuse a pre-generated change log (--events/--urls/--batches must match its spec)")
     ap.add_argument("--max-partition-bytes", default="8m")
     ap.add_argument("--cdc-only", action="store_true")
