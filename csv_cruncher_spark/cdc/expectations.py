@@ -84,8 +84,18 @@ class Expectation:
             raise ValueError(
                 f"action must be one of {ACTIONS}, got {self.action!r}"
             )
-        if not self.name or "/" in self.name:
-            raise ValueError(f"invalid expectation name {self.name!r}")
+        import re
+
+        # names are embedded in column references (__ok_<name>) and a
+        # single-agg alias next to "__n": a dotted name parses as struct
+        # field access downstream, and "__n" collides with the internal
+        # row-count alias — validate strictly instead of failing deep in
+        # an AnalysisException mid-batch
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9_-]*", self.name) or self.name == "__n":
+            raise ValueError(
+                f"invalid expectation name {self.name!r}: use letters/"
+                "digits/underscore/dash, starting alphanumeric"
+            )
         bad_ops = set(self.applies_to) - {"I", "U", "D"}
         if bad_ops or not self.applies_to:
             raise ValueError(

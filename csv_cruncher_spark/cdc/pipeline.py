@@ -353,6 +353,17 @@ class CdcPipeline:
         expect_counts: dict[str, int] | None = None
         expect_dropped = expect_quarantined = 0
         ev = None
+        if self.partial_updates:
+            # resolve sparse events BEFORE the quality gate: a payload
+            # rule must judge the value the placeholder stands for, not
+            # the placeholder string — evaluated-first ordering
+            # quarantined legitimate rows (or fail-aborted the batch
+            # unretryably) whenever both features were on
+            from .patch import resolve_against_table
+
+            df = resolve_against_table(
+                spark, df, table, placeholder=self.partial_updates
+            )
         if self.expectations:
             from .expectations import (
                 ExpectationFailed,
@@ -391,12 +402,6 @@ class CdcPipeline:
                     os.path.join(self.table_path, "dlq", batch_id + ".expect")
                 )
             df = passed
-        if self.partial_updates:
-            from .patch import resolve_against_table
-
-            df = resolve_against_table(
-                spark, df, table, placeholder=self.partial_updates
-            )
         meta = batch_meta(path)
 
         # --- schema evolution in lockstep with the stream ---

@@ -161,19 +161,43 @@ class MaintainedScd2:
         self._persist(hist, applied + [batch_id])
         return True
 
-    def run(self, spark: SparkSession, batch_dir: str) -> dict:
+    def run(
+        self,
+        spark: SparkSession,
+        batch_dir: str,
+        include: str | None = None,
+        exclude: str | None = None,
+        max_batches: int | None = None,
+    ) -> dict:
         """Tail the binlog directory in replay order (the pipeline's
-        discovery rules), applying every un-applied batch. Returns the
+        discovery rules, including its include/exclude/max-batches
+        filters — pass the SAME values as the pipeline run or the
+        current-slice-mirrors-the-table contract only holds up to the
+        batch subset difference). The history is a view of the RAW
+        binlog by design (delete timestamps exist only there); rows the
+        pipeline's quality gates drop or quarantine still enter the
+        history, so with gating on, the mirror contract is "table =
+        current slice MINUS gated keys" (asserted exactly that way in
+        tests/test_warehouse_cycle_integration.py). Returns the
         resulting state manifest."""
         from ..cdc.pipeline import read_change_batch
+        from ..sources.discovery import filter_paths
 
         files = sorted(
             os.path.join(batch_dir, f)
             for f in os.listdir(batch_dir)
             if f.endswith((".csv", ".json")) and not f.endswith(".meta.json")
         )
+        files = sorted(filter_paths(files, include, exclude))
+        applied = set((self.state() or {}).get("batches_applied", []))
+        done = 0
         for path in files:
-            self.apply_batch(
+            if max_batches is not None and done >= max_batches:
+                break
+            if os.path.basename(path) in applied:
+                continue
+            if self.apply_batch(
                 spark, read_change_batch(spark, path), os.path.basename(path)
-            )
+            ):
+                done += 1
         return self.state()

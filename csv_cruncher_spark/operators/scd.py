@@ -275,21 +275,18 @@ def prune_history(
     history: DataFrame,
     key_col: str,
     older_than,
-    keep_current: bool = True,
     keep_last: int = 1,
 ) -> DataFrame:
     """Retention policy on a Type-2 history: drop versions whose
     interval ENDED before ``older_than`` (their ``valid_to`` — the
     moment they stopped being true — is older than the horizon),
-    keeping (a) every open/current version regardless of age when
-    ``keep_current`` (default), and (b) the ``keep_last`` most recent
+    keeping (a) every open/current version — a history whose current
+    state was pruned away is not a history; a GDPR-style full purge of
+    a key is a plain filter (``history.filter(col(key) != ...)``) and
+    needs no helper — and (b) the ``keep_last`` most recent
     CLOSED versions of each key even when expired, so a point-in-time
     query just behind the horizon still resolves (the Delta/Iceberg
     "keep N snapshots past retention" discipline at row granularity).
-
-    A GDPR-style full purge of a key is a plain filter
-    (``history.filter(col(key) != ...)``) and needs no helper; this
-    function is the storage-bound time policy.
 
     Plan: one window (row_number over closed versions per key, ordered
     valid_to DESC — group size = versions-per-key, bounded) + one
@@ -300,11 +297,7 @@ def prune_history(
         F.col("valid_to").isNotNull(), F.row_number().over(w)
     )
     out = history.withColumn("__cr", closed_rank)
-    keep = (
-        F.col("valid_to").isNull()
-        if keep_current
-        else F.lit(False)
-    )
+    keep = F.col("valid_to").isNull()
     keep = keep | (F.col("valid_to") >= F.lit(older_than))
     keep = keep | (F.col("__cr") <= F.lit(int(keep_last)))
     return out.filter(keep).drop("__cr")

@@ -1407,16 +1407,20 @@ def winnowing_near_dups(
     audit choice, the same stop-shingle discipline as
     ``dedup.ngram_jaccard_pairs``."""
     fps = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
-    posting = fps.groupBy("fp").agg(
-        F.count(F.lit(1)).alias("__df"),
-        F.collect_list(F.col(id_col)).alias("__ids"),
+    # hot fingerprints are identified from COUNTS ONLY and anti-joined
+    # out BEFORE any posting materializes — a collect_list-then-filter
+    # formulation builds the 100k-element array for exactly the
+    # boilerplate fingerprint the cap exists to drop (review finding)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_fp_docs)
+        .select("fp")
     )
-    bounded = posting.filter(F.col("__df") <= max_fp_docs)
-    pairs = bounded.select(
-        F.explode("__ids").alias("id_a"), F.col("__ids"), F.col("fp")
-    ).select(
-        "id_a", F.explode("__ids").alias("id_b"), "fp"
-    ).filter(F.col("id_a") < F.col("id_b"))
+    kept = fps.join(hot, "fp", "left_anti")
+    a = kept.select(F.col(id_col).alias("id_a"), "fp")
+    b = kept.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

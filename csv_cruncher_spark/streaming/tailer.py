@@ -40,10 +40,11 @@ class ChangeLogTailer:
         exclude: str | None = None,
         on_malformed: str = "drop",
         expectations=None,
+        partial_updates: str | None = None,
     ):
         self.pipeline = CdcPipeline(
             table_path, n_buckets=n_buckets, on_malformed=on_malformed,
-            expectations=expectations,
+            expectations=expectations, partial_updates=partial_updates,
         )
         self.batch_dir = batch_dir
         self.include = include

@@ -63,10 +63,14 @@ def _log(spark, n_urls: int, out_dir: str, tag: str) -> str:
         ).alias("op"),
         F.when(F.col("v") == 3, F.lit(None)).otherwise(
             F.concat(
-                F.lit("content v"), F.col("v").cast("string"), F.lit(" of "),
-                F.col("url"), F.lit(" "),
+                F.lit("content v"),
+                # v1 REPEATS v0's payload byte-for-byte so the
+                # unchanged-collapse path actually collapses a run in
+                # every key (a per-version marker would leave the
+                # collapse machinery timed but never triggered)
+                F.when(F.col("v") == 1, F.lit(0)).otherwise(F.col("v")).cast("string"),
+                F.lit(" of "), F.col("url"), F.lit(" "),
                 F.repeat(F.lit("x"), 160),
-                # v1 repeats v0's payload marker -> collapse path exercised
             )
         ).alias("text"),
         F.when(F.col("v") == 3, F.lit(None)).otherwise(

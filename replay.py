@@ -133,6 +133,26 @@ def main() -> int:
     spark = get_spark(app_name="cdc-replay", master=args.master)
 
     t0 = time.time()
+    expectations = None
+    if args.expect:
+        from csv_cruncher_spark.cdc.expectations import Expectation
+
+        expectations = []
+        for spec in args.expect:
+            parts = spec.split(":", 2)
+            if len(parts) != 3:
+                raise SystemExit(
+                    f"--expect needs NAME:ACTION[:OPS]:CONDITION, got {spec!r}"
+                )
+            name, action, rest = parts
+            ops_part, sep, cond = rest.partition(":")
+            if sep and ops_part and set(ops_part) <= {"I", "U", "D"}:
+                applies = tuple(ops_part)
+            else:
+                applies, cond = ("I", "U", "D"), rest
+            expectations.append(
+                Expectation(name, cond, action=action, applies_to=applies)
+            )
     if args.tail:
         from csv_cruncher_spark.streaming import ChangeLogTailer
 
@@ -143,6 +163,8 @@ def main() -> int:
             include=args.include,
             exclude=args.exclude,
             on_malformed=args.on_malformed,
+            expectations=expectations,
+            partial_updates=args.partial_updates,
         )
         tailer.pipeline.mode = args.mode
         tailer.pipeline.compact_every = args.compact_every
@@ -153,26 +175,6 @@ def main() -> int:
     else:
         from csv_cruncher_spark.cdc.pipeline import CdcPipeline
 
-        expectations = None
-        if args.expect:
-            from csv_cruncher_spark.cdc.expectations import Expectation
-
-            expectations = []
-            for spec in args.expect:
-                parts = spec.split(":", 2)
-                if len(parts) != 3:
-                    raise SystemExit(
-                        f"--expect needs NAME:ACTION[:OPS]:CONDITION, got {spec!r}"
-                    )
-                name, action, rest = parts
-                ops_part, sep, cond = rest.partition(":")
-                if sep and ops_part and set(ops_part) <= {"I", "U", "D"}:
-                    applies = tuple(ops_part)
-                else:
-                    applies, cond = ("I", "U", "D"), rest
-                expectations.append(
-                    Expectation(name, cond, action=action, applies_to=applies)
-                )
         pipe = CdcPipeline(
             args.table,
             n_buckets=args.buckets,
@@ -296,7 +298,8 @@ def main() -> int:
         from csv_cruncher_spark.lake.scd_view import MaintainedScd2
 
         sv2 = MaintainedScd2(args.maintain_scd2)
-        sv2.run(spark, args.batches)
+        sv2.run(spark, args.batches, include=args.include,
+                exclude=args.exclude, max_batches=args.max_batches)
         h = sv2.read(spark)
         scd2_versions = h.count()
         scd2_current = h.filter("is_current").count()

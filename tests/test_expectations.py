@@ -87,6 +87,10 @@ def test_bad_rule_validation(spark, frame):
         Expectation("x", "true", action="explode")
     with pytest.raises(ValueError):
         Expectation("a/b", "true")
+    with pytest.raises(ValueError):
+        Expectation("url.https", "true")  # dotted -> struct access downstream
+    with pytest.raises(ValueError):
+        Expectation("__n", "true")  # collides with the count alias
     with pytest.raises(ValueError, match="duplicate"):
         evaluate(frame, [Expectation("x", "true"), Expectation("x", "false")])
 

@@ -161,3 +161,52 @@ def test_pipeline_without_flag_applies_placeholder_verbatim(spark, tmp_path):
     CdcPipeline(tpath, n_buckets=2).run(spark, bdir)
     r = LakeTable.load(tpath).read(spark).collect()[0]
     assert bytes(r.html) == PH.encode()
+
+
+def test_resolution_runs_before_expectations(spark, tmp_path):
+    """A payload rule must judge the RESOLVED value, not the Debezium
+    placeholder: batch 2 elides lang (real value 'en', which passes
+    lang_known) — evaluated-first ordering quarantined the legitimate
+    row (review finding)."""
+    from csv_cruncher_spark.cdc.expectations import Expectation
+
+    bdir = str(tmp_path / "batches")
+    _write_batch(bdir, 0, [{
+        "op": "I", "url": "https://x.example/a",
+        "warc_ts": "2024-01-01 00:00:10",
+        "html": _b64("<html><body>v1</body></html>"), "lang": "en",
+    }])
+    _write_batch(bdir, 1, [{
+        "op": "U", "url": "https://x.example/a",
+        "warc_ts": "2024-01-01 00:00:20",
+        "html": _b64("<html><body>v2</body></html>"), "lang": PH,
+    }])
+    rules = [Expectation("lang_known", "lang IN ('en','de')",
+                         action="dlq", applies_to=("I", "U"))]
+    tpath = str(tmp_path / "lake")
+    ckpt = CdcPipeline(tpath, n_buckets=2, expectations=rules,
+                       partial_updates=PH).run(spark, bdir)
+    assert ckpt["expectation_violations"]["batch-00001.csv"]["quarantined"] == 0
+    r = LakeTable.load(tpath).read(spark).collect()[0]
+    assert r.lang == "en" and b"v2" in bytes(r.html)
+
+
+def test_tailer_passes_partial_updates(spark, tmp_path):
+    from csv_cruncher_spark.streaming.tailer import ChangeLogTailer
+
+    bdir = str(tmp_path / "batches")
+    _write_batch(bdir, 0, [{
+        "op": "I", "url": "https://x.example/a",
+        "warc_ts": "2024-01-01 00:00:10",
+        "html": _b64("<html><body>v1</body></html>"), "lang": "en",
+    }, {
+        "op": "U", "url": "https://x.example/a",
+        "warc_ts": "2024-01-01 00:00:20",
+        "html": _b64(PH), "lang": "de",
+    }])
+    tailer = ChangeLogTailer(str(tmp_path / "lake"), bdir, n_buckets=2,
+                             partial_updates=PH)
+    tailer.poll_once(spark)
+    r = LakeTable.load(str(tmp_path / "lake")).read(spark).collect()[0]
+    assert bytes(r.html) == b"<html><body>v1</body></html>"
+    assert r.lang == "de"
