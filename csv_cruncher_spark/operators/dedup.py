@@ -575,7 +575,14 @@ def hamming_banded_pairs(
     (round-3 verdict #3, shrinking the no_oracle set).
 
     Buckets over ``max_bucket`` are dropped before the self-join
-    (:func:`_cap_buckets`). Returns (id_a, id_b[, hamming]), id_a < id_b."""
+    (:func:`_cap_buckets`). Returns (id_a, id_b[, hamming]), id_a < id_b.
+
+    The signature frame is PINNED (round-6, guide §2.4): it feeds up to
+    three plan branches (the bucket-size cap plus both self-join sides),
+    and when the signature is an aggregation pipeline (simhash's explode
+    + 60-64 vote sums) each un-shared branch re-ran the whole vote
+    aggregation — measured 11.9 s → ~4 s on the sf0.1 xxhash entry.
+    Release with :func:`release` on the returned frame."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     banded = sig_df.select(
@@ -618,7 +625,7 @@ def hamming_banded_pairs(
             joined.select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
         )
-    return _with_dropped(out, dropped)
+    return _pin(sig_df, _with_dropped(out, dropped))
 
 
 def simhash_candidates(
@@ -965,18 +972,28 @@ def novelty_scores(
             ).alias("shingle"),
         )
     )
+    # Round-6 restructure (guide §2.4 — remove the shuffle outright): the
+    # old plan joined the exploded shingle frame back to the per-shingle
+    # MIN on the shingle key, re-shuffling every (id, shingle) row a
+    # second time just to count which ones were self-owned. But both
+    # outputs are pure aggregations of frames we already have:
+    #   n_novel(id)    = count of shingles whose first owner IS id
+    #                  = first.groupBy(first_id).count()
+    #   n_shingles(id) = sh.groupBy(id).count()
+    # — identical values, no shingle-keyed join, and the wide shingle
+    # frame is pinned so the explode runs once for both aggregations
+    # (release point on the returned frame via _pin).
     first = sh.groupBy("shingle").agg(F.min("id").alias("first_id"))
-    per_doc = (
-        sh.join(first, "shingle")
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_shingles"),
-            F.sum(
-                F.when(F.col("id") == F.col("first_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+    novel = first.groupBy(F.col("first_id").alias("id")).agg(
+        F.count("*").alias("n_novel")
     )
-    return (
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    per_doc = sizes.join(novel, "id", "left").select(
+        "id",
+        "n_shingles",
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+    )
+    out = (
         ids.join(per_doc, "id", "left")
         .select(
             "id",
@@ -985,6 +1002,7 @@ def novelty_scores(
             (F.col("n_novel") / F.col("n_shingles")).alias("novelty"),
         )
     )
+    return _pin(sh, out)
 
 
 def shingle_index(

@@ -50,6 +50,23 @@ _DOT_BIGINT = (
 )
 
 
+def _dot_bigint_expr(a: str, b: str, dim: int | None) -> str:
+    """The bigint dot as a flat UNROLLED codegen expression when ``dim``
+    is known (Spark's higher-order fold is interpreted per element and
+    dominated the pair stage — guide §1.2 per-task work). Integer sums
+    are order-independent and exact, so the unrolled form is trivially
+    bit-identical; the case guard keeps zip_with's null/length-mismatch
+    semantics on malformed rows via the legacy fold."""
+    fold = _DOT_BIGINT.format(a=a, b=b)
+    if not dim or dim <= 0:
+        return fold
+    terms = " + ".join(f"({a}[{i}] * {b}[{i}])" for i in range(dim))
+    return (
+        f"case when size({a}) = {dim} and size({b}) = {dim} "
+        f"then cast(0 as bigint) + {terms} else {fold} end"
+    )
+
+
 def quantize_vectors(
     df: DataFrame, id_col: str, vec_col: str, micro: int = 1_000_000
 ) -> DataFrame:
@@ -123,9 +140,12 @@ def semantic_dedup_pairs(
     and the sqrt/multiply/divide tail is correctly-rounded IEEE — the
     same value in Spark and DuckDB bit for bit. Zero-norm vectors yield
     NULL cosine and never pair."""
+    if centroids is None:
+        centroids = seed_centroids(df, id_col, vec_col, n_clusters, micro)
+    dim = len(centroids[0]) if centroids else None
     assigned = assign_clusters(df, id_col, vec_col, n_clusters, micro, centroids)
     withnorm = assigned.withColumn(
-        "_n", F.expr(_DOT_BIGINT.format(a="_vm", b="_vm"))
+        "_n", F.expr(_dot_bigint_expr("_vm", "_vm", dim))
     )
     a = withnorm.select(
         F.col("_id").alias("a_id"),
@@ -139,7 +159,7 @@ def semantic_dedup_pairs(
         F.col("_n").alias("_nb"),
         "cid",
     )
-    dot = F.expr(_DOT_BIGINT.format(a="_va", b="_vb"))
+    dot = F.expr(_dot_bigint_expr("_va", "_vb", dim))
     cosine = F.when(
         (F.col("_na") > 0) & (F.col("_nb") > 0),
         dot.cast("double")

@@ -36,6 +36,60 @@ def dot_expr(a: str, b: str) -> F.Column:
     )
 
 
+# ---- unrolled (codegen) kernels -------------------------------------------
+#
+# Spark's higher-order functions (aggregate/zip_with/transform) are evaluated
+# INTERPRETED — one lambda invocation per element — and they dominated every
+# pairwise-cosine entry (guide §1.2 "per-task work": knn_join_exact spent
+# ~85% of its 12.6 s in the fold, measured by swapping kernels). When the
+# dimensionality is known at plan time we emit the SAME arithmetic as a flat
+# left-associated expression: ``0.0 + (a[0]*b[0]) + (a[1]*b[1]) + ...``.
+# Left-association makes the addition order IDENTICAL to the fold's
+# ``((0 + t0) + t1) + ...`` — bit-for-bit, including the -0.0 first-term case
+# (the leading literal zero reproduces the fold's initial accumulator) — and
+# whole-stage codegen compiles it to straight-line JVM arithmetic.
+#
+# Every unrolled kernel is CASE-guarded on ``size(arr) = dim`` with the
+# original fold as the fallback branch, so length-mismatched or null inputs
+# keep the exact legacy semantics (zip_with's null-padding) and the unrolled
+# fast path only ever fires on well-formed rows.
+
+
+def _dot_unrolled(a: str, b: str, dim: int) -> str:
+    """Flat sequential-sum dot product (same summation order as dot_expr)."""
+    fold = (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS double) * cast(y AS double)),"
+        " cast(0.0 AS double), (acc, v) -> acc + v)"
+    )
+    if dim <= 0:
+        return fold
+    terms = " + ".join(
+        f"(cast({a}[{i}] AS double) * cast({b}[{i}] AS double))" for i in range(dim)
+    )
+    return (
+        f"case when size({a}) = {dim} and size({b}) = {dim} "
+        f"then cast(0.0 AS double) + {terms} else {fold} end"
+    )
+
+
+def _sq_norm_unrolled(a: str, dim: int) -> str:
+    """Flat sequential sum of squares (matches aggregate(transform(a,
+    x -> x * x)) bit-for-bit; elements coerced to double like the fold)."""
+    fold = (
+        f"aggregate(transform({a}, x -> cast(x AS double) * x),"
+        " cast(0.0 AS double), (a, b) -> a + b)"
+    )
+    if dim <= 0:
+        return fold
+    terms = " + ".join(
+        f"(cast({a}[{i}] AS double) * cast({a}[{i}] AS double))" for i in range(dim)
+    )
+    return (
+        f"case when size({a}) = {dim} then cast(0.0 AS double) + {terms} "
+        f"else {fold} end"
+    )
+
+
 def norm_expr(a: str) -> F.Column:
     return F.sqrt(dot_expr(a, a))
 
@@ -47,8 +101,14 @@ def cosine_to_query(df: DataFrame, vec_col: str, query: list[float], out_col: st
     ranking and pass every >= threshold filter."""
     qlit = "array(" + ", ".join(f"cast({v!r} AS double)" for v in query) + ")"
     df2 = df.withColumn("_q", F.expr(qlit))
-    denom = norm_expr(vec_col) * norm_expr("_q")
-    sim = F.when(denom > 0, dot_expr(vec_col, "_q") / denom)
+    # unrolled codegen kernels (dim = len(query)); same arithmetic and
+    # summation order as the folds, case-guarded fallback — see the
+    # unrolled-kernel note above
+    dim = len(query)
+    denom = F.sqrt(F.expr(_sq_norm_unrolled(vec_col, dim))) * F.sqrt(
+        F.expr(_sq_norm_unrolled("_q", dim))
+    )
+    sim = F.when(denom > 0, F.expr(_dot_unrolled(vec_col, "_q", dim)) / denom)
     return df2.withColumn(out_col, sim).drop("_q")
 
 
@@ -301,21 +361,22 @@ def pairwise_topk_within_buckets(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
     )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> cast(x AS double) * cast(y AS double)),"
-        " cast(0.0 AS double), (acc, v) -> acc + v)"
+    # norms are per-ROW: computed once per side before the pair join, and
+    # dot + norm run as UNROLLED codegen kernels (dim already inferred) —
+    # same arithmetic and summation order as the interpreted folds they
+    # replace, case-guarded fallback for mismatched rows
+    va = base.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.sqrt(F.expr(_sq_norm_unrolled("v", dim))).alias("__na"),
     )
-    denom = F.sqrt(
-        F.expr(
-            "aggregate(transform(va, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
-        )
-    ) * F.sqrt(
-        F.expr(
-            "aggregate(transform(vb, x -> cast(x AS double) * x), cast(0.0 AS double), (a, v) -> a + v)"
-        )
+    vb = base.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.sqrt(F.expr(_sq_norm_unrolled("v", dim))).alias("__nb"),
     )
+    dot = F.expr(_dot_unrolled("va", "vb", dim))
+    denom = F.col("__na") * F.col("__nb")
     # zero-norm guard: 0/0 = NaN and Spark's NaN >= threshold is TRUE, so
     # zero vectors would pass as near-dups of everything in their bucket
     sim = F.when(denom > 0, dot / denom)
@@ -383,25 +444,26 @@ def knn_join(
     )
     # norms are per-ROW, not per-pair — computed once on each side before
     # the join (the naive per-pair denominator tripled the fold work:
-    # measured 10.5 s → ~4 s on the sf0.1 exact entry)
-    sq = "aggregate(transform({v}, x -> x * x), cast(0.0 AS double), (a, b) -> a + b)"
+    # measured 10.5 s → ~4 s on the sf0.1 exact entry). Norm and per-pair
+    # dot are UNROLLED codegen kernels (dim known from the collected
+    # centroids) — the interpreted fold was ~85% of the exact entry's
+    # wall; same arithmetic, same summation order, case-guarded fallback.
+    dim = len(cvecs[0]) if cvecs else 0
     l_probed = (
         left.select(
             F.col(id_l).alias("__il"),
             F.col(vec_l).cast("array<double>").alias("_lv"),
         )
-        .withColumn("__nl", F.sqrt(F.expr(sq.format(v="_lv"))))
+        .withColumn("__nl", F.sqrt(F.expr(_sq_norm_unrolled("_lv", dim))))
         .withColumn("__cell", F.explode(probe_cells))
     )
     r_side = assigned.select(
         F.col(id_r).alias("__ir"),
         F.col(vec_r).cast("array<double>").alias("_rv"),
         F.col("centroid_id").alias("__cell"),
-    ).withColumn("__nr", F.sqrt(F.expr(sq.format(v="_rv"))))
+    ).withColumn("__nr", F.sqrt(F.expr(_sq_norm_unrolled("_rv", dim))))
     cand = l_probed.join(r_side, "__cell").filter(F.col("__il") != F.col("__ir"))
-    dot = F.expr(
-        "aggregate(zip_with(_lv, _rv, (x, y) -> x * y), cast(0.0 AS double), (a, v) -> a + v)"
-    )
+    dot = F.expr(_dot_unrolled("_lv", "_rv", dim))
     denom = F.col("__nl") * F.col("__nr")
     sim = F.when(denom > 0, dot / denom)
     # no pair-dedup needed: every right row lives in exactly ONE cell
@@ -424,8 +486,16 @@ def knn_join(
 
 def _centroid_d2s_expr(vec_col: str, centroids: list[list[float]]) -> str:
     """SQL expr: array of squared L2 distances from ``vec_col`` to each
-    centroid, with centroids embedded as an array<array<double>> LITERAL —
-    the whole computation is a codegen'd projection, no join."""
+    centroid, with centroids embedded as literals — the whole computation
+    is a codegen'd projection, no join.
+
+    Deliberately NOT unrolled (round-6): an unrolled n_centroids × dim
+    variant (8×64 ≈ 3000 expression nodes) pushed the containing
+    whole-stage-codegen unit past compilable size and Spark fell back to
+    interpreted execution for the WHOLE stage — semdedup_pairs went
+    4.6 s → 57 s, ann_ivf_topk 2.2 s → 12.3 s (measured). The per-pair
+    dot/norm kernels stay unrolled (they are ~250 nodes and win 2-3×);
+    the per-row centroid fold is not the dominant term anywhere."""
     cents = "array(" + ", ".join(
         "array(" + ", ".join(f"cast({v!r} as double)" for v in c) + ")"
         for c in centroids

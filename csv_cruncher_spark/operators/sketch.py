@@ -44,21 +44,33 @@ def count_min_build(
     """Build the sketch over the whitespace token stream of ``text_col``.
 
     Returns (row, bucket, c): one int64 counter per non-empty cell
-    (absent cells are zero — the probe coalesces). Plan: explode tokens
-    (narrow), replicate each token ``depth`` times via a literal-array
-    explode (still narrow), ONE hash aggregation on (row, bucket) whose
-    key space is depth·width — the map-side combine collapses any input
-    size to at most depth·width partial rows per task, which is the
-    whole point of the sketch."""
-    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-    rows = toks.select(
+    (absent cells are zero — the probe coalesces).
+
+    Plan (round-6 restructure — guide §1.2 per-task work): aggregate the
+    token stream to (token, n) FIRST (one partial-combined hash
+    aggregation on the vocabulary key), then hash each DISTINCT token
+    ``depth`` times and SUM the occurrence counts into (row, bucket).
+    The ``depth`` md5 evaluations per token — the dominant cost — now
+    run once per vocabulary entry instead of once per occurrence
+    (~100× fewer at web token frequencies); the cell counters are
+    identical because a cell's counter is the sum of the occurrence
+    counts of the tokens hashing into it. Both aggregations partial-
+    combine map-side (vocab keys, then depth·width keys), so the 100-TB
+    shape is unchanged."""
+    counts = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rows = counts.select(
         "tok",
+        "__n",
         F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
     )
     return (
-        rows.select("row", _bucket_for_rows("tok", width))
+        rows.select("row", _bucket_for_rows("tok", width), "__n")
         .groupBy("row", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("__n").alias("c"))
     )
 
 
@@ -118,8 +130,16 @@ def hll_build(
     return (
         # NULL items count as no item (countDistinct semantics); without
         # the filter F.concat would propagate a NULL-bucket register
-        # that corrupts present/zeros in the estimate
+        # that corrupts present/zeros in the estimate.
+        # Round-6: DISTINCT (group, item) first — (bucket, rho) is a pure
+        # function of the item, so duplicate occurrences contribute
+        # nothing to MAX(rho), and the md5 now runs once per distinct
+        # item instead of once per occurrence (guide §1.2). The distinct
+        # partial-combines map-side like the register agg did; registers
+        # are bit-identical.
         df.where(F.col(item_col).isNotNull())
+        .select(*gcols, item_col)
+        .distinct()
         .select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("r"))

@@ -593,6 +593,12 @@ def duplicate_spans(
     duplicated window, span_docs ≥ 2."""
     if span_tokens < 2:
         raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
+    from .dedup import _pin
+
+    # the span stream (one md5 per token window) feeds two branches —
+    # the distinct-doc count and the position join — so it is PINNED to
+    # keep the window hashing to one pass (round-6, guide §2.4; release
+    # with dedup.release on the result)
     stream = _span_stream(df, id_col, text_col, span_tokens, pattern)
     # distinct (h, doc) first, then per-hash doc count: exact distinct-doc
     # counts with no count-distinct Expand, 'the the the'-style in-doc
@@ -600,9 +606,9 @@ def duplicate_spans(
     per_doc = stream.select("h", id_col).distinct()
     counts = per_doc.groupBy("h").agg(F.count("*").alias("span_docs"))
     dup = counts.filter(F.col("span_docs") >= 2)
-    return (
-        stream.join(dup, "h")
-        .select(id_col, "pos", "span_docs")
+    return _pin(
+        stream,
+        stream.join(dup, "h").select(id_col, "pos", "span_docs"),
     )
 
 
@@ -614,6 +620,8 @@ def _span_stream(
     shared by :func:`duplicate_spans` (detection) and
     :func:`remove_duplicate_spans` (removal) so the window derivation
     cannot drift between them."""
+    from .dedup import _spread
+
     toks = F.expr(f"regexp_extract_all(lower({text_col}), '{pattern}', 0)")
     spans = F.when(
         F.size("__toks") >= k,
@@ -622,8 +630,10 @@ def _span_stream(
             f"i -> struct(i AS pos, md5(concat_ws(' ', slice(__toks, i, {k}))) AS h))"
         ),
     ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:string>>"))
+    # _spread (round-6): one md5 per token window is the heavy part and a
+    # one-split input ran it all in a single task
     return (
-        df.select(F.col(id_col), toks.alias("__toks"))
+        _spread(df.select(F.col(id_col), toks.alias("__toks")))
         .select(id_col, F.explode(spans).alias("s"))
         .select(id_col, F.col("s.pos").alias("pos"), F.col("s.h").alias("h"))
     )
@@ -670,6 +680,10 @@ def remove_duplicate_spans(
         raise ValueError(f"span_tokens must be >= 2, got {span_tokens}")
     k = span_tokens
     out_col = out_col or text_col
+    # (round-6) measured: pinning the span stream here LOST ~0.3 s — the
+    # four branches mostly share exchanges already, and caching 3M
+    # (id, pos, hex) rows costs more than the recompute; _span_stream's
+    # _spread is the win (single-split inputs ran the md5 single-task)
     stream = _span_stream(df, id_col, text_col, k, pattern)
     per_doc = stream.select("h", id_col).distinct()
     dup = (
@@ -701,7 +715,7 @@ def remove_duplicate_spans(
     # token-free docs survive posexplode_outer as one NULL-token row:
     # kept in the group, counted in neither tally
     keep = F.col("__cut").isNull() & F.col("__tok").isNotNull()
-    return marked.groupBy(id_col).agg(
+    out = marked.groupBy(id_col).agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -716,6 +730,7 @@ def remove_duplicate_spans(
         .cast("long")
         .alias("n_removed_tokens"),
     )
+    return out
 
 
 def importance_logweight(
@@ -1345,11 +1360,16 @@ def winnowing_fingerprints(
         raise ValueError(f"need k >= 2, window >= 1, got k={k} w={window}")
     from pyspark.sql.window import Window as W
 
+    from .dedup import _spread
+
     c = F.col(text_col)
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " ")
     )
-    out = df.select(F.col(id_col), norm.alias("__n"))
+    # _spread (round-6): a one-split parquet input ran the md5-per-char-
+    # position projection — the heaviest expression in the bench — in a
+    # SINGLE task; task parallelism must track the exploded size
+    out = _spread(df.select(F.col(id_col), norm.alias("__n")))
     # sequence(1, 0) DESCENDS in Spark (the ROUND5 bigram trap), so the
     # transform is CASE-guarded on having at least one gram. The string
     # is split to a char ARRAY bound once per row (the shingles() lambda
@@ -1406,6 +1426,13 @@ def winnowing_near_dups(
     nothing), so the join is bounded per key; the drop is an explicit
     audit choice, the same stop-shingle discipline as
     ``dedup.ngram_jaccard_pairs``."""
+    from .dedup import _pin
+
+    # the fingerprint frame is PINNED (round-6, guide §2.4): it feeds
+    # three plan branches (the hot-fp count plus both self-join sides),
+    # and each un-shared branch re-ran the md5-per-char-position
+    # fingerprinting — the single heaviest expression in the bench.
+    # Release with dedup.release on the returned frame.
     fps = winnowing_fingerprints(df, id_col, text_col, k=k, window=window)
     # hot fingerprints are identified from COUNTS ONLY and anti-joined
     # out BEFORE any posting materializes — a collect_list-then-filter
@@ -1421,11 +1448,12 @@ def winnowing_near_dups(
     a = kept.select(F.col(id_col).alias("id_a"), "fp")
     b = kept.select(F.col(id_col).alias("id_b"), "fp")
     pairs = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
-    return (
+    out = (
         pairs.groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    return _pin(fps, out)
 
 
 def winnowing_screen(
@@ -1454,6 +1482,8 @@ def winnowing_screen(
     (batch id, corpus id, n_shared) with n_shared >= min_shared; the
     admission decision is a semi/anti join on the batch id.
     """
+    from .dedup import _pin
+
     probe = winnowing_fingerprints(batch, id_col, text_col, k=k, window=window)
     hot = (
         corpus_fps.groupBy("fp")
@@ -1467,8 +1497,13 @@ def winnowing_screen(
     ).join(
         store.select(F.col(id_col).alias("corpus_id"), "fp"), "fp"
     )
-    return (
+    # the corpus store feeds two branches (hot-fp count + the probe join);
+    # pinning keeps a LIVE corpus fingerprint pipeline to one pass —
+    # a stored parquet frame just gets a cheap cache (round-6; release
+    # with dedup.release on the result)
+    out = (
         pairs.groupBy("batch_id", "corpus_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(int(min_shared)))
     )
+    return _pin(corpus_fps, out)
