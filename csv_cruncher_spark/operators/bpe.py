@@ -101,13 +101,19 @@ def bpe_train(
         merges: list[tuple[int, str, str, str, int]] = []
         cur = words
         for rank in range(1, n_merges + 1):
+            # the split array is bound ONCE per row as a lambda variable
+            # (the shingles() single-element-array trick): referencing
+            # split(trim(symstr)) inside the per-index lambda re-evaluated
+            # the split for EVERY pair — O(symbols^2) per word (round-5
+            # verdict finding #1; bounded by word length, but now gone)
             toks = "split(trim(symstr), '  ')"
             pairs = cur.select(
                 "freq",
                 F.explode(
                     F.expr(
-                        f"transform(slice({toks}, 1, size({toks}) - 1),"
-                        f" (x, i) -> struct(x as l, element_at({toks}, i + 2) as r))"
+                        f"transform(array({toks}), a -> "
+                        f"transform(slice(a, 1, size(a) - 1),"
+                        f" (x, i) -> struct(x as l, element_at(a, i + 2) as r)))[0]"
                     )
                 ).alias("p"),
             )

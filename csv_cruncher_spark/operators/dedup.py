@@ -120,7 +120,16 @@ def _spread(df: DataFrame) -> DataFrame:
     shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     if shuffle_parts >= par:
         plan = df._jdf.queryExecution().sparkPlan().toString()
-        if "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan:
+        if (
+            "Exchange hashpartitioning" in plan
+            or "Exchange rangepartitioning" in plan
+            # round-6: a frame another operator already _spread (round-
+            # robin repartition) is as wide as the session — composed
+            # operators (gopher → quality_metrics → repetition_stats)
+            # were otherwise stacking a fresh full-width shuffle per
+            # layer (measured 1.3 s → 10.2 s on the gopher entry)
+            or "Exchange roundrobinpartitioning" in plan
+        ):
             return df
     files = df.inputFiles()
     if files:
