@@ -23,6 +23,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def cdc_modes_bench(events: int = 1_000_000, urls: int = 150_000) -> None:
+    """Replay the same change log plain vs with the quality/history layer
+    (expectations + TOAST resolution) so the warehouse modes' overhead is
+    a measured number (r5 verdict #6). Prints one JSON line."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from csv_cruncher_spark.cdc.expectations import Expectation
+    from csv_cruncher_spark.cdc.fixtures import ChangeLogSpec, generate_change_log
+    from csv_cruncher_spark.cdc.pipeline import CdcPipeline
+    from csv_cruncher_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-extra-cdc-modes")
+    work = tempfile.mkdtemp(prefix="cdc_modes_")
+    out = {}
+    try:
+        bdir = os.path.join(work, "batches")
+        generate_change_log(ChangeLogSpec(
+            n_urls=urls, n_batches=2, events_per_batch=events // 2,
+            seed=42, out_dir=bdir,
+        ))
+        modes = {
+            "plain": {},
+            "expect_toast": {
+                "expectations": [
+                    Expectation("https_only", "url LIKE 'https://%'", action="drop"),
+                    Expectation(
+                        "lang_known",
+                        "lang IN ('en','de','cs','fr','es')",
+                        action="warn",
+                        applies_to=("I", "U"),
+                    ),
+                ],
+                "partial_updates": "__debezium_unavailable_value",
+            },
+        }
+        for name, kw in modes.items():
+            best = None
+            for rep in range(2):  # warmup + timed (fresh lake each)
+                lake = os.path.join(work, f"lake_{name}_{rep}")
+                t0 = _time.perf_counter()
+                CdcPipeline(lake, n_buckets=32, **kw).run(spark, bdir)
+                dt = _time.perf_counter() - t0
+                shutil.rmtree(lake, ignore_errors=True)
+                best = dt if best is None else min(best, dt)
+            out[name] = {
+                "seconds": round(best, 3),
+                "events_per_sec": round(events / best, 1),
+            }
+        print(json.dumps({"cdc_modes": out, "events": events}, separators=(",", ":")))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*", help="query names to time")
@@ -32,7 +87,13 @@ def main() -> None:
     ap.add_argument("--explain", default=None, help="directory for plan dumps")
     ap.add_argument("--suffix", default="before", help="plan file suffix")
     ap.add_argument("--no-time", action="store_true", help="explain only")
+    ap.add_argument("--cdc-modes", action="store_true",
+                    help="measure warehouse-mode replay overhead instead of queries")
     args = ap.parse_args()
+
+    if args.cdc_modes:
+        cdc_modes_bench()
+        return
 
     import __spark_entry__ as entrymod
     from csv_cruncher_spark.session import get_spark

@@ -851,7 +851,17 @@ def ngram_jaccard_pairs(
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
-    filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
+    # stop-shingle removal as an ANTI join on the (small) set of
+    # OVER-cap shingles instead of an equi-join against the full ≤max_df
+    # vocabulary (round-6, guide §3.1): the kept-vocabulary join shuffled
+    # every (id, shingle) row a second time just to re-admit ~all of
+    # them; the over-cap set is tiny at any healthy max_df and AQE turns
+    # the anti join into a broadcast at runtime from its ACTUAL size (no
+    # forced hint — a pathological corpus where the over-cap set is huge
+    # keeps the shuffle join, the scale-safe fallback).
+    # Identical row set — a shingle is kept iff its df_count <= max_df.
+    stop = dfreq.filter(F.col("df_count") > max_df).select("shingle")
+    filtered = sh.join(stop, "shingle", "left_anti")
     # sizes from the FILTERED shingle space: Jaccard is computed over the
     # post-stop-shingle vocabulary on BOTH sides of the fraction — mixing
     # pre-filter sizes with post-filter intersections systematically
@@ -914,7 +924,10 @@ def ngram_containment_pairs(
         F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("shingle"),
     )
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_count"))
-    filtered = sh.join(dfreq.filter(F.col("df_count") <= max_df), "shingle")
+    # ANTI join on the tiny over-cap set (see ngram_jaccard_pairs; AQE
+    # picks broadcast from the actual runtime size)
+    stop = dfreq.filter(F.col("df_count") > max_df).select("shingle")
+    filtered = sh.join(stop, "shingle", "left_anti")
     # sizes over the FILTERED vocabulary, like ngram_jaccard_pairs: the
     # numerator and denominator must share a shingle space or a doc made
     # mostly of stop-shingles scores far below its true containment
@@ -1100,8 +1113,10 @@ def incremental_jaccard_pairs(
             "jaccard",
         )
     )
-    # bsh feeds two branches (sizes + probe join); pin with a release point
-    return _pin(bsh, out)
+    # bsh feeds two branches (sizes + probe join), and a LIVE corpus index
+    # feeds two more (corpus sizes + probe join) — pin both with release
+    # points (a parquet-reloaded corpus_index just gets a cheap cache)
+    return _pin(postings, _pin(bsh, out))
 
 
 def admission_screen(

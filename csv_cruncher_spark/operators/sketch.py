@@ -57,11 +57,21 @@ def count_min_build(
     counts of the tokens hashing into it. Both aggregations partial-
     combine map-side (vocab keys, then depth·width keys), so the 100-TB
     shape is unchanged."""
-    counts = (
-        df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+    if df.isStreaming:
+        # structured streaming cannot chain two aggregations — a LIVE
+        # sketch keeps the legacy one-aggregation plan (hash per
+        # occurrence); identical counters either way
+        rows = toks.select(
+            "tok",
+            F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("row"),
+        )
+        return (
+            rows.select("row", _bucket_for_rows("tok", width))
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__n"))
     rows = counts.select(
         "tok",
         "__n",
@@ -136,14 +146,20 @@ def hll_build(
         # nothing to MAX(rho), and the md5 now runs once per distinct
         # item instead of once per occurrence (guide §1.2). The distinct
         # partial-combines map-side like the register agg did; registers
-        # are bit-identical.
-        df.where(F.col(item_col).isNotNull())
-        .select(*gcols, item_col)
-        .distinct()
+        # are bit-identical. Streaming inputs keep the legacy
+        # one-aggregation plan (a distinct before an agg is two chained
+        # aggregations, unsupported in structured streaming).
+        _maybe_distinct(df.where(F.col(item_col).isNotNull()), gcols, item_col)
         .select(*gcols, bucket.alias("bucket"), rho.alias("rho"))
         .groupBy(*gcols, "bucket")
         .agg(F.max("rho").alias("r"))
     )
+
+
+def _maybe_distinct(df: DataFrame, gcols: list, item_col: str) -> DataFrame:
+    if df.isStreaming:
+        return df
+    return df.select(*gcols, item_col).distinct()
 
 
 def _check_m(m: int) -> None:
