@@ -98,8 +98,16 @@ def bpe_train(
     )
     words = words.cache()
     try:
+        # Round-6: the merge rounds are driver-sequenced jobs over the
+        # CACHED vocabulary; their latency is task count, not data.
+        # Right-size the per-round scan from the vocabulary's actual row
+        # count (the count also materializes the cache at full
+        # parallelism first): ~2M words per task — 1 task per round at
+        # bench scale, thousands at web-vocabulary scale; pair counts
+        # are integer sums, identical under any partitioning.
+        n_words = words.count()
         merges: list[tuple[int, str, str, str, int]] = []
-        cur = words
+        cur = words.coalesce(max(1, min(n_words // 2_000_000 + 1, 10_000)))
         for rank in range(1, n_merges + 1):
             # the split array is bound ONCE per row as a lambda variable
             # (the shingles() single-element-array trick): referencing

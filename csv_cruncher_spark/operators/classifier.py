@@ -203,13 +203,25 @@ def train_logreg(
     bit-for-bit across engines.
     """
     w = [0.0] * (len(feature_cols) + 1)
+    # Round-6: the iterations are driver-sequenced jobs whose latency is
+    # TASK COUNT, not data — a tiny cached feature frame spread over the
+    # session's default partitions paid ~32 tasks × 2 stages per
+    # iteration for a few thousand rows. Right-size the per-iteration
+    # scan from the frame's ACTUAL row count (one count job, amortized
+    # over ``iters``; it also materializes a caller-persisted frame at
+    # full parallelism before the narrow coalesce): ~2M rows per task —
+    # at bench scale that is 1 task per iteration, at 10^10 rows it is
+    # thousands, and integer partial sums are identical under any
+    # partitioning.
+    n_rows = feats.count()
+    scan = feats.coalesce(max(1, min(n_rows // 2_000_000 + 1, 10_000)))
     for _ in range(iters):
         q = F.expr(sigmoid_micro_sql(w, feature_cols))
         r = q - F.lit(MICRO) * F.col(label_col).cast("long")
         aggs = [F.sum(r).alias("g0"), F.count(F.lit(1)).alias("n")] + [
             F.sum(r * F.col(c)).alias(f"g{j + 1}") for j, c in enumerate(feature_cols)
         ]
-        row = feats.agg(*aggs).collect()[0]
+        row = scan.agg(*aggs).collect()[0]
         n = row["n"]
         w = [w[0] - lr * (row["g0"] / (n * 1000000.0))] + [
             w[j + 1] - lr * (row[f"g{j + 1}"] / (n * 1000000000000.0))

@@ -140,10 +140,17 @@ def semantic_dedup_pairs(
     and the sqrt/multiply/divide tail is correctly-rounded IEEE — the
     same value in Spark and DuckDB bit for bit. Zero-norm vectors yield
     NULL cosine and never pair."""
+    from .dedup import _pin
+
     if centroids is None:
         centroids = seed_centroids(df, id_col, vec_col, n_clusters, micro)
     dim = len(centroids[0]) if centroids else None
     assigned = assign_clusters(df, id_col, vec_col, n_clusters, micro, centroids)
+    # pin the assigned+normed frame: it feeds BOTH sides of the pair join,
+    # and each un-shared side re-ran the quantize + interpreted
+    # nearest-centroid argmin fold (n_clusters × dim lambda steps per
+    # row) — measured ~0.8 s per extra evaluation at sf0.1 (round-6,
+    # guide §2.4). Release with dedup.release on the result.
     withnorm = assigned.withColumn(
         "_n", F.expr(_dot_bigint_expr("_vm", "_vm", dim))
     )
@@ -165,13 +172,14 @@ def semantic_dedup_pairs(
         dot.cast("double")
         / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
     )
-    return (
+    out = (
         a.join(b, "cid")
         .where(F.col("a_id") < F.col("b_id"))
         .withColumn("cosine", cosine)
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cid", "cosine")
     )
+    return _pin(withnorm, out)
 
 
 def semantic_dedup(

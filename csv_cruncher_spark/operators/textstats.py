@@ -633,7 +633,11 @@ def _span_stream(
         ),
     ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:string>>"))
     # _spread (round-6): one md5 per token window is the heavy part and a
-    # one-split input ran it all in a single task
+    # one-split input ran it all in a single task. (An Arrow/hashlib
+    # kernel like winnowing's was tried and measured SLOWER here — 0.43 s
+    # vs 0.32 s: the span count is ~40× smaller than winnowing's char
+    # grams, so Arrow-shipping every token array costs more than the
+    # interpreted per-window lambda saves.)
     return (
         _spread(df.select(F.col(id_col), toks.alias("__toks")))
         .select(id_col, F.explode(spans).alias("s"))
@@ -1335,11 +1339,18 @@ def winnowing_fingerprints(
     text_col: str,
     k: int = 8,
     window: int = 4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Per-document winnowing fingerprint set: (id, fp) rows, one per
     DISTINCT selected hash (positions dropped — cross-doc matching
     needs the value set only, which also makes the tie rule moot: equal
     minima select equal values).
+
+    ``engine``: "arrow" (default) computes hashing + window minima +
+    per-doc distinct inside one Arrow-batched pandas UDF (see the
+    round-6 kernel note below); "expr" keeps the pure JVM-expression
+    path — value-identical (engine-parity pinned by test) and the
+    reference semantics the DuckDB oracles replay.
 
     Plan: normalization, k-gram slicing and hashing are ONE array
     projection (JVM expressions, no UDF); the hashes then posexplode to
@@ -1360,18 +1371,74 @@ def winnowing_fingerprints(
     """
     if k < 2 or window < 1:
         raise ValueError(f"need k >= 2, window >= 1, got k={k} w={window}")
-    from pyspark.sql.window import Window as W
-
     from .dedup import _spread
 
     c = F.col(text_col)
     norm = F.trim(
         F.regexp_replace(F.regexp_replace(F.lower(c), "[^a-z0-9 ]", ""), " +", " ")
     )
-    # _spread (round-6): a one-split parquet input ran the md5-per-char-
-    # position projection — the heaviest expression in the bench — in a
-    # SINGLE task; task parallelism must track the exploded size
+    # _spread (round-6): a one-split parquet input ran the per-position
+    # hashing — the heaviest expression in the bench — in a SINGLE task;
+    # task parallelism must track the exploded size
     out = _spread(df.select(F.col(id_col), norm.alias("__n")))
+    if engine == "arrow":
+        # Round-6 kernel (guide §4.2 — hand whole batches to vectorized
+        # native code): per document the md5-per-char-position hashing and
+        # the sliding-window minimum run inside ONE Arrow-batched pandas
+        # UDF — hashlib's C md5 replaces Catalyst's interpreted
+        # per-element transform lambda (string slice + concat_ws + md5 +
+        # conv per position), the window minimum is w-1 vectorized numpy
+        # elementwise minima instead of a doc-keyed exchange + sort +
+        # running-min window over EVERY char position, and the per-doc
+        # distinct is np.unique — so the whole operator needs no exchange
+        # at all before the (tiny) fingerprint rows explode.
+        # Exactness: hash = int of the first 6 bytes of md5(gram), the
+        # same 48-bit value as cast(conv(substring(md5(g),1,12),16,10) as
+        # bigint) — the normalized text is pure ASCII by construction so
+        # Python/JVM utf-8 agree byte-for-byte; selection = min per
+        # rolling window, values-only distinct — pinned equal to the
+        # JVM-expression path on real data by test_winnowing.py's
+        # engine-parity test and by every winnowing oracle entry.
+        import pandas as pd  # noqa: F401 (Arrow batch carrier)
+        from pyspark.sql.functions import pandas_udf
+
+        kk, ww = int(k), int(window)
+
+        @pandas_udf("array<bigint>")
+        def _fps(s):
+            import hashlib
+
+            import pandas as pd
+
+            import numpy as np
+
+            md5 = hashlib.md5
+            res = []
+            for t in s:
+                if t is None or len(t) < kk + ww - 1:
+                    res.append([])
+                    continue
+                b = t.encode("utf-8")
+                n = len(b) - kk + 1
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(md5(b[i : i + kk]).digest()[:6], "big")
+                        for i in range(n)
+                    ),
+                    dtype=np.int64,
+                    count=n,
+                )
+                m = hs[: n - ww + 1].copy()
+                for j in range(1, ww):
+                    np.minimum(m, hs[j : j + n - ww + 1], out=m)
+                res.append(np.unique(m))
+            return pd.Series(res)
+
+        return out.select(
+            F.col(id_col), F.explode(_fps("__n")).alias("fp")
+        )
+    from pyspark.sql.window import Window as W
+
     # sequence(1, 0) DESCENDS in Spark (the ROUND5 bigram trap), so the
     # transform is CASE-guarded on having at least one gram. The string
     # is split to a char ARRAY bound once per row (the shingles() lambda

@@ -106,13 +106,13 @@ def test_near_dup_pairs_and_cap(spark):
 
 
 def test_fingerprint_plan_is_doc_keyed_and_python_free(spark, docs):
-    """The gram/hash build is a pure projection; the ONLY exchanges are
-    the doc-keyed window and the distinct fold (group size bounded by
-    document length). The nested-array-lambda formulation this replaced
-    re-evaluated the hash array per window element (O(len²) md5s —
-    measured as a hang); row-windows keep it linear."""
+    """engine="expr": the gram/hash build is a pure projection; the ONLY
+    exchanges are the doc-keyed window and the distinct fold (group size
+    bounded by document length). The nested-array-lambda formulation this
+    replaced re-evaluated the hash array per window element (O(len²)
+    md5s — measured as a hang); row-windows keep it linear."""
     plan = (
-        winnowing_fingerprints(docs, "doc_id", "text")
+        winnowing_fingerprints(docs, "doc_id", "text", engine="expr")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -122,6 +122,32 @@ def test_fingerprint_plan_is_doc_keyed_and_python_free(spark, docs):
     # the window's doc_id partitioning, so Catalyst plans no second one
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Generate posexplode" in plan or "posexplode" in plan
+
+
+def test_fingerprint_arrow_engine_matches_expr_and_is_exchange_free(spark, docs):
+    """engine="arrow" (default, round-6): hashing + window minima +
+    per-doc distinct run inside one Arrow-batched UDF — value-identical
+    to the JVM-expression path on real data, Arrow-batched (never
+    row-at-a-time Python), and with NO exchange at all (per-doc work
+    needs no shuffle)."""
+    a = sorted(
+        map(tuple, winnowing_fingerprints(docs, "doc_id", "text",
+                                          engine="expr").collect())
+    )
+    b = sorted(
+        map(tuple, winnowing_fingerprints(docs, "doc_id", "text",
+                                          engine="arrow").collect())
+    )
+    assert a == b and len(a) > 0
+    plan = (
+        winnowing_fingerprints(docs, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan  # Arrow-batched only
+    assert "ArrowEvalPython" in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_validation():
