@@ -698,10 +698,26 @@ def connected_components(
     # the edge list is loop-invariant but its lineage is the (expensive)
     # pair-mining pipeline — materialize it ONCE so each propagation
     # round joins against cached (u, v) longs instead of re-running the
-    # mining per iteration
+    # mining per iteration. Both edge directions come from ONE explode
+    # over each mined pair (round-6, guide §2.4): the previous
+    # union(pairs, pairs.swapped) referenced the mining plan TWICE, and
+    # since only the exploded shingle frame is pinned inside the miners,
+    # the candidate self-join + aggregations ran once per reference —
+    # measured ~2 s of the dedup trio's wall at sf0.1.
     edges = (
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .unionByName(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("u"), F.col(id_b).alias("v")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("u"), F.col(id_a).alias("v")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.u", "_e.v")
         .distinct()
         .localCheckpoint()
     )

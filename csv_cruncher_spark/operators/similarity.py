@@ -424,44 +424,83 @@ def knn_join(
     Returns (id_l, id_r, cosine, rank)."""
     from pyspark.sql.window import Window
 
-    if centroids is None:
-        centroids = ivf_train_centroids(right, vec_r, n_centroids=n_centroids)
-    if assigned is None:
-        assigned = ivf_assign(right, id_r, vec_r, centroids)
-    rows = centroids.orderBy("centroid_id").collect()  # ≤ n_centroids rows
-    cvecs = [list(r["centroid"]) for r in rows]
-    cids = [int(r["centroid_id"]) for r in rows]
-    n_cells = len(cvecs)
-    n_probe = min(n_probe, n_cells)
-    # top-n_probe cells per left row, as ONE projection: sort the
-    # (distance, position) structs, slice, map position → centroid id
-    dists = _centroid_d2s_expr("_lv", cvecs)
-    id_arr = "array(" + ", ".join(str(i) for i in cids) + ")"
-    probe_cells = F.expr(
-        f"transform(slice(array_sort(zip_with({dists}, sequence(0, {n_cells - 1}),"
-        f" (d, i) -> struct(d AS d, i AS i))), 1, {n_probe}),"
-        f" s -> element_at({id_arr}, s.i + 1))"
-    )
-    # norms are per-ROW, not per-pair — computed once on each side before
-    # the join (the naive per-pair denominator tripled the fold work:
-    # measured 10.5 s → ~4 s on the sf0.1 exact entry). Norm and per-pair
-    # dot are UNROLLED codegen kernels (dim known from the collected
-    # centroids) — the interpreted fold was ~85% of the exact entry's
-    # wall; same arithmetic, same summation order, case-guarded fallback.
-    dim = len(cvecs[0]) if cvecs else 0
-    l_probed = (
-        left.select(
-            F.col(id_l).alias("__il"),
-            F.col(vec_l).cast("array<double>").alias("_lv"),
+    if centroids is None and assigned is None and n_probe >= n_centroids:
+        # EXACT mode without a pre-trained index (round-6, guide §1.2
+        # "don't compute things you throw away"): when every cell is
+        # probed, the cell partitioning cannot change the output — every
+        # (left, right) pair is compared exactly once whatever cells
+        # look like, so the k-means training jobs (init collect + Lloyd
+        # iterations, each an interpreted centroid fold over the whole
+        # right side) are pure overhead. Cells come from a hash of the
+        # right id instead (uniform equi-join keys, same join shape and
+        # the same one-cell-per-right-row pair-uniqueness argument); the
+        # left side probes the constant full cell list. Null/zero-norm/
+        # mismatched vectors still never rank: they reach the join but
+        # their cosine is NULL (guarded denominator / fold fallback) and
+        # the isNotNull filter below drops them — the same rows the
+        # trained path drops at assignment time. Pinned against the
+        # trained path by test_knn_exact_fastpath_matches_trained.
+        try:
+            dim = _infer_dim(right, vec_r)
+        except ValueError:
+            dim = 0  # no usable vectors: every cosine is NULL → empty out
+        n_cells = max(1, n_centroids)
+        l_probed = (
+            left.select(
+                F.col(id_l).alias("__il"),
+                F.col(vec_l).cast("array<double>").alias("_lv"),
+            )
+            .withColumn("__nl", F.sqrt(F.expr(_sq_norm_unrolled("_lv", dim))))
+            .withColumn(
+                "__cell", F.explode(F.expr(f"sequence(0, {n_cells - 1})"))
+            )
         )
-        .withColumn("__nl", F.sqrt(F.expr(_sq_norm_unrolled("_lv", dim))))
-        .withColumn("__cell", F.explode(probe_cells))
-    )
-    r_side = assigned.select(
-        F.col(id_r).alias("__ir"),
-        F.col(vec_r).cast("array<double>").alias("_rv"),
-        F.col("centroid_id").alias("__cell"),
-    ).withColumn("__nr", F.sqrt(F.expr(_sq_norm_unrolled("_rv", dim))))
+        r_side = right.select(
+            F.col(id_r).alias("__ir"),
+            F.col(vec_r).cast("array<double>").alias("_rv"),
+            F.pmod(F.xxhash64(F.col(id_r)), F.lit(n_cells))
+            .cast("int")
+            .alias("__cell"),
+        ).withColumn("__nr", F.sqrt(F.expr(_sq_norm_unrolled("_rv", dim))))
+    else:
+        if centroids is None:
+            centroids = ivf_train_centroids(right, vec_r, n_centroids=n_centroids)
+        if assigned is None:
+            assigned = ivf_assign(right, id_r, vec_r, centroids)
+        rows = centroids.orderBy("centroid_id").collect()  # ≤ n_centroids rows
+        cvecs = [list(r["centroid"]) for r in rows]
+        cids = [int(r["centroid_id"]) for r in rows]
+        n_cells = len(cvecs)
+        n_probe = min(n_probe, n_cells)
+        # top-n_probe cells per left row, as ONE projection: sort the
+        # (distance, position) structs, slice, map position → centroid id
+        dists = _centroid_d2s_expr("_lv", cvecs)
+        id_arr = "array(" + ", ".join(str(i) for i in cids) + ")"
+        probe_cells = F.expr(
+            f"transform(slice(array_sort(zip_with({dists}, sequence(0, {n_cells - 1}),"
+            f" (d, i) -> struct(d AS d, i AS i))), 1, {n_probe}),"
+            f" s -> element_at({id_arr}, s.i + 1))"
+        )
+        # norms are per-ROW, not per-pair — computed once on each side before
+        # the join (the naive per-pair denominator tripled the fold work:
+        # measured 10.5 s → ~4 s on the sf0.1 exact entry). Norm and per-pair
+        # dot are UNROLLED codegen kernels (dim known from the collected
+        # centroids) — the interpreted fold was ~85% of the exact entry's
+        # wall; same arithmetic, same summation order, case-guarded fallback.
+        dim = len(cvecs[0]) if cvecs else 0
+        l_probed = (
+            left.select(
+                F.col(id_l).alias("__il"),
+                F.col(vec_l).cast("array<double>").alias("_lv"),
+            )
+            .withColumn("__nl", F.sqrt(F.expr(_sq_norm_unrolled("_lv", dim))))
+            .withColumn("__cell", F.explode(probe_cells))
+        )
+        r_side = assigned.select(
+            F.col(id_r).alias("__ir"),
+            F.col(vec_r).cast("array<double>").alias("_rv"),
+            F.col("centroid_id").alias("__cell"),
+        ).withColumn("__nr", F.sqrt(F.expr(_sq_norm_unrolled("_rv", dim))))
     cand = l_probed.join(r_side, "__cell").filter(F.col("__il") != F.col("__ir"))
     dot = F.expr(_dot_unrolled("_lv", "_rv", dim))
     denom = F.col("__nl") * F.col("__nr")
@@ -627,6 +666,31 @@ def ivf_topk(
     n_probe; n_probe == n_centroids degenerates to exact brute force.
     Pass pre-trained ``centroids``/``assigned`` to amortize training
     across queries (the production shape: train once, probe many)."""
+    if centroids is None and assigned is None and n_probe >= n_centroids:
+        # FULL probe without a pre-trained index (round-6, guide §1.2):
+        # every inverted list is probed, so the cell partitioning cannot
+        # change the output and the k-means training jobs are pure
+        # overhead. Keep the trained path's row-exclusion semantics —
+        # rows whose assignment would be NULL (null vector, wrong dim,
+        # NaN element → every centroid distance null/NaN → argmin -1)
+        # must still not reach the rerank, or a short corpus would emit
+        # null-cosine rows the trained path drops. Non-finite-but-NaN-free
+        # magnitudes (elements beyond ~1e154, ±Inf) are outside the
+        # contract either way: the trained path itself gives them
+        # centroid-dependent NaN cosines. Pinned by
+        # test_ivf_topk_fullprobe_fastpath_matches_trained.
+        try:
+            dim = _infer_dim(df, vec_col)
+        except ValueError:
+            return brute_force_topk(
+                df.filter(F.lit(False)), id_col, vec_col, query, k=k
+            )
+        shard = df.filter(
+            F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == dim)
+            & ~F.expr(f"exists({vec_col}, x -> isnull(x) or isnan(cast(x as double)))")
+        )
+        return brute_force_topk(shard, id_col, vec_col, query, k=k)
     if centroids is None:
         centroids = ivf_train_centroids(df, vec_col, n_centroids=n_centroids)
     if assigned is None:

@@ -359,6 +359,103 @@ def test_knn_join_approximate_finds_planted_neighbors(spark):
         assert got[lid] == (lid - 10_000_000, 1.0)
 
 
+def test_knn_exact_fastpath_matches_trained(spark):
+    """Round-6 pin: knn_join's exact mode (n_probe >= n_centroids) skips
+    k-means training — the cell partitioning cannot change which pairs
+    are compared (all of them, each exactly once), so hash-of-id cells
+    must yield BIT-identical output to the trained-centroid path,
+    including the degenerate rows (null vector, zero norm, wrong dim)
+    the trained path drops at assignment time."""
+    import os as _os
+
+    from csv_cruncher_spark.operators import similarity
+
+    sf_dir = _os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    ).select(F.col("vec_id").alias("id"), F.expr(
+        "transform(embedding, x -> cast(x AS double))").alias("embedding"))
+    degenerate = spark.createDataFrame(
+        [
+            (10_000_001, None),                # null vector
+            (10_000_002, [0.0] * 64),          # zero norm
+            (10_000_003, [1.0, 2.0]),          # wrong dim
+        ],
+        "id: bigint, embedding: array<double>",
+    )
+    right = emb.limit(200).unionByName(degenerate)
+    left = emb.filter(F.col("id") % 25 == 0).select(
+        F.col("id").alias("id_l"), "embedding"
+    ).unionByName(degenerate.select(F.col("id").alias("id_l"), "embedding"))
+    r_named = right.select(F.col("id").alias("id_r"), "embedding")
+
+    fast = similarity.knn_join(
+        left, r_named, "id_l", "id_r", "embedding", "embedding",
+        k=5, n_centroids=8, n_probe=8,
+    ).collect()
+    # force the legacy trained path by passing pre-trained centroids
+    cents = similarity.ivf_train_centroids(r_named, "embedding", n_centroids=8)
+    trained = similarity.knn_join(
+        left, r_named, "id_l", "id_r", "embedding", "embedding",
+        k=5, n_centroids=8, n_probe=8, centroids=cents,
+    ).collect()
+
+    key = lambda r: (r["id_l"], r["rank"])  # noqa: E731
+    fast_m = {key(r): (r["id_r"], r["cosine"]) for r in fast}
+    trained_m = {key(r): (r["id_r"], r["cosine"]) for r in trained}
+    assert fast_m == trained_m and len(fast) == len(trained)
+    # degenerate left/right ids never appear on either side of a pair
+    bad = {10_000_001, 10_000_002, 10_000_003}
+    assert not any(r["id_l"] in bad or r["id_r"] in bad for r in fast)
+
+
+def test_ivf_topk_fullprobe_fastpath_matches_trained(spark):
+    """Round-6 pin: ivf_topk's full-probe mode skips k-means training;
+    output (including the exclusion of rows whose assignment would be
+    NULL — null / wrong-dim / NaN-element vectors) must be identical to
+    the trained path, here exercised on a corpus SHORTER than k so any
+    extra null-cosine row would be visible in the tail."""
+    import math as _math
+    import os as _os
+
+    from csv_cruncher_spark.operators import similarity
+
+    sf_dir = _os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
+    emb = spark.read.parquet(
+        _os.path.join(sf_dir, "embeddings.parquet")
+    ).select("vec_id", F.expr(
+        "transform(embedding, x -> cast(x AS double))").alias("embedding"))
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    q = [float(x) for x in first["embedding"]]
+    nan_vec = [float(x) for x in first["embedding"]]
+    nan_vec[3] = float(_math.nan)
+    degenerate = spark.createDataFrame(
+        [
+            (20_000_001, None),          # null vector
+            (20_000_002, [1.0, 2.0]),    # wrong dim
+            (20_000_003, nan_vec),       # NaN element
+        ],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    clean = emb.limit(10)
+    corpus = clean.unionByName(degenerate)  # < k valid rows
+
+    fast = similarity.ivf_topk(
+        corpus, "vec_id", "embedding", q, k=20, n_centroids=4, n_probe=4
+    ).collect()
+    # train on the clean slice (k-means init on a corpus containing
+    # null / wrong-dim vectors can sample one and crash — pre-existing
+    # trained-path behavior, not under test here); what IS under test is
+    # that assignment-time exclusion of the degenerate rows matches.
+    cents = similarity.ivf_train_centroids(clean, "embedding", n_centroids=4)
+    trained = similarity.ivf_topk(
+        corpus, "vec_id", "embedding", q, k=20, n_centroids=4, n_probe=4,
+        centroids=cents,
+    ).collect()
+    assert [tuple(r) for r in fast] == [tuple(r) for r in trained]
+    assert len(fast) == 10  # degenerate rows excluded, not padded in
+
+
 # ---------------------------------------------------------------------------
 # kmeans_fit_exact — bit-reproducible Lloyd (oracle twin of the IVF
 # trainer): exact agreement with a sequential-fold pure-Python replay,
