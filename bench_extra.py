@@ -98,7 +98,19 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from csv_cruncher_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-extra")
+    # mirror bench.py's session conf exactly (8m input splits + tmpfs
+    # local dir) — isolated timings are only predictive of the frozen
+    # bench if the scan split count and shuffle disk match
+    extra_conf = {"spark.sql.files.maxPartitionBytes": "8m"}
+    if os.path.isdir("/dev/shm"):
+        import atexit
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        local_dir = _tempfile.mkdtemp(prefix="spark_local_", dir="/dev/shm")
+        atexit.register(_shutil.rmtree, local_dir, ignore_errors=True)
+        extra_conf["spark.local.dir"] = local_dir
+    spark = get_spark(app_name="bench-extra", extra_conf=extra_conf)
     qs = entrymod.queries()
     names = list(qs) if args.all else args.names
     unknown = [n for n in names if n not in qs]

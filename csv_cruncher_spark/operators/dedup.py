@@ -877,6 +877,12 @@ def ngram_jaccard_pairs(
     # keeps the shuffle join, the scale-safe fallback).
     # Identical row set — a shingle is kept iff its df_count <= max_df.
     stop = dfreq.filter(F.col("df_count") > max_df).select("shingle")
+    # filtered feeds FOUR plan branches (both self-join sides + the two
+    # size-lookup aggregations below) and sizes feeds two — pinned like
+    # sh, or each branch re-runs the anti join / the per-doc aggregation
+    # against the cached shingle frame (round-6, guide §2.4: the
+    # committed plan showed the dfreq aggregation recomputed once per
+    # reference). All three frames are narrow; released together.
     filtered = sh.join(stop, "shingle", "left_anti")
     # sizes from the FILTERED shingle space: Jaccard is computed over the
     # post-stop-shingle vocabulary on BOTH sides of the fraction — mixing
@@ -906,7 +912,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
-    return _pin(sh, out)
+    return _pin(sh, _pin(filtered, _pin(sizes, out)))
 
 
 def ngram_containment_pairs(
@@ -943,6 +949,8 @@ def ngram_containment_pairs(
     # ANTI join on the tiny over-cap set (see ngram_jaccard_pairs; AQE
     # picks broadcast from the actual runtime size)
     stop = dfreq.filter(F.col("df_count") > max_df).select("shingle")
+    # filtered + sizes pinned like ngram_jaccard_pairs (four / two plan
+    # branches each — see the note there)
     filtered = sh.join(stop, "shingle", "left_anti")
     # sizes over the FILTERED vocabulary, like ngram_jaccard_pairs: the
     # numerator and denominator must share a shingle space or a doc made
@@ -969,7 +977,7 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= min_containment)
         .select("id_a", "id_b", "containment", "n_a", "n_b")
     )
-    return _pin(sh, out)
+    return _pin(sh, _pin(filtered, _pin(sizes, out)))
 
 
 def novelty_scores(
